@@ -1,0 +1,407 @@
+"""Command-line interface.
+
+Flag-for-flag compatible with the reference CLI (ParseArguments,
+cudabrot.cu:662-754): `-d -o -s -m -c -w -h -g -t --min-real --max-real
+--min-imag --max-imag --help`, with the same defaults (cudabrot.cu:763-772,
+530-543), the same strict numeric parsing (trailing garbage rejected,
+cudabrot.cu:625-658), and the same lifecycle prints. Note `-h` is image
+*height*; help is `--help` only — which is why this is a hand-rolled scan
+like the reference rather than argparse.
+
+TPU-native extensions (all long-form, so no reference flag is shadowed):
+`--fractal`, `--engine`, `--scatter`, `--precision`, `--seed`, `--passes`,
+`--devices`, `--checkpoint-interval`, `--png`, `--stats-json`,
+`--lane-rows`, `--steps-per-pass`, `--pipeline`. A `render-color`
+subcommand replaces the reference's out-of-process bash/ImageMagick color
+pipeline (generate_hires_color_image.sh).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+from typing import Callable
+
+import numpy as np
+
+from cudabrot_tpu.config import (
+    Canvas,
+    ConfigError,
+    EngineOptions,
+    IterationBand,
+    RenderConfig,
+)
+
+USAGE = """Usage: {prog} [options]
+
+Options may be one or more of the following:
+  --help: Prints these instructions.
+  -d <device number>: Sets which accelerator device to use. Defaults to
+     device 0.
+  -o <output file name>: If provided, the rendered image will be saved
+     to a .pgm file with the given name. Otherwise, saves the image
+     to output.pgm.
+  -m <max escape iterations>: The maximum number of iterations to use
+     before giving up on seeing whether a point escapes.
+  -c <min escape iterations>: If a point escapes before this number of
+     iterations, it will be ignored.
+  -g <gamma correction>: A gamma-correction value to use on the
+     resulting image. If negative, no gamma correction will occur.
+  -t <seconds to run>: A number of seconds to run the calculation for.
+     Defaults to 10.0. If negative, the program will run continuously
+     and will terminate (saving the image) when it receives a SIGINT.
+  -w <width>: The width of the output image, in pixels. Defaults to
+     1000.
+  -h <height>: The height of the output image, in pixels. Defaults to
+     1000.
+  -s <save/load file>: If provided, this gives a file name into which
+     the rendering buffer will be saved, for future continuation.
+     If the program is loaded and the file exists, the buffer will be
+     filled with the contents of the file, but the dimensions must
+     match. Note that this file may be huge for high-resolution images.
+
+The following settings control the location of the output image on the
+complex plane, but samples are always drawn from the entire Mandelbrot-
+set domain (-2-2i to 2+2i). So these settings can be used to save
+memory or "crop" the output, but won't otherwise speed up rendering:
+  --min-real <min real>: The minimum value along the real axis to
+             include in the output image. Defaults to -2.0.
+  --max-real <max real>: The maximum value along the real axis to
+             include in the output image. Defaults to 2.0.
+  --min-imag <min imag>: The minimum value along the imaginary axis to
+             include in the output image. Defaults to -2.0.
+  --max-imag <max imag>: The maximum value along the imaginary axis to
+             include in the output image. Defaults to 2.0.
+
+TPU-native extensions:
+  --fractal <name>: buddhabrot (default) or burning-ship (the
+             reference's compile-time RENDER_BURNING_SHIP switch).
+  --engine <name>: auto (default), pallas, or oracle.
+  --scatter <name>: histogram accumulation backend: auto (default),
+             sort, or xla.
+  --precision <p>: float32 (default) or float64.
+  --seed <n>: RNG seed. Defaults to 1337.
+  --passes <n>: Stop after exactly n engine passes (deterministic
+             alternative to -t).
+  --devices <n>: Data-parallelize over n devices (default: 1; 'all'
+             uses every visible device).
+  --checkpoint-interval <n>: With -s, also write the checkpoint every n
+             passes (default: only at exit, like the reference).
+  --png: Additionally save the image as 16-bit PNG next to the PGM.
+  --stats-json <file>: Write render statistics as JSON.
+  --lane-rows <n> / --steps-per-pass <n> / --pipeline <n>: engine tuning
+             (analogs of the reference's block size/count/samples-per-
+             thread constants).
+"""
+
+
+class CliError(Exception):
+    def __init__(self, message: str):
+        super().__init__(message)
+        self.message = message
+
+
+def print_usage(prog: str, out: Callable[[str], None] = print) -> None:
+    out(USAGE.format(prog=prog))
+
+
+def _parse_int(argv: list[str], i: int) -> int:
+    """Strict integer parse (ParseIntArg, cudabrot.cu:625-641)."""
+    if i + 1 >= len(argv):
+        raise CliError(f"Argument {argv[i]} needs a value.")
+    raw = argv[i + 1]
+    try:
+        return int(raw, 10)
+    except ValueError:
+        raise CliError(
+            f"Invalid number given to argument {argv[i]}: {raw}"
+        ) from None
+
+
+def _parse_float(argv: list[str], i: int) -> float:
+    """Strict double parse (ParseDoubleArg, cudabrot.cu:644-658)."""
+    if i + 1 >= len(argv):
+        raise CliError(f"Argument {argv[i]} needs a value.")
+    raw = argv[i + 1]
+    try:
+        return float(raw)
+    except ValueError:
+        raise CliError(
+            f"Invalid number given to argument {argv[i]}: {raw}"
+        ) from None
+
+
+def _parse_str(argv: list[str], i: int, missing_msg: str) -> str:
+    if i + 1 >= len(argv):
+        raise CliError(missing_msg)
+    return argv[i + 1]
+
+
+@dataclasses.dataclass
+class CliExtras:
+    save_png: bool = False
+    stats_json: str | None = None
+
+
+def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
+    """Parse reference-compatible argv into a RenderConfig.
+
+    Raises CliError (caller prints usage + exits, mirroring
+    cudabrot.cu:750-752) or SystemExit(0) for --help.
+    """
+    # Defaults from main (cudabrot.cu:763-772) and SetDefaultCanvas
+    # (cudabrot.cu:530-543).
+    vals = {
+        "device_index": 0,
+        "output_image": "output.pgm",
+        "inprogress_file": None,
+        "max_it": 100,
+        "min_it": 20,
+        "w": 1000,
+        "h": 1000,
+        "min_real": -2.0,
+        "max_real": 2.0,
+        "min_imag": -2.0,
+        "max_imag": 2.0,
+        "gamma": 1.0,
+        "seconds": 10.0,
+        "fractal": "buddhabrot",
+        "seed": 1337,
+        "max_passes": None,
+        "checkpoint_interval": 0,
+    }
+    opt = {}
+    extras = CliExtras()
+
+    def _validate_canvas() -> None:
+        # The reference re-validates after every dimension-affecting flag
+        # (RecomputePixelDeltas calls at cudabrot.cu:706-746) so an invalid
+        # intermediate state fails fast; Canvas.validate mirrors that.
+        try:
+            Canvas(
+                width=vals["w"],
+                height=vals["h"],
+                min_real=vals["min_real"],
+                max_real=vals["max_real"],
+                min_imag=vals["min_imag"],
+                max_imag=vals["max_imag"],
+            )
+        except ConfigError as e:
+            raise CliError(str(e)) from None
+
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        if arg == "--help":
+            print_usage(sys.argv[0])
+            raise SystemExit(0)
+        elif arg == "-d":
+            vals["device_index"] = _parse_int(argv, i)
+            i += 2
+        elif arg == "-o":
+            vals["output_image"] = _parse_str(
+                argv, i, "Missing output file name."
+            )
+            i += 2
+        elif arg == "-s":
+            vals["inprogress_file"] = _parse_str(
+                argv, i, "Missing in-progress buffer file name."
+            )
+            i += 2
+        elif arg == "-m":
+            vals["max_it"] = _parse_int(argv, i)
+            if vals["max_it"] > 60000:
+                print(
+                    "Warning: Using a high number of iterations may cause "
+                    "the program respond slowly to Ctrl+C or time running "
+                    "out."
+                )
+            i += 2
+        elif arg == "-c":
+            vals["min_it"] = _parse_int(argv, i)
+            i += 2
+        elif arg == "-w":
+            vals["w"] = _parse_int(argv, i)
+            _validate_canvas()
+            i += 2
+        elif arg == "-h":
+            vals["h"] = _parse_int(argv, i)
+            _validate_canvas()
+            i += 2
+        elif arg == "-g":
+            vals["gamma"] = _parse_float(argv, i)
+            i += 2
+        elif arg == "-t":
+            vals["seconds"] = _parse_float(argv, i)
+            i += 2
+        elif arg == "--min-real":
+            vals["min_real"] = _parse_float(argv, i)
+            _validate_canvas()
+            i += 2
+        elif arg == "--max-real":
+            vals["max_real"] = _parse_float(argv, i)
+            _validate_canvas()
+            i += 2
+        elif arg == "--min-imag":
+            vals["min_imag"] = _parse_float(argv, i)
+            _validate_canvas()
+            i += 2
+        elif arg == "--max-imag":
+            vals["max_imag"] = _parse_float(argv, i)
+            _validate_canvas()
+            i += 2
+        elif arg == "--fractal":
+            vals["fractal"] = _parse_str(argv, i, "Missing fractal name.")
+            i += 2
+        elif arg == "--engine":
+            opt["engine"] = _parse_str(argv, i, "Missing engine name.")
+            i += 2
+        elif arg == "--scatter":
+            opt["scatter"] = _parse_str(argv, i, "Missing scatter backend.")
+            i += 2
+        elif arg == "--precision":
+            opt["precision"] = _parse_str(argv, i, "Missing precision.")
+            i += 2
+        elif arg == "--seed":
+            vals["seed"] = _parse_int(argv, i)
+            i += 2
+        elif arg == "--passes":
+            vals["max_passes"] = _parse_int(argv, i)
+            i += 2
+        elif arg == "--checkpoint-interval":
+            vals["checkpoint_interval"] = _parse_int(argv, i)
+            i += 2
+        elif arg == "--devices":
+            raw = _parse_str(argv, i, "Missing device count.")
+            opt["num_devices"] = None if raw == "all" else int(raw)
+            i += 2
+        elif arg == "--lane-rows":
+            opt["lane_rows"] = _parse_int(argv, i)
+            i += 2
+        elif arg == "--steps-per-pass":
+            opt["steps_per_pass"] = _parse_int(argv, i)
+            i += 2
+        elif arg == "--pipeline":
+            opt["pipeline_depth"] = _parse_int(argv, i)
+            i += 2
+        elif arg == "--png":
+            extras.save_png = True
+            i += 1
+        elif arg == "--stats-json":
+            extras.stats_json = _parse_str(argv, i, "Missing stats file name.")
+            i += 2
+        else:
+            raise CliError(f"Invalid argument: {arg}")
+
+    try:
+        cfg = RenderConfig(
+            canvas=Canvas(
+                width=vals["w"],
+                height=vals["h"],
+                min_real=vals["min_real"],
+                max_real=vals["max_real"],
+                min_imag=vals["min_imag"],
+                max_imag=vals["max_imag"],
+            ),
+            band=IterationBand(
+                max_escape_iterations=vals["max_it"],
+                min_escape_iterations=vals["min_it"],
+            ),
+            fractal=vals["fractal"],
+            gamma=vals["gamma"],
+            seconds_to_run=vals["seconds"],
+            max_passes=vals["max_passes"],
+            seed=vals["seed"],
+            output_image=vals["output_image"],
+            inprogress_file=vals["inprogress_file"],
+            checkpoint_interval=vals["checkpoint_interval"],
+            device_index=vals["device_index"],
+            options=EngineOptions(**opt),
+        )
+    except ConfigError as e:
+        raise CliError(str(e)) from None
+    return cfg, extras
+
+
+def run(cfg: RenderConfig, extras: CliExtras, log=print) -> int:
+    """Render + tone-map + save (the main() sequence, cudabrot.cu:762-791)."""
+    import jax
+
+    from cudabrot_tpu import driver
+    from cudabrot_tpu.io import pgm as pgm_io
+    from cudabrot_tpu.ops import tonemap as tonemap_op
+
+    devices = jax.devices()
+    if cfg.device_index >= len(devices):
+        log(
+            f"Device {cfg.device_index} not available "
+            f"({len(devices)} devices present)."
+        )
+        return 1
+    if cfg.device_index != 0:
+        jax.config.update("jax_default_device", devices[cfg.device_index])
+
+    log(
+        f"Creating {cfg.canvas.width}x{cfg.canvas.height} image, "
+        f"{cfg.band.max_escape_iterations} max iterations."
+    )
+    log("Calculating image...")
+    from cudabrot_tpu.io import checkpoint as _ckpt
+
+    try:
+        result = driver.run_render(cfg, log=log)
+    except _ckpt.CheckpointError as e:
+        # Fatal like the reference's size check (cudabrot.cu:239-245), but
+        # with a clean message instead of a traceback.
+        log(str(e))
+        return 1
+
+    mapped = tonemap_op.tonemap(
+        jax.numpy.asarray(result.histogram), cfg.gamma
+    )
+    image = np.asarray(jax.device_get(mapped.image))
+    log(
+        f"Max value: {int(mapped.max_count)}, "
+        f"scale: {float(mapped.linear_scale):f}"
+    )
+
+    log("Saving image.")
+    pgm_io.write_pgm(cfg.output_image, image)
+    if extras.save_png:
+        from cudabrot_tpu.io import png as png_io
+
+        png_path = cfg.output_image.rsplit(".", 1)[0] + ".png"
+        png_io.write_png(png_path, image)
+    if extras.stats_json:
+        payload = {
+            "passes": result.passes,
+            "elapsed_seconds": result.elapsed_seconds,
+            "engine": result.engine_name,
+            "interrupted": result.interrupted,
+            "max_count": int(mapped.max_count),
+            **result.stats,
+        }
+        with open(extras.stats_json, "w") as f:
+            json.dump(payload, f, indent=2)
+    log(f"Done! Output image saved: {cfg.output_image}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "render-color":
+        from cudabrot_tpu import color
+
+        return color.main(argv[1:])
+    try:
+        cfg, extras = parse_args(argv)
+    except CliError as e:
+        print(e.message)
+        print_usage(sys.argv[0])
+        return 0  # parity: the reference exits 0 from PrintUsage
+    return run(cfg, extras)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

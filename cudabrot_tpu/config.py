@@ -1,0 +1,216 @@
+"""Render configuration: canvas geometry, iteration bands, engine options.
+
+Reference parity: `Canvas` mirrors `FractalDimensions` (cudabrot.cu:46-58)
+with the delta math and validation of `RecomputePixelDeltas`
+(cudabrot.cu:505-527) and the defaults of `SetDefaultCanvas`
+(cudabrot.cu:530-543). `IterationBand` mirrors `IterationControl`
+(cudabrot.cu:62-67) with the defaults set in `main` (cudabrot.cu:765-766).
+Unlike the reference's mutable global struct `g` (cudabrot.cu:70-101), all
+configuration here is immutable, hashable (usable as a static jit argument),
+and threaded explicitly through the driver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+class ConfigError(ValueError):
+    """Raised when a canvas/band/engine setting is invalid."""
+
+
+#: Samples are always drawn uniformly from this fixed region of the complex
+#: plane regardless of the output canvas (reference behavior: cudabrot.cu:392-393
+#: and the PrintUsage note at cudabrot.cu:606-609). (min_real, max_real,
+#: min_imag, max_imag).
+SAMPLE_DOMAIN = (-2.0, 2.0, -2.0, 2.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class Canvas:
+    """Output-image geometry: pixel dimensions plus complex-plane bounds.
+
+    The canvas only crops/locates the output; it never changes what is
+    sampled (see SAMPLE_DOMAIN). Row 0 of the image corresponds to
+    ``min_imag`` — the same orientation the reference produces
+    (cudabrot.cu:309-312 maps imag->row directly, and PGM row 0 is the top
+    of the image).
+    """
+
+    width: int = 1000
+    height: int = 1000
+    min_real: float = -2.0
+    max_real: float = 2.0
+    min_imag: float = -2.0
+    max_imag: float = 2.0
+
+    def __post_init__(self) -> None:
+        self.validate()
+
+    def validate(self) -> None:
+        # Error messages mirror RecomputePixelDeltas (cudabrot.cu:505-523).
+        if self.width <= 0:
+            raise ConfigError("Output width must be positive.")
+        if self.height <= 0:
+            raise ConfigError("Output height must be positive.")
+        if self.max_real <= self.min_real:
+            raise ConfigError(
+                "Maximum real value must be greater than minimum real value."
+            )
+        if self.max_imag <= self.min_imag:
+            raise ConfigError(
+                "Maximum imaginary value must be greater than minimum "
+                "imaginary value."
+            )
+
+    @property
+    def delta_real(self) -> float:
+        """Complex-plane distance between horizontally adjacent pixels
+        (cudabrot.cu:525)."""
+        return (self.max_real - self.min_real) / float(self.width)
+
+    @property
+    def delta_imag(self) -> float:
+        """Complex-plane distance between vertically adjacent pixels
+        (cudabrot.cu:524)."""
+        return (self.max_imag - self.min_imag) / float(self.height)
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        """Histogram/image array shape, (height, width)."""
+        return (self.height, self.width)
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+    @property
+    def histogram_nbytes(self) -> int:
+        """Size of the uint32 accumulation buffer in bytes
+        (GetImageBufferSize, cudabrot.cu:105-108)."""
+        return self.num_pixels * 4
+
+
+@dataclasses.dataclass(frozen=True)
+class IterationBand:
+    """Escape-iteration filter: only orbits escaping within
+    [min_escape_iterations, max_escape_iterations) are recorded
+    (cudabrot.cu:407-408)."""
+
+    max_escape_iterations: int = 100
+    min_escape_iterations: int = 20
+
+    def __post_init__(self) -> None:
+        self.validate()
+
+    def validate(self) -> None:
+        if self.max_escape_iterations <= 0:
+            raise ConfigError("Max escape iterations must be positive.")
+        if self.min_escape_iterations < 0:
+            raise ConfigError("Min escape iterations must be non-negative.")
+        # The reference does not reject min >= max (it just renders nothing);
+        # we keep that permissiveness for CLI parity.
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineOptions:
+    """Tuning knobs for the compute engines (the TPU analog of
+    DEFAULT_BLOCK_SIZE/DEFAULT_BLOCK_COUNT/SAMPLES_PER_THREAD,
+    cudabrot.cu:19-34).
+
+    One engine "pass" is the unit of host-side time-boxing and signal
+    responsiveness, exactly like one kernel launch in the reference
+    (cudabrot.cu:483-492).
+    """
+
+    #: Engine implementation: "oracle" (pure jax.numpy, the correctness
+    #: reference), "pallas" (the TPU production kernel), or "auto".
+    engine: str = "auto"
+    #: Number of persistent sampler lanes in the Pallas engine, expressed as
+    #: rows of 128 lanes (lanes = rows * 128).
+    lane_rows: int = 64
+    #: Total iteration steps each lane executes per pass.
+    steps_per_pass: int = 2048
+    #: Steps between emission-buffer flushes inside the kernel (the window in
+    #: which at most one in-band sample per lane can be queued).
+    steps_per_flush: int = 32
+    #: Samples per pass for the oracle engine.
+    oracle_samples_per_pass: int = 1 << 16
+    #: Capacity of the compacted replay batch (lanes in the replay phase).
+    replay_capacity: int = 8192
+    #: Replay steps executed per scatter flush.
+    replay_chunk: int = 256
+    #: Histogram scatter backend: "xla" (scatter-add), "sort"
+    #: (sort + searchsorted dense counts), or "auto".
+    scatter: str = "auto"
+    #: Iteration arithmetic dtype ("float32" or "float64"; float64 is
+    #: software-emulated and slow on TPU — reference iterates in hardware
+    #: double, cudabrot.cu:321).
+    precision: str = "float32"
+    #: Number of devices to data-parallelize over (None = all local
+    #: devices; default 1 device, matching the reference's single-GPU
+    #: operation, cudabrot.cu:155).
+    num_devices: int | None = 1
+    #: Allowed in-flight (dispatched, not yet blocked-on) passes.
+    pipeline_depth: int = 2
+
+    def validate(self) -> None:
+        if self.engine not in ("auto", "oracle", "pallas"):
+            raise ConfigError(f"Unknown engine: {self.engine}")
+        if self.scatter not in ("auto", "xla", "sort"):
+            raise ConfigError(f"Unknown scatter backend: {self.scatter}")
+        if self.precision not in ("float32", "float64"):
+            raise ConfigError(f"Unknown precision: {self.precision}")
+        if self.steps_per_pass % self.steps_per_flush != 0:
+            raise ConfigError(
+                "steps_per_pass must be a multiple of steps_per_flush"
+            )
+        if self.lane_rows <= 0 or self.replay_capacity <= 0:
+            raise ConfigError("lane_rows and replay_capacity must be positive")
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Complete render job description (the immutable analog of the
+    reference's global state struct `g`, cudabrot.cu:70-101, minus runtime
+    buffers). Defaults mirror `main` (cudabrot.cu:763-772)."""
+
+    canvas: Canvas = dataclasses.field(default_factory=Canvas)
+    band: IterationBand = dataclasses.field(default_factory=IterationBand)
+    #: Fractal system name; see cudabrot_tpu.models.fractals.FRACTALS.
+    #: The reference's compile-time RENDER_BURNING_SHIP switch
+    #: (cudabrot.cu:15-17) is a runtime flag here.
+    fractal: str = "buddhabrot"
+    #: Gamma-correction exponent; <= 0 disables gamma (cudabrot.cu:447).
+    gamma: float = 1.0
+    #: Wall-clock time box in seconds; negative = run until SIGINT
+    #: (cudabrot.cu:475-479, 488-491).
+    seconds_to_run: float = 10.0
+    #: Optional fixed pass-count limit (engine passes). The reference has no
+    #: equivalent — added so renders can be made deterministic for testing
+    #: and benchmarking instead of relying on the time box.
+    max_passes: int | None = None
+    #: Base RNG seed (DEFAULT_RNG_SEED, cudabrot.cu:37).
+    seed: int = 1337
+    output_image: str = "output.pgm"
+    #: Checkpoint file (the -s flag, cudabrot.cu:681-688); None disables.
+    inprogress_file: str | None = None
+    #: Write the checkpoint every N passes (0 = only at exit, the reference
+    #: behavior, cudabrot.cu:785).
+    checkpoint_interval: int = 0
+    #: Device index for single-device operation (-d, cudabrot.cu:667-671).
+    device_index: int = 0
+    options: EngineOptions = dataclasses.field(default_factory=EngineOptions)
+
+    def __post_init__(self) -> None:
+        self.validate()
+
+    def validate(self) -> None:
+        self.canvas.validate()
+        self.band.validate()
+        self.options.validate()
+        if self.gamma != self.gamma:  # NaN
+            raise ConfigError("Gamma must be a number.")
+
+    def replace(self, **kwargs) -> "RenderConfig":
+        return dataclasses.replace(self, **kwargs)

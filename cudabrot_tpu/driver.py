@@ -1,0 +1,154 @@
+"""Host render loop: time-boxing, cancellation, checkpointing, lifecycle.
+
+This is the TPU-native rebuild of the reference's L4 layer — RenderImage
+(cudabrot.cu:471-501), SignalHandler (cudabrot.cu:756-760), and the
+lifecycle sequencing in main (cudabrot.cu:762-791):
+
+  * the histogram (and all engine lane state) stays device-resident across
+    passes via buffer donation — the only D2H transfer is the final (or
+    periodic-checkpoint) readback, exactly like the single cudaMemcpy after
+    the loop at cudabrot.cu:496;
+  * time is checked only between passes, and a negative time box runs until
+    SIGINT (cudabrot.cu:483-492);
+  * SIGINT sets a flag and the current pass completes before a normal
+    save/exit (cudabrot.cu:756-760, 483);
+  * JAX dispatch is asynchronous, so the loop can keep `pipeline_depth`
+    passes in flight instead of synchronizing after each one (the reference
+    must cudaDeviceSynchronize every launch, cudabrot.cu:487) — host
+    turnaround never idles the chip;
+  * checkpoints can be written every N passes (the reference only writes at
+    exit and can lose hours to a crash, SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import signal
+import time
+from typing import Callable
+
+import jax
+import numpy as np
+
+from cudabrot_tpu import engines
+from cudabrot_tpu.config import RenderConfig
+from cudabrot_tpu.io import checkpoint as ckpt
+
+
+@dataclasses.dataclass
+class RenderResult:
+    histogram: np.ndarray  # uint32 (H, W)
+    passes: int
+    elapsed_seconds: float
+    stats: dict
+    engine_name: str
+    interrupted: bool
+
+
+class SigintFlag:
+    """Cooperative-cancellation flag (SignalHandler, cudabrot.cu:756-760)."""
+
+    def __init__(self, log: Callable[[str], None]):
+        self._log = log
+        self.triggered = False
+        self._previous = None
+
+    def _handler(self, signum, frame):
+        self.triggered = True
+        self._log(
+            f"Signal {signum} received, waiting for current pass to finish..."
+        )
+
+    def __enter__(self):
+        try:
+            self._previous = signal.signal(signal.SIGINT, self._handler)
+        except ValueError:  # non-main thread: run uninterruptible
+            self._previous = None
+        return self
+
+    def __exit__(self, *exc):
+        if self._previous is not None:
+            signal.signal(signal.SIGINT, self._previous)
+        return False
+
+
+def run_render(
+    cfg: RenderConfig,
+    engine: engines.Engine | None = None,
+    log: Callable[[str], None] = print,
+) -> RenderResult:
+    """Execute a full render job: resume -> pass loop -> final readback.
+
+    Mirrors the main() sequence LoadInProgressBuffer -> RenderImage ->
+    SaveInProgressBuffer (cudabrot.cu:783-785); image tone-mapping/encoding
+    is left to the caller (cudabrot_tpu.cli) so library users get the raw
+    histogram.
+    """
+    engine = engine or engines.make_engine(cfg)
+
+    hist0 = None
+    resumed_passes = 0
+    if cfg.inprogress_file:
+        log(f"Loading previous image state from {cfg.inprogress_file}.")
+        loaded = ckpt.load(cfg.inprogress_file, cfg)
+        if loaded is None:
+            log(f"File {cfg.inprogress_file} doesn't exist yet. Not loading.")
+        else:
+            hist0, meta = loaded
+            resumed_passes = int(meta.get("passes", 0))
+
+    state = engine.init_state(hist0)
+
+    log("Calculating Buddhabrot.")
+    if cfg.seconds_to_run < 0:
+        log("Press ctrl+C to finish.")
+    else:
+        log(f"Running for {cfg.seconds_to_run:.3f} seconds.")
+
+    depth = max(1, cfg.options.pipeline_depth)
+    passes = 0
+    interrupted = False
+    start = time.monotonic()
+    with SigintFlag(log) as flag:
+        while not flag.triggered:
+            state = engine.run_pass(state, resumed_passes + passes)
+            passes += 1
+            if passes % depth == 0:
+                jax.block_until_ready(state)
+            if cfg.max_passes is not None and passes >= cfg.max_passes:
+                break
+            if (
+                cfg.seconds_to_run >= 0
+                and (time.monotonic() - start) > cfg.seconds_to_run
+            ):
+                break
+            if (
+                cfg.inprogress_file
+                and cfg.checkpoint_interval > 0
+                and passes % cfg.checkpoint_interval == 0
+            ):
+                ckpt.save(
+                    cfg.inprogress_file,
+                    engine.histogram(state),
+                    cfg,
+                    resumed_passes + passes,
+                )
+        interrupted = flag.triggered
+
+    jax.block_until_ready(state)
+    elapsed = time.monotonic() - start
+    hist = engine.histogram(state)
+    log(f"{passes} Buddhabrot passes took {elapsed:f} seconds.")
+
+    if cfg.inprogress_file:
+        log(f"Saving in-progress buffer to {cfg.inprogress_file}.")
+        ckpt.save(cfg.inprogress_file, hist, cfg, resumed_passes + passes)
+
+    return RenderResult(
+        histogram=hist,
+        passes=passes,
+        elapsed_seconds=elapsed,
+        stats=engine.stats(state),
+        engine_name=engine.name,
+        interrupted=interrupted,
+    )

@@ -1,0 +1,59 @@
+"""Compute-engine registry.
+
+An engine owns the jittable per-pass work (the analog of one DrawBuddhabrot
+kernel launch, cudabrot.cu:485-486) and its device-resident state. The
+driver (cudabrot_tpu.driver) is engine-agnostic: it only time-boxes passes,
+handles signals/checkpoints, and reads the final histogram.
+"""
+
+from __future__ import annotations
+
+from typing import Protocol
+
+import numpy as np
+
+from cudabrot_tpu.config import RenderConfig
+
+
+class Engine(Protocol):
+    name: str
+    #: Approximate iteration steps executed per pass (for reporting).
+    steps_per_pass: int
+
+    def init_state(self, hist0: np.ndarray | None): ...
+
+    def run_pass(self, state, pass_index: int): ...
+
+    def histogram(self, state) -> np.ndarray: ...
+
+    def stats(self, state) -> dict: ...
+
+
+def make_engine(cfg: RenderConfig) -> Engine:
+    import jax
+
+    choice = cfg.options.engine
+    if choice == "auto":
+        # The Pallas engine is the production path everywhere (it runs in
+        # interpreter mode off-TPU, which is slower than the oracle for
+        # small jobs but exercises identical code).
+        choice = "pallas" if jax.default_backend() == "tpu" else "oracle"
+    if choice == "oracle":
+        from cudabrot_tpu.engines.oracle_engine import OracleEngine
+
+        inner = OracleEngine(cfg)
+    elif choice == "pallas":
+        from cudabrot_tpu.engines.pallas_engine import PallasEngine
+
+        inner = PallasEngine(cfg)
+    else:
+        raise ValueError(f"Unknown engine {choice!r}")
+
+    n = cfg.options.num_devices
+    if n is None:
+        n = len(jax.devices())
+    if n > 1:
+        from cudabrot_tpu.parallel.data_parallel import DataParallelEngine
+
+        return DataParallelEngine(cfg, inner)
+    return inner

@@ -1,0 +1,84 @@
+"""The jax.numpy oracle as a driver-compatible engine."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cudabrot_tpu.config import RenderConfig
+from cudabrot_tpu.ops import oracle
+from cudabrot_tpu.utils import counters
+
+STAT_KEYS = ("samples", "culled", "in_band", "iters", "points")
+
+
+class OracleEngine:
+    """Vectorized pure-jnp sampler (cudabrot_tpu.ops.oracle). Correct on any
+    backend; used as the test oracle and as a fallback engine."""
+
+    name = "oracle"
+
+    def __init__(self, cfg: RenderConfig):
+        self.cfg = cfg
+        self.steps_per_pass = (
+            cfg.options.oracle_samples_per_pass * cfg.band.max_escape_iterations
+        )
+        self._pass_fn = jax.jit(
+            functools.partial(self.core, ordinal=jnp.uint32(0)),
+            donate_argnums=0,
+        )
+
+    def core(self, state, pass_index, ordinal):
+        """Pure per-device pass body. ``ordinal`` is the device's position
+        on the data-parallel mesh — it replaces the reference's per-thread
+        cuRAND sequence ids (cudabrot.cu:148) as the independence mechanism
+        between parallel samplers."""
+        cfg = self.cfg
+        base_key = jax.random.key(cfg.seed)
+        key = jax.random.fold_in(
+            jax.random.fold_in(base_key, ordinal), pass_index
+        )
+        hist, stats = oracle.render_pass(state["hist"], key, cfg)
+        state = dict(state)
+        state["hist"] = hist
+        per_pass = {
+            "samples": stats.samples,
+            "culled": stats.culled,
+            "in_band": stats.in_band,
+            "iters": stats.classify_iters,
+            "points": stats.orbit_points,
+        }
+        for k in STAT_KEYS:
+            state[k] = counters.u64_add(state[k], per_pass[k])
+        return state
+
+    def init_state(self, hist0: np.ndarray | None):
+        shape = self.cfg.canvas.shape
+        hist = (
+            jnp.zeros(shape, jnp.uint32)
+            if hist0 is None
+            else jnp.asarray(hist0, jnp.uint32)
+        )
+        state = {"hist": hist}
+        for k in STAT_KEYS:
+            state[k] = counters.u64_zero()
+        return state
+
+    def run_pass(self, state, pass_index: int):
+        return self._pass_fn(state, pass_index)
+
+    def histogram(self, state) -> np.ndarray:
+        return np.asarray(jax.device_get(state["hist"]), dtype=np.uint32)
+
+    def stats(self, state) -> dict:
+        vals = {k: counters.u64_value(state[k]) for k in STAT_KEYS}
+        return {
+            "samples": vals["samples"],
+            "culled": vals["culled"],
+            "in_band": vals["in_band"],
+            "classify_iters": vals["iters"],
+            "orbit_points": vals["points"],
+        }

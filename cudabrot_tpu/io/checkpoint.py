@@ -1,0 +1,133 @@
+"""Histogram checkpoint/resume (the -s flag).
+
+The reference dumps the raw uint32 host buffer with no header, validates
+resumes only by byte length, and writes non-atomically once at exit
+(LoadInProgressBuffer/SaveInProgressBuffer, cudabrot.cu:215-280). CLI
+semantics are preserved — load-if-exists, missing file is benign
+(cudabrot.cu:226-231), dimension mismatch is a fatal error
+(cudabrot.cu:239-245) — but the format is upgraded:
+
+  * .npz container carrying the histogram plus metadata (canvas, band,
+    fractal, seed, pass count, format version) so a resume can verify it is
+    continuing the *same* render, not just one with the same byte count;
+  * atomic tmp-file + rename writes, so a crash mid-save never destroys the
+    previous checkpoint (the reference can, cudabrot.cu:266-272);
+  * CRC32 of the histogram payload for corruption detection;
+  * reading the reference's raw format is still supported: a file that is
+    not an npz but is exactly w*h*4 bytes is loaded as a little-endian
+    uint32 dump, so renders started with the CUDA binary can be *continued*
+    on TPU.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import zlib
+
+import numpy as np
+
+from cudabrot_tpu.config import Canvas, IterationBand, RenderConfig
+
+FORMAT_VERSION = 1
+
+
+class CheckpointError(RuntimeError):
+    pass
+
+
+def _metadata(cfg: RenderConfig, passes: int) -> dict:
+    return {
+        "format_version": FORMAT_VERSION,
+        "width": cfg.canvas.width,
+        "height": cfg.canvas.height,
+        "min_real": cfg.canvas.min_real,
+        "max_real": cfg.canvas.max_real,
+        "min_imag": cfg.canvas.min_imag,
+        "max_imag": cfg.canvas.max_imag,
+        "max_escape_iterations": cfg.band.max_escape_iterations,
+        "min_escape_iterations": cfg.band.min_escape_iterations,
+        "fractal": cfg.fractal,
+        "seed": cfg.seed,
+        "passes": passes,
+    }
+
+
+def save(path: str, hist: np.ndarray, cfg: RenderConfig, passes: int) -> None:
+    """Atomically write the checkpoint."""
+    hist = np.ascontiguousarray(hist, dtype=np.uint32)
+    meta = _metadata(cfg, passes)
+    meta["crc32"] = zlib.crc32(hist.tobytes()) & 0xFFFFFFFF
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(os.path.abspath(path)) or ".",
+        prefix=os.path.basename(path) + ".tmp.",
+    )
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, hist=hist, meta=np.frombuffer(
+                json.dumps(meta).encode(), dtype=np.uint8))
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def load(path: str, cfg: RenderConfig) -> tuple[np.ndarray, dict] | None:
+    """Load a checkpoint if the file exists.
+
+    Returns (hist, metadata) or None when the file is missing (benign,
+    cudabrot.cu:226-231). Raises CheckpointError on any mismatch, mirroring
+    the reference's fatal size check (cudabrot.cu:239-245).
+    """
+    try:
+        with open(path, "rb") as f:
+            head = f.read(4)
+    except FileNotFoundError:
+        return None
+
+    canvas = cfg.canvas
+    if head[:2] != b"PK":  # not a zip/npz: reference raw-dump compatibility
+        size = os.path.getsize(path)
+        expected = canvas.histogram_nbytes
+        if size != expected:
+            raise CheckpointError(
+                f"The size of {path} doesn't match the expected size of "
+                f"{expected} bytes."
+            )
+        hist = np.fromfile(path, dtype="<u4").reshape(canvas.shape)
+        return hist, {"format_version": 0, "passes": 0}
+
+    with np.load(path) as data:
+        hist = np.asarray(data["hist"], dtype=np.uint32)
+        meta = json.loads(bytes(data["meta"]).decode())
+
+    if hist.shape != canvas.shape:
+        raise CheckpointError(
+            f"Checkpoint {path} has dimensions {hist.shape[1]}x{hist.shape[0]}"
+            f" but the render is {canvas.width}x{canvas.height}."
+        )
+    for key, want in (
+        ("min_real", canvas.min_real),
+        ("max_real", canvas.max_real),
+        ("min_imag", canvas.min_imag),
+        ("max_imag", canvas.max_imag),
+    ):
+        have = meta.get(key)
+        if have is not None and have != want:
+            raise CheckpointError(
+                f"Checkpoint {path} was rendered on a different canvas "
+                f"({key}={have}, expected {want})."
+            )
+    if meta.get("fractal") not in (None, cfg.fractal):
+        raise CheckpointError(
+            f"Checkpoint {path} is for fractal {meta['fractal']!r}, "
+            f"not {cfg.fractal!r}."
+        )
+    crc = meta.get("crc32")
+    if crc is not None and (zlib.crc32(hist.tobytes()) & 0xFFFFFFFF) != crc:
+        raise CheckpointError(f"Checkpoint {path} failed its CRC32 check.")
+    return hist, meta

@@ -1,0 +1,132 @@
+"""Minimal dependency-free PNG encoder (grayscale + RGB, 8/16-bit).
+
+The reference emits only PGM and delegates color output to external tools
+(ImageMagick + image_combiner, README.md:170-185). Our in-repo color
+pipeline needs a real image format for its composites; this is a
+from-scratch encoder using only the stdlib (zlib/struct) — no PIL
+dependency.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def write_png(path: str, image: np.ndarray) -> None:
+    """Write uint8/uint16 grayscale (H, W) or RGB (H, W, 3) PNG."""
+    image = np.asarray(image)
+    if image.dtype == np.uint8:
+        bit_depth = 8
+    elif image.dtype == np.uint16:
+        bit_depth = 16
+    else:
+        raise ValueError(f"PNG image must be uint8/uint16, got {image.dtype}")
+    if image.ndim == 2:
+        color_type = 0  # grayscale
+    elif image.ndim == 3 and image.shape[2] == 3:
+        color_type = 2  # truecolor
+    else:
+        raise ValueError(f"Unsupported PNG shape {image.shape}")
+    h, w = image.shape[:2]
+    if bit_depth == 16:
+        raw = image.astype(">u2").tobytes()
+    else:
+        raw = image.tobytes()
+    stride = w * (3 if color_type == 2 else 1) * (bit_depth // 8)
+    # Filter byte 0 (None) before each scanline.
+    lines = bytearray()
+    for y in range(h):
+        lines.append(0)
+        lines += raw[y * stride : (y + 1) * stride]
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(_chunk(b"IHDR", ihdr))
+        f.write(_chunk(b"IDAT", zlib.compress(bytes(lines), 6)))
+        f.write(_chunk(b"IEND", b""))
+
+
+def read_png(path: str) -> np.ndarray:
+    """Read PNGs written by write_png (bit depth 8/16, color type 0/2,
+    no interlace). Not a general-purpose decoder."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if not data.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError(f"{path}: not a PNG file")
+    pos = 8
+    idat = bytearray()
+    w = h = bit_depth = color_type = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if interlace:
+                raise ValueError("Interlaced PNG not supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError(f"{path}: missing IHDR")
+    if bit_depth not in (8, 16) or color_type not in (0, 2):
+        raise ValueError(
+            f"{path}: unsupported bit depth/color type {bit_depth}/{color_type}"
+        )
+    channels = 3 if color_type == 2 else 1
+    bpp = channels * (bit_depth // 8)
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"{path}: unknown filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    dtype = ">u2" if bit_depth == 16 else np.uint8
+    arr = np.frombuffer(bytes(out), dtype=dtype)
+    if bit_depth == 16:
+        arr = arr.astype(np.uint16)
+    if channels == 3:
+        return arr.reshape(h, w, 3)
+    return arr.reshape(h, w)

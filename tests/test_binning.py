@@ -1,0 +1,90 @@
+import jax.numpy as jnp
+import numpy as np
+
+from cudabrot_tpu.config import Canvas
+from cudabrot_tpu.ops import binning
+from tests import reference_impl as ref
+
+
+def _random_points(n, seed=0, lo=-2.5, hi=2.5):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(lo, hi, size=(2, n))
+
+
+def test_bin_ids_match_scalar_reference():
+    canvas = Canvas(width=37, height=23, min_real=-1.3, max_real=0.9,
+                    min_imag=-0.4, max_imag=1.1)
+    re, im = _random_points(4096)
+    ids = np.asarray(
+        binning.points_to_bin_ids(
+            canvas,
+            jnp.asarray(re),
+            jnp.asarray(im),
+            jnp.ones(re.shape, bool),
+        )
+    )
+    for k in range(len(re)):
+        rc = ref.bin_point(re[k], im[k], canvas)
+        if rc is None:
+            assert ids[k] == canvas.num_pixels
+        else:
+            r, c = rc
+            assert ids[k] == r * canvas.width + c
+
+
+def test_bin_ids_invalid_masked():
+    canvas = Canvas(width=8, height=8)
+    ids = binning.points_to_bin_ids(
+        canvas,
+        jnp.asarray([0.0]),
+        jnp.asarray([0.0]),
+        jnp.asarray([False]),
+    )
+    assert int(ids[0]) == canvas.num_pixels
+
+
+def test_low_boundary_guard():
+    """Points just below the canvas minimum must not land in row/col 0
+    (the truncation artifact guarded at cudabrot.cu:305-308)."""
+    canvas = Canvas(width=10, height=10, min_real=0.0, max_real=1.0,
+                    min_imag=0.0, max_imag=1.0)
+    ids = binning.points_to_bin_ids(
+        canvas,
+        jnp.asarray([-1e-9, 0.5]),
+        jnp.asarray([0.5, -1e-9]),
+        jnp.ones(2, bool),
+    )
+    assert int(ids[0]) == canvas.num_pixels
+    assert int(ids[1]) == canvas.num_pixels
+
+
+def test_scatter_backends_agree():
+    canvas = Canvas(width=16, height=12)
+    num_bins = canvas.num_pixels
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, num_bins + 1, size=2048)  # includes sentinel
+    hist0 = jnp.zeros(num_bins, jnp.uint32)
+    a = np.asarray(binning.scatter_xla(hist0, jnp.asarray(ids)))
+    b = np.asarray(binning.scatter_sorted(hist0, jnp.asarray(ids)))
+    want = np.bincount(ids[ids < num_bins], minlength=num_bins)
+    np.testing.assert_array_equal(a, want)
+    np.testing.assert_array_equal(b, want)
+
+
+def test_scatter_sorted_accumulates_on_existing():
+    hist0 = jnp.arange(10, dtype=jnp.uint32)
+    ids = jnp.asarray([0, 0, 9, 10, 10])  # 10 == sentinel (num_bins)
+    out = np.asarray(binning.scatter_sorted(hist0, ids))
+    want = np.arange(10)
+    want[0] += 2
+    want[9] += 1
+    np.testing.assert_array_equal(out, want)
+
+
+def test_backend_selection():
+    small = Canvas(width=100, height=100)
+    big = Canvas(width=20000, height=20000)
+    assert binning.select_scatter_backend("auto", small, 1 << 20) == "sort"
+    assert binning.select_scatter_backend("auto", big, 1 << 16) == "xla"
+    assert binning.select_scatter_backend("xla", small, 1) == "xla"
+    assert binning.select_scatter_backend("sort", big, 1) == "sort"

@@ -1,0 +1,125 @@
+import pytest
+
+from cudabrot_tpu import cli
+
+
+def test_defaults_match_reference():
+    cfg, extras = cli.parse_args([])
+    assert cfg.canvas.width == 1000 and cfg.canvas.height == 1000
+    assert cfg.band.max_escape_iterations == 100
+    assert cfg.band.min_escape_iterations == 20
+    assert cfg.gamma == 1.0
+    assert cfg.seconds_to_run == 10.0
+    assert cfg.output_image == "output.pgm"
+    assert cfg.inprogress_file is None
+    assert cfg.device_index == 0
+    assert not extras.save_png
+
+
+def test_all_reference_flags():
+    cfg, _ = cli.parse_args(
+        [
+            "-d", "1",
+            "-o", "img.pgm",
+            "-s", "state.bin",
+            "-m", "20000",
+            "-c", "2000",
+            "-w", "200",
+            "-h", "100",
+            "-g", "1.8",
+            "-t", "-1",
+            "--min-real", "0.0",
+            "--max-real", "1.0",
+            "--min-imag", "0.0",
+            "--max-imag", "0.5",
+        ]
+    )
+    assert cfg.device_index == 1
+    assert cfg.output_image == "img.pgm"
+    assert cfg.inprogress_file == "state.bin"
+    assert cfg.band.max_escape_iterations == 20000
+    assert cfg.band.min_escape_iterations == 2000
+    assert cfg.canvas.width == 200 and cfg.canvas.height == 100
+    assert cfg.gamma == 1.8
+    assert cfg.seconds_to_run == -1.0
+    assert cfg.canvas.min_real == 0.0 and cfg.canvas.max_real == 1.0
+    assert cfg.canvas.min_imag == 0.0 and cfg.canvas.max_imag == 0.5
+
+
+def test_h_is_height_not_help():
+    cfg, _ = cli.parse_args(["-h", "77"])
+    assert cfg.canvas.height == 77
+
+
+def test_help_exits_zero(capsys):
+    with pytest.raises(SystemExit) as e:
+        cli.parse_args(["--help"])
+    assert e.value.code == 0
+    assert "Usage:" in capsys.readouterr().out
+
+
+@pytest.mark.parametrize(
+    "argv",
+    [
+        ["-m"],  # missing value (cudabrot.cu:628-631)
+        ["-m", "12x"],  # trailing garbage (cudabrot.cu:635-639)
+        ["-m", ""],
+        ["-w", "abc"],
+        ["-g", "1.0.0"],
+        ["--frobnicate"],  # unknown flag (cudabrot.cu:750-752)
+        ["-w", "0"],  # invalid canvas
+        ["--min-real", "2.0", "--max-real", "-2.0"],
+    ],
+)
+def test_bad_args_raise(argv):
+    with pytest.raises(cli.CliError):
+        cli.parse_args(argv)
+
+
+def test_int_flag_rejects_float():
+    with pytest.raises(cli.CliError):
+        cli.parse_args(["-m", "10.5"])
+
+
+def test_extension_flags():
+    cfg, extras = cli.parse_args(
+        [
+            "--fractal", "burning-ship",
+            "--engine", "oracle",
+            "--scatter", "sort",
+            "--seed", "42",
+            "--passes", "3",
+            "--checkpoint-interval", "10",
+            "--png",
+            "--stats-json", "s.json",
+            "--devices", "2",
+        ]
+    )
+    assert cfg.fractal == "burning-ship"
+    assert cfg.options.engine == "oracle"
+    assert cfg.options.scatter == "sort"
+    assert cfg.seed == 42
+    assert cfg.max_passes == 3
+    assert cfg.checkpoint_interval == 10
+    assert cfg.options.num_devices == 2
+    assert extras.save_png
+    assert extras.stats_json == "s.json"
+
+
+def test_devices_all():
+    cfg, _ = cli.parse_args(["--devices", "all"])
+    assert cfg.options.num_devices is None
+
+
+def test_flag_order_revalidation():
+    """Setting a crop before its matching extent must not fail if the final
+    state is valid (reference recomputes deltas per flag but only fails on
+    invalid intermediate states — mirror its exact behavior)."""
+    cfg, _ = cli.parse_args(
+        ["--max-real", "3.0", "--min-real", "2.5"]
+    )
+    assert cfg.canvas.min_real == 2.5
+    assert cfg.canvas.max_real == 3.0
+    # And an intermediate-invalid order errors like the reference:
+    with pytest.raises(cli.CliError):
+        cli.parse_args(["--min-real", "2.5", "--max-real", "3.0"])
