@@ -129,17 +129,24 @@ class EngineOptions:
     #: Number of persistent sampler lanes in the Pallas engine, expressed as
     #: rows of 128 lanes (lanes = rows * 128).
     lane_rows: int = 64
-    #: Total iteration steps each lane executes per pass.
-    steps_per_pass: int = 2048
+    #: Total iteration steps each lane executes per pass; 0 = auto-tune
+    #: from the iteration band (pass sized to amortize dispatch overhead).
+    steps_per_pass: int = 0
     #: Steps between emission-buffer flushes inside the kernel (the window in
-    #: which at most one in-band sample per lane can be queued).
-    steps_per_flush: int = 32
+    #: which at most one in-band sample per lane can be queued); 0 =
+    #: auto-tune from the band's expected emission rate.
+    steps_per_flush: int = 0
     #: Samples per pass for the oracle engine.
     oracle_samples_per_pass: int = 1 << 16
-    #: Capacity of the compacted replay batch (lanes in the replay phase).
-    replay_capacity: int = 8192
+    #: Capacity of the compacted replay batch (lanes in the replay phase);
+    #: 0 = auto-size from the iteration band.
+    replay_capacity: int = 0
     #: Replay steps executed per scatter flush.
     replay_chunk: int = 256
+    #: Brent cycle detection for interior orbits (pallas engine). Disable
+    #: for bitwise escape-count parity experiments with the reference,
+    #: which always iterates interior points to the cap (cudabrot.cu:338).
+    cycle_detection: bool = True
     #: Histogram scatter backend: "xla" (scatter-add), "sort"
     #: (sort + searchsorted dense counts), or "auto".
     scatter: str = "auto"
@@ -161,12 +168,16 @@ class EngineOptions:
             raise ConfigError(f"Unknown scatter backend: {self.scatter}")
         if self.precision not in ("float32", "float64"):
             raise ConfigError(f"Unknown precision: {self.precision}")
-        if self.steps_per_pass % self.steps_per_flush != 0:
+        if self.steps_per_flush > 0 and (
+            self.steps_per_pass % self.steps_per_flush != 0
+        ):
             raise ConfigError(
                 "steps_per_pass must be a multiple of steps_per_flush"
             )
-        if self.lane_rows <= 0 or self.replay_capacity <= 0:
-            raise ConfigError("lane_rows and replay_capacity must be positive")
+        if self.lane_rows <= 0 or self.replay_capacity < 0:
+            raise ConfigError(
+                "lane_rows must be positive and replay_capacity non-negative"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,339 @@
+"""Production TPU engine: Pallas classify kernel + compacted orbit replay.
+
+Pass pipeline (all one jitted, donated step — the histogram and the
+persistent lane state never leave the device, mirroring how the reference
+keeps its buffers device-resident across kernel launches,
+cudabrot.cu:485-496):
+
+  1. `classify_pass` (cudabrot_tpu.ops.pallas_kernels): T lane-steps of
+     persistent sampling; emits in-band (c, escape-index) candidates.
+     Measured ~2.7e10 lane-steps/s sustained on one v5e chip when passes
+     are pipelined (the reference's whole GPU does ~4.7e9,
+     version_timing.txt:74-84 x mean cost).
+  2. Compaction: one key sort packs valid emissions to the front *and*
+     orders them by descending orbit length, so the replay blocks below
+     are length-homogeneous.
+  3. Blocked replay: fixed-size lane blocks re-iterate their known-escaping
+     orbits (IterateAndRecord semantics, cudabrot.cu:347-365, with the
+     unbounded while(1) replaced by masked chunks bounded by the recorded
+     escape index). Two levels of early exit — blocks beyond the valid
+     count never run, and each block stops at its own longest orbit (the
+     first lane, thanks to the descending sort).
+  4. Scatter: bin ids accumulate into the uint32 histogram via XLA
+     scatter-add — deterministic, unlike the reference's racy non-atomic
+     adds (cudabrot.cu:312).
+
+Engine geometry (pass length, flush window, replay capacity) auto-tunes
+from the iteration band: high cutoffs emit rarely and want long passes;
+low cutoffs emit constantly and want short flush windows. See
+benchmarks/PERF_NOTES.md for the measurement-driven rationale, including
+the XLA scatter throughput wall this design works around.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cudabrot_tpu.config import RenderConfig
+from cudabrot_tpu.models import fractals
+from cudabrot_tpu.ops import binning
+from cudabrot_tpu.ops import pallas_kernels as pk
+from cudabrot_tpu.utils import counters
+
+STAT_KEYS = (
+    "samples", "culled", "in_band", "emitted", "replay_dropped",
+    "iters", "points", "cycles",
+)
+
+
+def _pow2(x: float) -> int:
+    return 1 << max(0, int(np.ceil(np.log2(max(x, 1.0)))))
+
+
+def band_emission_rate(min_it: int, max_it: int) -> float:
+    """Rough expected in-band emissions per lane-step.
+
+    The Mandelbrot escape-time tail follows P(T >= t) ~ C/t with C ~ 0.5
+    of domain area, so the band fraction per sample is
+    C*(1/min - 1/max); one sample costs ~3.5-4 lane-steps on average
+    (most of the [-2,2]^2 domain escapes almost immediately).
+    """
+    frac = 0.5 * (1.0 / max(min_it, 2) - 1.0 / max(max_it, 4))
+    frac = max(frac, 1e-7)
+    return frac / 4.0
+
+
+class Tuning:
+    """Resolved per-band engine geometry."""
+
+    def __init__(self, cfg: RenderConfig):
+        o = cfg.options
+        rate = band_emission_rate(
+            cfg.band.min_escape_iterations, cfg.band.max_escape_iterations
+        )
+        lanes = o.lane_rows * 128
+        # Flush window: aim for ~0.25 expected emissions per lane per
+        # window (~12% pending-overwrite loss at the high end).
+        self.steps_per_flush = (
+            o.steps_per_flush
+            if o.steps_per_flush > 0
+            else int(np.clip(_pow2(0.25 / rate), 32, 4096))
+        )
+        # Pass length: enough chunks to amortize dispatch without letting
+        # the emission buffer (chunks * lanes entries) explode.
+        if o.steps_per_pass > 0:
+            self.steps_per_pass = o.steps_per_pass
+        else:
+            chunks = 256
+            # Upper bound keeps per-pass lane-steps (and thus every
+            # per-pass uint32 stat counter) below 2^32.
+            self.steps_per_pass = int(
+                np.clip(self.steps_per_flush * chunks, 4096, 1 << 18)
+            )
+        if self.steps_per_pass % self.steps_per_flush != 0:
+            self.steps_per_pass = (
+                (self.steps_per_pass // self.steps_per_flush + 1)
+                * self.steps_per_flush
+            )
+        expected = self.steps_per_pass * lanes * rate
+        self.replay_capacity = (
+            o.replay_capacity
+            if o.replay_capacity > 0
+            else int(np.clip(_pow2(2.0 * expected), 4096, 1 << 19))
+        )
+        # Replay block: lanes processed together; blocks beyond the valid
+        # count are skipped entirely.
+        self.replay_block = min(8192, self.replay_capacity)
+        self.replay_chunk = o.replay_chunk
+
+
+def _blocked_replay(
+    hist_flat,
+    cr,
+    ci,
+    iters,
+    valid,
+    *,
+    fractal: fractals.FractalMap,
+    canvas,
+    chunk: int,
+    block: int,
+    backend: str,
+):
+    """Replay sorted-by-length batches block-by-block with early exits.
+
+    ``cr/ci/iters/valid`` must be sorted so valid entries come first in
+    descending ``iters`` order. Each block's longest orbit is then its
+    first lane, giving a tight per-block chunk bound; blocks past the
+    valid prefix never execute.
+    """
+    k = cr.shape[0]
+    nblocks = k // block
+    n_valid = jnp.sum(valid).astype(jnp.int32)
+
+    def outer_cond(carry):
+        b, _ = carry
+        return (b < nblocks) & (b * block < n_valid)
+
+    def outer_body(carry):
+        b, hist = carry
+        off = b * block
+        bcr = jax.lax.dynamic_slice(cr, (off,), (block,))
+        bci = jax.lax.dynamic_slice(ci, (off,), (block,))
+        bit = jax.lax.dynamic_slice(iters, (off,), (block,))
+        bva = jax.lax.dynamic_slice(valid, (off,), (block,))
+        # Descending sort => the block's max orbit length is lane 0's.
+        bmax = bit[0]
+
+        def inner_cond(c):
+            base, _, _, _ = c
+            return base <= bmax
+
+        def inner_body(c):
+            base, zr, zi, hist = c
+
+            def substep(s_c, _):
+                zr, zi, s = s_c
+                nzr, nzi = fractals.step(fractal, zr, zi, bcr, bci)
+                rec = bva & (s <= bit)
+                ids = binning.points_to_bin_ids(canvas, nzr, nzi, rec)
+                zr = jnp.where(rec, nzr, zr)
+                zi = jnp.where(rec, nzi, zi)
+                return (zr, zi, s + 1), ids
+
+            (zr, zi, _), ids = jax.lax.scan(
+                substep, (zr, zi, base), None, length=chunk
+            )
+            hist = binning.scatter_ids(hist, ids, backend)
+            return (base + chunk, zr, zi, hist)
+
+        _, _, _, hist = jax.lax.while_loop(
+            inner_cond, inner_body,
+            (jnp.int32(0), bcr, bci, hist),
+        )
+        return (b + 1, hist)
+
+    _, hist_flat = jax.lax.while_loop(
+        outer_cond, outer_body, (jnp.int32(0), hist_flat)
+    )
+    return hist_flat
+
+
+class PallasEngine:
+    """Persistent-sampler Pallas engine (runs in interpreter mode off-TPU,
+    making the identical code path testable on CPU)."""
+
+    name = "pallas"
+
+    def __init__(self, cfg: RenderConfig, interpret: bool | None = None):
+        cfg.options.validate()
+        self.cfg = cfg
+        self.fractal = fractals.get_fractal(cfg.fractal)
+        o = cfg.options
+        self.tuning = Tuning(cfg)
+        self.lane_rows = o.lane_rows
+        self.lanes = o.lane_rows * 128
+        self.steps_per_pass = self.tuning.steps_per_pass * self.lanes
+        self.replay_capacity = self.tuning.replay_capacity
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.interpret = interpret
+        self.scatter_backend = (
+            o.scatter if o.scatter != "auto" else "xla"
+        )
+        self._pass_fn = jax.jit(
+            functools.partial(self.core, ordinal=jnp.uint32(0)),
+            donate_argnums=0,
+        )
+
+    # -- engine interface ---------------------------------------------------
+
+    def core(self, state, pass_index, ordinal):
+        cfg = self.cfg
+        o = cfg.options
+        tn = self.tuning
+        base_key = jax.random.key(cfg.seed)
+        key = jax.random.fold_in(
+            jax.random.fold_in(base_key, ordinal), pass_index
+        )
+        seed = jax.random.bits(key, (), jnp.uint32)
+
+        if self.interpret:
+            # Off-TPU the interpreter stubs the hardware PRNG; stream
+            # threefry bits instead (identical kernel logic, different
+            # random stream — documented in pallas_kernels).
+            chunks = tn.steps_per_pass // tn.steps_per_flush
+            bits = jax.random.bits(
+                jax.random.fold_in(key, 1),
+                (chunks, tn.steps_per_flush, 2, self.lane_rows, 128),
+                jnp.uint32,
+            )
+        else:
+            bits = None
+
+        lane_state = pk.LaneState(*state["lanes"])
+        result = pk.classify_pass(
+            lane_state,
+            seed,
+            bits,
+            fractal=self.fractal,
+            min_it=cfg.band.min_escape_iterations,
+            max_it=cfg.band.max_escape_iterations,
+            steps_per_pass=tn.steps_per_pass,
+            steps_per_flush=tn.steps_per_flush,
+            cycle_detection=o.cycle_detection,
+            interpret=self.interpret,
+        )
+
+        # --- compaction: one key sort packs valid entries first AND orders
+        # them by descending orbit length for the blocked replay ---
+        k = self.replay_capacity
+        em_it = result.emit_it.reshape(-1)
+        em_cr = result.emit_c[:, 0].reshape(-1)
+        em_ci = result.emit_c[:, 1].reshape(-1)
+        valid = em_it >= 0
+        order = jnp.argsort(jnp.where(valid, -em_it, 1))
+        take = order[:k]
+        cr_c = em_cr[take]
+        ci_c = em_ci[take]
+        it_c = em_it[take]
+        valid_c = valid[take]
+        n_valid = jnp.sum(valid).astype(jnp.uint32)
+        emitted = jnp.minimum(n_valid, jnp.uint32(k))
+        dropped = n_valid - emitted
+
+        # --- replay + scatter ---
+        hist_flat = _blocked_replay(
+            state["hist"].reshape(-1),
+            cr_c,
+            ci_c,
+            it_c,
+            valid_c,
+            fractal=self.fractal,
+            canvas=cfg.canvas,
+            chunk=tn.replay_chunk,
+            block=tn.replay_block,
+            backend=self.scatter_backend,
+        )
+
+        # --- stats ---
+        st = result.stats.astype(jnp.uint32)
+        per_pass = {
+            "samples": jnp.sum(st[pk.STAT_DRAWN]),
+            "culled": jnp.sum(st[pk.STAT_CULLED]),
+            "in_band": jnp.sum(st[pk.STAT_IN_BAND]),
+            "cycles": jnp.sum(st[pk.STAT_CYCLES]),
+            "emitted": emitted,
+            "replay_dropped": dropped,
+            # Useful classify iterations: every lane-step except the one
+            # wasted on each culled draw.
+            "iters": jnp.uint32(tn.steps_per_pass * self.lanes)
+            - jnp.sum(st[pk.STAT_CULLED]),
+            "points": jnp.sum(
+                jnp.where(valid_c, it_c + 1, 0)
+            ).astype(jnp.uint32),
+        }
+        new_state = dict(state)
+        new_state["lanes"] = tuple(result.state)
+        new_state["hist"] = hist_flat.reshape(cfg.canvas.shape)
+        for key_ in STAT_KEYS:
+            new_state[key_] = counters.u64_add(state[key_], per_pass[key_])
+        return new_state
+
+    def init_state(self, hist0: np.ndarray | None):
+        shape = self.cfg.canvas.shape
+        hist = (
+            jnp.zeros(shape, jnp.uint32)
+            if hist0 is None
+            else jnp.asarray(hist0, jnp.uint32)
+        )
+        state = {
+            "hist": hist,
+            "lanes": tuple(pk.init_lane_state(self.lane_rows)),
+        }
+        for k in STAT_KEYS:
+            state[k] = counters.u64_zero()
+        return state
+
+    def run_pass(self, state, pass_index: int):
+        return self._pass_fn(state, pass_index)
+
+    def histogram(self, state) -> np.ndarray:
+        return np.asarray(jax.device_get(state["hist"]), dtype=np.uint32)
+
+    def stats(self, state) -> dict:
+        vals = {k: counters.u64_value(state[k]) for k in STAT_KEYS}
+        return {
+            "samples": vals["samples"],
+            "culled": vals["culled"],
+            "in_band": vals["in_band"],
+            "emitted": vals["emitted"],
+            "replay_dropped": vals["replay_dropped"],
+            "cycles_detected": vals["cycles"],
+            "classify_iters": vals["iters"],
+            "orbit_points": vals["points"],
+        }

@@ -1,0 +1,182 @@
+"""Pallas engine (interpret mode): internal invariants + statistical
+equivalence with the jax.numpy oracle (SURVEY.md §4: the reference is only
+statistically reproducible, so engines are compared at the distribution
+level, never bitwise)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cudabrot_tpu.config import Canvas, EngineOptions, IterationBand, RenderConfig
+from cudabrot_tpu.engines.oracle_engine import OracleEngine
+from cudabrot_tpu.engines.pallas_engine import PallasEngine
+
+
+def _cfg(**kw):
+    defaults = dict(
+        canvas=Canvas(width=40, height=40),
+        band=IterationBand(max_escape_iterations=60,
+                           min_escape_iterations=5),
+        options=EngineOptions(
+            engine="pallas",
+            lane_rows=8,
+            steps_per_pass=256,
+            steps_per_flush=16,
+            replay_capacity=1 << 14,
+            replay_chunk=64,
+        ),
+    )
+    overrides = {k: v for k, v in kw.items() if k in defaults}
+    rest = {k: v for k, v in kw.items() if k not in defaults}
+    defaults.update(overrides)
+    return RenderConfig(**defaults, **rest)
+
+
+def _run(engine, passes):
+    state = engine.init_state(None)
+    for p in range(passes):
+        state = engine.run_pass(state, p)
+    jax.block_until_ready(state)
+    return engine.histogram(state), engine.stats(state)
+
+
+def test_pass_invariants():
+    cfg = _cfg()
+    eng = PallasEngine(cfg)
+    hist, stats = _run(eng, 3)
+    lane_steps = 3 * 256 * 8 * 128
+    # Every lane-step does one iteration except the step wasted per culled
+    # draw.
+    assert stats["classify_iters"] == lane_steps - stats["culled"]
+    # Cull fraction ~ cardioid+bulb area share of the [-2,2]^2 domain
+    # (~8.6%).
+    cull_frac = stats["culled"] / stats["samples"]
+    assert 0.06 < cull_frac < 0.11
+    # Histogram mass cannot exceed scattered orbit points (off-canvas
+    # points account for the difference).
+    assert hist.sum() <= stats["orbit_points"]
+    assert hist.sum() > 0
+    assert stats["emitted"] <= stats["in_band"]
+
+
+def test_deterministic():
+    cfg = _cfg()
+    h1, _ = _run(PallasEngine(cfg), 2)
+    h2, _ = _run(PallasEngine(cfg), 2)
+    np.testing.assert_array_equal(h1, h2)
+
+
+def test_seed_changes_output():
+    h1, _ = _run(PallasEngine(_cfg()), 2)
+    h2, _ = _run(PallasEngine(_cfg(seed=7)), 2)
+    assert not np.array_equal(h1, h2)
+
+
+def test_lane_state_persists_across_passes():
+    """A sample mid-flight at a pass boundary must finish in a later pass:
+    with max_it far above steps_per_pass, in-band samples can only come
+    from carried state."""
+    cfg = _cfg(
+        band=IterationBand(max_escape_iterations=2000,
+                           min_escape_iterations=300),
+        options=EngineOptions(
+            engine="pallas",
+            lane_rows=8,
+            steps_per_pass=128,  # << min_escape_iterations
+            steps_per_flush=16,
+            replay_capacity=1 << 12,
+            replay_chunk=64,
+        ),
+    )
+    eng = PallasEngine(cfg)
+    state = eng.init_state(None)
+    for p in range(12):  # 12*128 = 1536 lane-steps: beyond min_it=300
+        state = eng.run_pass(state, p)
+    stats = eng.stats(state)
+    assert stats["in_band"] > 0, (
+        "no in-band samples found despite orbits longer than one pass — "
+        "lane state is being reset at pass boundaries"
+    )
+
+
+def test_statistical_equivalence_with_oracle():
+    """Normalized histograms from the two engines must agree as
+    distributions (they sample identical math with different RNG
+    streams)."""
+    canvas = Canvas(width=32, height=32)
+    band = IterationBand(max_escape_iterations=50, min_escape_iterations=3)
+
+    pcfg = _cfg(canvas=canvas, band=band)
+    ph, pstats = _run(PallasEngine(pcfg), 8)
+
+    ocfg = RenderConfig(
+        canvas=canvas,
+        band=band,
+        options=EngineOptions(engine="oracle",
+                              oracle_samples_per_pass=1 << 15),
+    )
+    oh, ostats = _run(OracleEngine(ocfg), 8)
+
+    # Orbit mass per in-band sample must match closely.
+    p_rate = ph.sum() / max(pstats["emitted"], 1)
+    o_rate = oh.sum() / max(ostats["in_band"], 1)
+    assert abs(p_rate / o_rate - 1) < 0.05, (p_rate, o_rate)
+
+    # In-band fraction of non-culled samples must match.
+    p_band = pstats["in_band"] / (pstats["samples"] - pstats["culled"])
+    o_band = ostats["in_band"] / (ostats["samples"] - ostats["culled"])
+    assert abs(p_band / o_band - 1) < 0.05, (p_band, o_band)
+
+    # Distribution-level comparison: high correlation of normalized bins.
+    p = ph.astype(np.float64) / ph.sum()
+    o = oh.astype(np.float64) / oh.sum()
+    corr = np.corrcoef(p.ravel(), o.ravel())[0, 1]
+    assert corr > 0.99, corr
+
+
+def test_burning_ship_runs():
+    cfg = _cfg(fractal="burning-ship")
+    hist, stats = _run(PallasEngine(cfg), 2)
+    assert stats["culled"] == 0  # no culling for burning ship
+    assert hist.sum() > 0
+
+
+def test_cycle_detection_equivalence():
+    """Cycle detection only prunes interior work — the rendered
+    distribution must be statistically unchanged."""
+    canvas = Canvas(width=24, height=24)
+    band = IterationBand(max_escape_iterations=400,
+                         min_escape_iterations=3)
+    on = _cfg(canvas=canvas, band=band)
+    off = _cfg(
+        canvas=canvas,
+        band=band,
+        options=EngineOptions(
+            engine="pallas", lane_rows=8, steps_per_pass=256,
+            steps_per_flush=16, replay_capacity=1 << 14,
+            replay_chunk=64, cycle_detection=False,
+        ),
+    )
+    h_on, s_on = _run(PallasEngine(on), 6)
+    h_off, s_off = _run(PallasEngine(off), 6)
+    assert s_on["cycles_detected"] > 0
+    assert s_off["cycles_detected"] == 0
+    # Same seed, but detection changes lane scheduling, so compare
+    # statistically.
+    a = h_on.astype(np.float64) / h_on.sum()
+    b = h_off.astype(np.float64) / h_off.sum()
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.98, corr
+    # Detection must *increase* samples processed per lane-step (interior
+    # lanes freed early).
+    assert s_on["samples"] >= s_off["samples"]
+
+
+def test_driver_integration():
+    from cudabrot_tpu import driver
+
+    cfg = _cfg(seconds_to_run=-1.0, max_passes=2)
+    res = driver.run_render(cfg, log=lambda s: None)
+    assert res.engine_name == "pallas"
+    assert res.histogram.sum() > 0
