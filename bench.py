@@ -2,11 +2,11 @@
 
 Config: 1000x1000 canvas, iteration band [2000, 20000) (the reference's
 "cutoff 2000" example, README.md:155-157), time-boxed run on one chip.
-Reports complex iterations/sec (classification work, the analog of the
-reference's passes-per-10s log in version_timing.txt) plus samples/sec and
-orbit points scattered/sec. Baseline: 1e10 complex iterations/sec/chip
-(BASELINE.md north star); the reference's own Radeon VII figure is
-~1.07e9 samples/sec at m=100 (version_timing.txt:74-84).
+The metric counts *complex iterations* — classification steps plus orbit
+replay steps (each orbit point is one z^2+c iteration), matching what the
+reference's passes-per-10s log measures (version_timing.txt) since its
+kernel performs both. Baseline: 1e10 iterations/s/chip (BASELINE.md north
+star); the reference's own Radeon VII figure works out to ~4.7e9.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -23,40 +23,48 @@ BASELINE_ITERS_PER_SEC = 1.0e10
 def main() -> int:
     import jax
 
-    from cudabrot_tpu import driver
+    from cudabrot_tpu.utils import jaxcache
+
+    jaxcache.enable()
+
     from cudabrot_tpu.config import (
         Canvas,
         EngineOptions,
         IterationBand,
         RenderConfig,
     )
+    from cudabrot_tpu import engines
 
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
-    on_tpu = jax.default_backend() == "tpu"
     cfg = RenderConfig(
         canvas=Canvas(width=1000, height=1000),
         band=IterationBand(max_escape_iterations=20000,
                            min_escape_iterations=2000),
         seconds_to_run=seconds,
-        options=EngineOptions(
-            engine="auto",
-            oracle_samples_per_pass=1 << 14,
-            pipeline_depth=2,
-        ),
     )
+    engine = engines.make_engine(cfg)
 
-    # Warmup pass (compile) outside the timed run.
-    warm = cfg.replace(seconds_to_run=-1.0, max_passes=1)
-    driver.run_render(warm, log=lambda s: None)
+    # Warmup (compile) outside the timed region.
+    state = engine.init_state(None)
+    state = engine.run_pass(state, 0)
+    jax.block_until_ready(state)
+    warm = engine.stats(state)
 
-    t0 = time.monotonic()
-    result = driver.run_render(cfg, log=lambda s: None)
-    elapsed = result.elapsed_seconds
+    start = time.monotonic()
+    passes = 1
+    while time.monotonic() - start < seconds:
+        state = engine.run_pass(state, passes)
+        passes += 1
+    jax.block_until_ready(state)
+    hist = engine.histogram(state)  # drains any host replay worker
+    elapsed = time.monotonic() - start
 
-    iters = result.stats.get("classify_iters", 0)
-    points = result.stats.get("orbit_points", 0)
-    samples = result.stats.get("samples", 0)
-    iters_per_sec = iters / elapsed if elapsed > 0 else 0.0
+    st = engine.stats(state)
+    classify = st.get("classify_iters", 0) - warm.get("classify_iters", 0)
+    points = st.get("orbit_points", 0) - warm.get("orbit_points", 0)
+    samples = st.get("samples", 0) - warm.get("samples", 0)
+    total = classify + points
+    iters_per_sec = total / elapsed if elapsed > 0 else 0.0
 
     print(
         json.dumps(
@@ -65,14 +73,17 @@ def main() -> int:
                 "value": round(iters_per_sec, 1),
                 "unit": "iter/s",
                 "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 4),
-                "samples_per_sec": round(samples / elapsed, 1),
+                "classify_iters_per_sec": round(classify / elapsed, 1),
                 "orbit_points_per_sec": round(points / elapsed, 1),
-                "passes": result.passes,
+                "samples_per_sec": round(samples / elapsed, 1),
+                "passes": passes,
                 "elapsed_seconds": round(elapsed, 3),
-                "engine": result.engine_name,
+                "engine": engine.name,
+                "replay": st.get("replay", "n/a"),
                 "backend": jax.default_backend(),
                 "band": [2000, 20000],
                 "canvas": [1000, 1000],
+                "histogram_mass": int(hist.sum()),
             }
         )
     )

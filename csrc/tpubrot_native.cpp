@@ -1,0 +1,288 @@
+// tpubrot native runtime core.
+//
+// The reference implements its host runtime in C (file IO, byte-swapped
+// image encode, raw checkpoint dumps — cudabrot.cu:191-280, 548-577); this
+// library is the TPU framework's native equivalent, plus one piece the
+// reference does on the GPU: orbit replay + histogram scatter
+// (IterateAndRecord/IncrementPixelCounter, cudabrot.cu:302-365).
+//
+// Why replay lives here: TPUs have no scatter hardware — measured XLA
+// scatter-add tops out near 1.5e8 points/s/chip (benchmarks/PERF_NOTES.md)
+// — while the host CPU sits idle during classification. The engine ships
+// the tiny in-band emission stream (12 bytes/sample) to the host and this
+// code replays the orbits with SIMD-friendly fixed-width lanes and
+// accumulates the histogram in cache, fully overlapped with the next TPU
+// classify pass. Per-thread private histograms make the accumulation
+// deterministic and race-free (the reference's device adds deliberately
+// race and lose counts, cudabrot.cu:312).
+//
+// Exposed via a plain C ABI for ctypes (no pybind11 dependency).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <fcntl.h>
+#include <unistd.h>
+
+namespace {
+
+constexpr int kLanes = 16;  // fixed SIMD width for the replay inner loops
+
+struct Canvas {
+  int32_t w;
+  int32_t h;
+  double min_real;
+  double min_imag;
+  double delta_real;
+  double delta_imag;
+};
+
+// Replay one block of <= kLanes samples. Orbits start at z = c
+// (cudabrot.cu:323-324) and record every update including the escape point
+// (cudabrot.cu:352-364); the loop is bounded by the classification-reported
+// escape index instead of the reference's unbounded while(1).
+template <bool kBurningShip>
+uint64_t ReplayBlock(const float* cr, const float* ci, const int32_t* iters,
+                     int count, const Canvas& cv, uint32_t* hist,
+                     uint64_t* points_total) {
+  float zr[kLanes], zi[kLanes];
+  int32_t limit[kLanes];
+  for (int l = 0; l < kLanes; ++l) {
+    const bool live = l < count;
+    zr[l] = live ? cr[l] : 0.0f;
+    zi[l] = live ? ci[l] : 0.0f;
+    limit[l] = live ? iters[l] : -1;
+  }
+  int32_t max_iter = -1;
+  for (int l = 0; l < count; ++l) {
+    if (limit[l] > max_iter) max_iter = limit[l];
+    if (limit[l] >= 0) *points_total += static_cast<uint64_t>(limit[l]) + 1;
+  }
+
+  const float min_r = static_cast<float>(cv.min_real);
+  const float min_i = static_cast<float>(cv.min_imag);
+  const float inv_dr = static_cast<float>(1.0 / cv.delta_real);
+  const float inv_di = static_cast<float>(1.0 / cv.delta_imag);
+
+  uint64_t hits = 0;
+  int32_t idx[kLanes];
+  for (int32_t s = 0; s <= max_iter; ++s) {
+    // Vectorizable phase: update all lanes, quantize to bins.
+#pragma GCC ivdep
+    for (int l = 0; l < kLanes; ++l) {
+      float r = zr[l], im = zi[l];
+      if (kBurningShip) {
+        r = r < 0 ? -r : r;
+        im = im < 0 ? -im : im;
+      }
+      const float cre = l < count ? cr[l] : 0.0f;
+      const float cim = l < count ? ci[l] : 0.0f;
+      const float nr = r * r - im * im + cre;
+      const float ni = 2.0f * r * im + cim;
+      const bool rec = s <= limit[l];
+      zr[l] = rec ? nr : zr[l];
+      zi[l] = rec ? ni : zi[l];
+      // Low-boundary guard before the truncating divide
+      // (cudabrot.cu:305-310).
+      const bool in_lo = nr >= min_r && ni >= min_i;
+      const int32_t col = static_cast<int32_t>((nr - min_r) * inv_dr);
+      const int32_t row = static_cast<int32_t>((ni - min_i) * inv_di);
+      const bool ok =
+          rec && in_lo && row >= 0 && row < cv.h && col >= 0 && col < cv.w;
+      idx[l] = ok ? row * cv.w + col : -1;
+    }
+    // Scalar phase: histogram increments.
+    for (int l = 0; l < kLanes; ++l) {
+      const int32_t b = idx[l];
+      if (b >= 0) {
+        ++hist[b];
+        ++hits;
+      }
+    }
+  }
+  return hits;
+}
+
+struct ThreadResult {
+  uint64_t hits = 0;
+  uint64_t points = 0;
+};
+
+template <bool kBurningShip>
+void ReplayRange(const float* cr, const float* ci, const int32_t* iters,
+                 int64_t begin, int64_t end, const Canvas& cv, uint32_t* hist,
+                 ThreadResult* out) {
+  for (int64_t i = begin; i < end; i += kLanes) {
+    const int count = static_cast<int>(end - i < kLanes ? end - i : kLanes);
+    out->hits += ReplayBlock<kBurningShip>(cr + i, ci + i, iters + i, count,
+                                           cv, hist, &out->points);
+  }
+}
+
+uint32_t crc_table[256];
+bool crc_table_ready = false;
+
+void InitCrcTable() {
+  for (uint32_t n = 0; n < 256; ++n) {
+    uint32_t c = n;
+    for (int k = 0; k < 8; ++k) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+    crc_table[n] = c;
+  }
+  crc_table_ready = true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Replays `n` known-escaping samples into `hist` (h*w uint32, row-major).
+// `flags` bit 0: burning-ship fold. Negative `iters` entries are skipped
+// (invalid/padding lanes from the device compaction). Returns the number
+// of on-canvas increments; `points_total` (optional) receives the total
+// orbit points including off-canvas ones.
+int64_t tpubrot_replay_scatter(const float* cr, const float* ci,
+                               const int32_t* iters, int64_t n, int32_t w,
+                               int32_t h, double min_real, double min_imag,
+                               double delta_real, double delta_imag,
+                               int32_t flags, int32_t num_threads,
+                               uint32_t* hist, uint64_t* points_total) {
+  if (n <= 0 || w <= 0 || h <= 0) return 0;
+  const Canvas cv{w, h, min_real, min_imag, delta_real, delta_imag};
+  const bool ship = (flags & 1) != 0;
+
+  int threads = num_threads;
+  if (threads <= 0) {
+    threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (threads <= 0) threads = 1;
+  }
+  const int64_t min_per_thread = 1024;
+  if (n / min_per_thread < threads) {
+    threads = static_cast<int>(n / min_per_thread);
+    if (threads < 1) threads = 1;
+  }
+
+  std::vector<ThreadResult> results(threads);
+  if (threads == 1) {
+    if (ship) {
+      ReplayRange<true>(cr, ci, iters, 0, n, cv, hist, &results[0]);
+    } else {
+      ReplayRange<false>(cr, ci, iters, 0, n, cv, hist, &results[0]);
+    }
+  } else {
+    // Per-thread private histograms: deterministic, no atomics.
+    const size_t bins = static_cast<size_t>(w) * h;
+    std::vector<std::vector<uint32_t>> priv(
+        threads - 1, std::vector<uint32_t>(bins, 0));
+    std::vector<std::thread> pool;
+    const int64_t chunk = (n + threads - 1) / threads;
+    for (int t = 1; t < threads; ++t) {
+      const int64_t b = t * chunk;
+      const int64_t e = std::min<int64_t>(n, b + chunk);
+      uint32_t* th = priv[t - 1].data();
+      pool.emplace_back([=, &results] {
+        if (ship) {
+          ReplayRange<true>(cr, ci, iters, b, e, cv, th, &results[t]);
+        } else {
+          ReplayRange<false>(cr, ci, iters, b, e, cv, th, &results[t]);
+        }
+      });
+    }
+    if (ship) {
+      ReplayRange<true>(cr, ci, iters, 0, std::min<int64_t>(n, chunk), cv,
+                        hist, &results[0]);
+    } else {
+      ReplayRange<false>(cr, ci, iters, 0, std::min<int64_t>(n, chunk), cv,
+                         hist, &results[0]);
+    }
+    for (auto& th : pool) th.join();
+    for (int t = 1; t < threads; ++t) {
+      const uint32_t* src = priv[t - 1].data();
+      for (size_t i = 0; i < bins; ++i) hist[i] += src[i];
+    }
+  }
+
+  uint64_t hits = 0, points = 0;
+  for (const auto& r : results) {
+    hits += r.hits;
+    points += r.points;
+  }
+  if (points_total) *points_total = points;
+  return static_cast<int64_t>(hits);
+}
+
+// 16-bit binary PGM writer: P5 header + big-endian pixels
+// (SaveImage parity, cudabrot.cu:548-577, endian-correct on any host).
+int32_t tpubrot_write_pgm16(const char* path, const uint16_t* data, int32_t w,
+                            int32_t h) {
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return -1;
+  if (std::fprintf(f, "P5\n%d %d\n%d\n", w, h, 0xffff) <= 0) {
+    std::fclose(f);
+    return -2;
+  }
+  const size_t total = static_cast<size_t>(w) * h;
+  constexpr size_t kChunk = 1 << 16;
+  std::vector<uint16_t> buf(kChunk);
+  for (size_t off = 0; off < total; off += kChunk) {
+    const size_t m = std::min(kChunk, total - off);
+    for (size_t i = 0; i < m; ++i) {
+      const uint16_t v = data[off + i];
+      buf[i] = static_cast<uint16_t>((v << 8) | (v >> 8));
+    }
+    if (std::fwrite(buf.data(), sizeof(uint16_t), m, f) != m) {
+      std::fclose(f);
+      return -3;
+    }
+  }
+  if (std::fclose(f) != 0) return -4;
+  return 0;
+}
+
+// Atomic write: tmp file in the same directory + fsync + rename, so a
+// crash mid-save never corrupts an existing checkpoint (the reference
+// truncates in place, cudabrot.cu:266).
+int32_t tpubrot_write_file_atomic(const char* path, const char* data,
+                                  uint64_t len) {
+  std::string tmp(path);
+  tmp += ".tmpXXXXXX";
+  std::vector<char> tmpl(tmp.begin(), tmp.end());
+  tmpl.push_back('\0');
+  const int fd = mkstemp(tmpl.data());
+  if (fd < 0) return -1;
+  uint64_t off = 0;
+  while (off < len) {
+    const ssize_t rc = write(fd, data + off, len - off);
+    if (rc <= 0) {
+      close(fd);
+      unlink(tmpl.data());
+      return -2;
+    }
+    off += static_cast<uint64_t>(rc);
+  }
+  if (fsync(fd) != 0 || close(fd) != 0) {
+    unlink(tmpl.data());
+    return -3;
+  }
+  if (rename(tmpl.data(), path) != 0) {
+    unlink(tmpl.data());
+    return -4;
+  }
+  return 0;
+}
+
+uint32_t tpubrot_crc32(const char* data, uint64_t len) {
+  if (!crc_table_ready) InitCrcTable();
+  uint32_t c = 0xFFFFFFFFu;
+  for (uint64_t i = 0; i < len; ++i) {
+    c = crc_table[(c ^ static_cast<uint8_t>(data[i])) & 0xFF] ^ (c >> 8);
+  }
+  return c ^ 0xFFFFFFFFu;
+}
+
+}  // extern "C"

@@ -150,6 +150,16 @@ class EngineOptions:
     #: Histogram scatter backend: "xla" (scatter-add), "sort"
     #: (sort + searchsorted dense counts), or "auto".
     scatter: str = "auto"
+    #: Orbit replay execution: "device" (on-accelerator, multi-chip
+    #: capable), "host" (native C++ engine overlapped with classification
+    #: — see csrc/tpubrot_native.cpp), or "auto" (host when the native
+    #: library is available and the run is single-device).
+    replay: str = "auto"
+    #: In host-replay mode, fraction of the compacted batch replayed on
+    #: the device *concurrently* with the host worker (the longest orbits,
+    #: since the batch is length-sorted). Negative = auto (tuned so both
+    #: sides finish together).
+    replay_device_share: float = -1.0
     #: Iteration arithmetic dtype ("float32" or "float64"; float64 is
     #: software-emulated and slow on TPU — reference iterates in hardware
     #: double, cudabrot.cu:321).
@@ -166,6 +176,8 @@ class EngineOptions:
             raise ConfigError(f"Unknown engine: {self.engine}")
         if self.scatter not in ("auto", "xla", "sort"):
             raise ConfigError(f"Unknown scatter backend: {self.scatter}")
+        if self.replay not in ("auto", "device", "host"):
+            raise ConfigError(f"Unknown replay mode: {self.replay}")
         if self.precision not in ("float32", "float64"):
             raise ConfigError(f"Unknown precision: {self.precision}")
         if self.steps_per_flush > 0 and (

@@ -84,6 +84,9 @@ def run_render(
     is left to the caller (cudabrot_tpu.cli) so library users get the raw
     histogram.
     """
+    from cudabrot_tpu.utils import jaxcache
+
+    jaxcache.enable()
     engine = engine or engines.make_engine(cfg)
 
     hist0 = None
@@ -98,6 +101,9 @@ def run_render(
             resumed_passes = int(meta.get("passes", 0))
 
     state = engine.init_state(hist0)
+    warmup = getattr(engine, "warmup", None)
+    if warmup is not None:
+        warmup(state)
 
     log("Calculating Buddhabrot.")
     if cfg.seconds_to_run < 0:

@@ -38,6 +38,10 @@ def make_engine(cfg: RenderConfig) -> Engine:
         # interpreter mode off-TPU, which is slower than the oracle for
         # small jobs but exercises identical code).
         choice = "pallas" if jax.default_backend() == "tpu" else "oracle"
+    n = cfg.options.num_devices
+    if n is None:
+        n = len(jax.devices())
+
     if choice == "oracle":
         from cudabrot_tpu.engines.oracle_engine import OracleEngine
 
@@ -45,13 +49,14 @@ def make_engine(cfg: RenderConfig) -> Engine:
     elif choice == "pallas":
         from cudabrot_tpu.engines.pallas_engine import PallasEngine
 
-        inner = PallasEngine(cfg)
+        # Data-parallel passes run fully on-device (the host replay
+        # pipeline is a single-process accelerator<->host loop).
+        inner = PallasEngine(
+            cfg, replay_mode="device" if n > 1 else None
+        )
     else:
         raise ValueError(f"Unknown engine {choice!r}")
 
-    n = cfg.options.num_devices
-    if n is None:
-        n = len(jax.devices())
     if n > 1:
         from cudabrot_tpu.parallel.data_parallel import DataParallelEngine
 

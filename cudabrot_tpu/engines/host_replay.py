@@ -1,0 +1,91 @@
+"""Host-side orbit replay pipeline.
+
+The accelerator classifies; the host replays. Each pass's compacted
+in-band emission batch (12 bytes/sample) is fetched from the device and
+fed to the native C++ replay engine (csrc/tpubrot_native.cpp) on a worker
+thread, so the histogram accumulation runs *concurrently* with the next
+classify pass — the TPU never waits on scatter (which has no hardware
+path on TPU, benchmarks/PERF_NOTES.md). ctypes releases the GIL during
+the native call, so the worker genuinely overlaps Python-side dispatch.
+
+Ordering note: histogram addition commutes, so jobs need no ordering —
+the queue is bounded only to apply back-pressure when the host falls
+behind. Accumulation is deterministic for a fixed pass sequence.
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures as cf
+
+import numpy as np
+
+from cudabrot_tpu.config import Canvas
+from cudabrot_tpu.io import native
+
+
+class HostReplayWorker:
+    """Single background worker feeding the native replay engine."""
+
+    def __init__(
+        self,
+        canvas: Canvas,
+        *,
+        burning_ship: bool,
+        num_threads: int = 0,
+        max_queue: int = 2,
+    ):
+        if not native.available():
+            raise RuntimeError(
+                "native replay library unavailable (build with `make -C csrc`)"
+            )
+        self.canvas = canvas
+        self.burning_ship = burning_ship
+        self.num_threads = num_threads
+        self.max_queue = max_queue
+        self.hist = np.zeros(canvas.shape, np.uint32)
+        self.hits = 0
+        self.points = 0
+        self._pool = cf.ThreadPoolExecutor(max_workers=1)
+        self._pending: collections.deque[cf.Future] = collections.deque()
+
+    def submit(self, cr, ci, iters) -> None:
+        """Queue one emission batch (device or numpy arrays; invalid
+        entries marked with negative iters are skipped natively)."""
+        while len(self._pending) >= self.max_queue:
+            self._pending.popleft().result()
+        self._pending.append(self._pool.submit(self._job, cr, ci, iters))
+
+    def _job(self, cr, ci, iters) -> None:
+        # np.asarray on a jax array blocks until the pass producing it has
+        # finished — by then the engine has already dispatched the next
+        # pass, so the device keeps working while we replay.
+        cr = np.asarray(cr, np.float32)
+        ci = np.asarray(ci, np.float32)
+        iters = np.asarray(iters, np.int32)
+        cv = self.canvas
+        hits, points = native.replay_scatter(
+            cr,
+            ci,
+            iters,
+            self.hist,
+            width=cv.width,
+            height=cv.height,
+            min_real=cv.min_real,
+            min_imag=cv.min_imag,
+            delta_real=cv.delta_real,
+            delta_imag=cv.delta_imag,
+            burning_ship=self.burning_ship,
+            num_threads=self.num_threads,
+        )
+        self.hits += hits
+        self.points += points
+
+    def drain(self) -> None:
+        """Block until all queued replays have accumulated."""
+        while self._pending:
+            self._pending.popleft().result()
+
+    def close(self) -> None:
+        self.drain()
+        self._pool.shutdown(wait=True)

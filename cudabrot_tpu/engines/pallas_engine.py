@@ -105,10 +105,25 @@ class Tuning:
             if o.replay_capacity > 0
             else int(np.clip(_pow2(2.0 * expected), 4096, 1 << 19))
         )
-        # Replay block: lanes processed together; blocks beyond the valid
-        # count are skipped entirely.
-        self.replay_block = min(8192, self.replay_capacity)
+        # Replay block: lanes processed together; blocks with no active
+        # lanes are skipped entirely. 1024 keeps blocks length-homogeneous
+        # after the descending sort (low masked-sentinel waste in the
+        # scatter stream) while staying wide enough for the VPU.
+        self.replay_block = min(1024, self.replay_capacity)
         self.replay_chunk = o.replay_chunk
+        self.min_it = cfg.band.min_escape_iterations
+        self.max_it = cfg.band.max_escape_iterations
+
+    def split_threshold(self, point_share: float) -> int:
+        """Orbit-length cutoff below which the device replays (hybrid
+        mode). Orbit-point mass is roughly uniform in log(length) for the
+        ~1/t^2 escape-time tail, so a point-mass share s maps to
+        min * (max/min)^s."""
+        if point_share <= 0:
+            return 0
+        mi = max(self.min_it, 2)
+        ma = max(self.max_it, mi + 1)
+        return int(mi * (ma / mi) ** min(point_share, 0.95))
 
 
 def _blocked_replay(
@@ -116,7 +131,6 @@ def _blocked_replay(
     cr,
     ci,
     iters,
-    valid,
     *,
     fractal: fractals.FractalMap,
     canvas,
@@ -124,30 +138,23 @@ def _blocked_replay(
     block: int,
     backend: str,
 ):
-    """Replay sorted-by-length batches block-by-block with early exits.
+    """Replay length-sorted batches block-by-block with early exits.
 
-    ``cr/ci/iters/valid`` must be sorted so valid entries come first in
-    descending ``iters`` order. Each block's longest orbit is then its
-    first lane, giving a tight per-block chunk bound; blocks past the
-    valid prefix never execute.
+    Lanes with negative ``iters`` are inactive. The batch is
+    descending-length sorted, so each block's lanes are length-homogeneous
+    and the per-block chunk loop is bounded by the block's own maximum;
+    blocks with no active lanes cost one reduction and a skipped loop.
     """
     k = cr.shape[0]
     nblocks = k // block
-    n_valid = jnp.sum(valid).astype(jnp.int32)
 
-    def outer_cond(carry):
-        b, _ = carry
-        return (b < nblocks) & (b * block < n_valid)
-
-    def outer_body(carry):
-        b, hist = carry
+    def outer_body(b, hist):
         off = b * block
         bcr = jax.lax.dynamic_slice(cr, (off,), (block,))
         bci = jax.lax.dynamic_slice(ci, (off,), (block,))
         bit = jax.lax.dynamic_slice(iters, (off,), (block,))
-        bva = jax.lax.dynamic_slice(valid, (off,), (block,))
-        # Descending sort => the block's max orbit length is lane 0's.
-        bmax = bit[0]
+        bva = bit >= 0
+        bmax = jnp.max(bit)
 
         def inner_cond(c):
             base, _, _, _ = c
@@ -175,12 +182,9 @@ def _blocked_replay(
             inner_cond, inner_body,
             (jnp.int32(0), bcr, bci, hist),
         )
-        return (b + 1, hist)
+        return hist
 
-    _, hist_flat = jax.lax.while_loop(
-        outer_cond, outer_body, (jnp.int32(0), hist_flat)
-    )
-    return hist_flat
+    return jax.lax.fori_loop(0, nblocks, outer_body, hist_flat)
 
 
 class PallasEngine:
@@ -189,7 +193,12 @@ class PallasEngine:
 
     name = "pallas"
 
-    def __init__(self, cfg: RenderConfig, interpret: bool | None = None):
+    def __init__(
+        self,
+        cfg: RenderConfig,
+        interpret: bool | None = None,
+        replay_mode: str | None = None,
+    ):
         cfg.options.validate()
         self.cfg = cfg
         self.fractal = fractals.get_fractal(cfg.fractal)
@@ -205,14 +214,48 @@ class PallasEngine:
         self.scatter_backend = (
             o.scatter if o.scatter != "auto" else "xla"
         )
-        self._pass_fn = jax.jit(
-            functools.partial(self.core, ordinal=jnp.uint32(0)),
-            donate_argnums=0,
-        )
+
+        mode = replay_mode or o.replay
+        if mode == "auto":
+            from cudabrot_tpu.io import native
+
+            mode = "host" if native.available() else "device"
+        self.replay_mode = mode
+        self._worker = None
+        if mode == "host":
+            from cudabrot_tpu.engines.host_replay import HostReplayWorker
+
+            self._worker = HostReplayWorker(
+                cfg.canvas, burning_ship=self.fractal.fold_abs
+            )
+            # Auto point-mass share from measured scatter rates (device
+            # ~1.5e8 pts/s with ~1.3x tail waste, host ~3e8 pts/s;
+            # PERF_NOTES.md) — the device takes the short-orbit ~quarter
+            # of the point mass.
+            share = o.replay_device_share
+            if share < 0:
+                share = 0.25 if not self.interpret else 0.0
+            self.split_threshold = self.tuning.split_threshold(share)
+            self._pass_fn = jax.jit(
+                functools.partial(
+                    self._classify_and_compact,
+                    ordinal=jnp.uint32(0),
+                    device_prefix=self.split_threshold,
+                ),
+                donate_argnums=0,
+            )
+        else:
+            self.split_threshold = 0
+            self._pass_fn = jax.jit(
+                functools.partial(self.core, ordinal=jnp.uint32(0)),
+                donate_argnums=0,
+            )
 
     # -- engine interface ---------------------------------------------------
 
-    def core(self, state, pass_index, ordinal):
+    def _classify_and_compact(
+        self, state, pass_index, ordinal, device_prefix: int = 0
+    ):
         cfg = self.cfg
         o = cfg.options
         tn = self.tuning
@@ -266,21 +309,7 @@ class PallasEngine:
         emitted = jnp.minimum(n_valid, jnp.uint32(k))
         dropped = n_valid - emitted
 
-        # --- replay + scatter ---
-        hist_flat = _blocked_replay(
-            state["hist"].reshape(-1),
-            cr_c,
-            ci_c,
-            it_c,
-            valid_c,
-            fractal=self.fractal,
-            canvas=cfg.canvas,
-            chunk=tn.replay_chunk,
-            block=tn.replay_block,
-            backend=self.scatter_backend,
-        )
-
-        # --- stats ---
+        # --- stats (orbit points are counted where replay runs) ---
         st = result.stats.astype(jnp.uint32)
         per_pass = {
             "samples": jnp.sum(st[pk.STAT_DRAWN]),
@@ -293,24 +322,87 @@ class PallasEngine:
             # wasted on each culled draw.
             "iters": jnp.uint32(tn.steps_per_pass * self.lanes)
             - jnp.sum(st[pk.STAT_CULLED]),
-            "points": jnp.sum(
-                jnp.where(valid_c, it_c + 1, 0)
-            ).astype(jnp.uint32),
+            "points": jnp.uint32(0),
         }
         new_state = dict(state)
         new_state["lanes"] = tuple(result.state)
-        new_state["hist"] = hist_flat.reshape(cfg.canvas.shape)
         for key_ in STAT_KEYS:
             new_state[key_] = counters.u64_add(state[key_], per_pass[key_])
+        # Mark invalid compacted lanes with negative iters so both replay
+        # backends can skip them.
+        it_c = jnp.where(valid_c, it_c, -1)
+
+        if device_prefix > 0:
+            # Hybrid split by orbit length: the device replays the *short*
+            # orbits (iters < threshold) concurrently with the host worker
+            # replaying the long ones. Short orbits suit the device's
+            # chunked masked loop (low tail waste); long orbits suit the
+            # host engine's exact per-lane bounds.
+            theta = jnp.int32(device_prefix)
+            it_dev = jnp.where(it_c < theta, it_c, -1)
+            it_host = jnp.where(it_c >= theta, it_c, -1)
+            hist_flat = _blocked_replay(
+                new_state["hist"].reshape(-1),
+                cr_c,
+                ci_c,
+                it_dev,
+                fractal=self.fractal,
+                canvas=cfg.canvas,
+                chunk=tn.replay_chunk,
+                block=tn.replay_block,
+                backend=self.scatter_backend,
+            )
+            new_state["hist"] = hist_flat.reshape(cfg.canvas.shape)
+            pts = jnp.sum(
+                jnp.where(it_dev >= 0, it_dev + 1, 0)
+            ).astype(jnp.uint32)
+            new_state["points"] = counters.u64_add(state["points"], pts)
+            it_c = it_host
+
+        return new_state, (cr_c, ci_c, it_c)
+
+    def core(self, state, pass_index, ordinal):
+        """Fully on-device pass (classify + replay + scatter) — the path
+        used for multi-chip data parallelism and by `__graft_entry__`."""
+        cfg = self.cfg
+        tn = self.tuning
+        new_state, (cr_c, ci_c, it_c) = self._classify_and_compact(
+            state, pass_index, ordinal
+        )
+        hist_flat = _blocked_replay(
+            new_state["hist"].reshape(-1),
+            cr_c,
+            ci_c,
+            it_c,
+            fractal=self.fractal,
+            canvas=cfg.canvas,
+            chunk=tn.replay_chunk,
+            block=tn.replay_block,
+            backend=self.scatter_backend,
+        )
+        new_state = dict(new_state)
+        new_state["hist"] = hist_flat.reshape(cfg.canvas.shape)
+        points = jnp.sum(jnp.where(it_c >= 0, it_c + 1, 0)).astype(jnp.uint32)
+        new_state["points"] = counters.u64_add(state["points"], points)
         return new_state
 
     def init_state(self, hist0: np.ndarray | None):
         shape = self.cfg.canvas.shape
-        hist = (
-            jnp.zeros(shape, jnp.uint32)
-            if hist0 is None
-            else jnp.asarray(hist0, jnp.uint32)
-        )
+        if self._worker is not None:
+            # Host mode: the resumed mass lives in the host accumulator;
+            # the device histogram stays zero.
+            self._worker.hist[:] = 0
+            self._worker.hits = 0
+            self._worker.points = 0
+            if hist0 is not None:
+                self._worker.hist += np.asarray(hist0, np.uint32)
+            hist = jnp.zeros(shape, jnp.uint32)
+        else:
+            hist = (
+                jnp.zeros(shape, jnp.uint32)
+                if hist0 is None
+                else jnp.asarray(hist0, jnp.uint32)
+            )
         state = {
             "hist": hist,
             "lanes": tuple(pk.init_lane_state(self.lane_rows)),
@@ -319,15 +411,29 @@ class PallasEngine:
             state[k] = counters.u64_zero()
         return state
 
+    def warmup(self, state) -> None:
+        """AOT-compile the pass executable so the driver's time box covers
+        rendering, not compilation (the reference compiles offline via
+        nvcc; this is the JAX equivalent, backed by the persistent cache)."""
+        self._pass_fn.lower(state, 0).compile()
+
     def run_pass(self, state, pass_index: int):
+        if self._worker is not None:
+            state, (cr_c, ci_c, it_c) = self._pass_fn(state, pass_index)
+            self._worker.submit(cr_c, ci_c, it_c)
+            return state
         return self._pass_fn(state, pass_index)
 
     def histogram(self, state) -> np.ndarray:
-        return np.asarray(jax.device_get(state["hist"]), dtype=np.uint32)
+        hist = np.asarray(jax.device_get(state["hist"]), dtype=np.uint32)
+        if self._worker is not None:
+            self._worker.drain()
+            hist = hist + self._worker.hist
+        return hist
 
     def stats(self, state) -> dict:
         vals = {k: counters.u64_value(state[k]) for k in STAT_KEYS}
-        return {
+        out = {
             "samples": vals["samples"],
             "culled": vals["culled"],
             "in_band": vals["in_band"],
@@ -337,3 +443,15 @@ class PallasEngine:
             "classify_iters": vals["iters"],
             "orbit_points": vals["points"],
         }
+        if self._worker is not None:
+            self._worker.drain()
+            # Device-replayed prefix points live in the jit counter; the
+            # host worker's tally covers the rest.
+            out["orbit_points"] = vals["points"] + self._worker.points
+            out["on_canvas_points"] = self._worker.hits
+            out["replay"] = (
+                "hybrid" if self.split_threshold > 0 else "host"
+            )
+        else:
+            out["replay"] = "device"
+        return out

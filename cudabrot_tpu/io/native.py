@@ -1,19 +1,20 @@
-"""ctypes bindings to the native C++ IO core (csrc/tpubrot_io.cpp).
+"""ctypes bindings to the native C++ runtime core (csrc/tpubrot_native.cpp).
 
-The reference's runtime glue — byte-swapping image encode (cudabrot.cu:563-571)
-and raw-buffer checkpoint IO (cudabrot.cu:215-280) — is C; ours is a small
-C++ shared library for the host-side hot paths (a 20000x15000 render writes
-a 600 MB PGM and a 1.2 GB checkpoint). Built lazily via `make -C csrc` or
-`python setup.py build_ext`; every entry point silently falls back to the
-numpy implementation when the library is unavailable, so the framework has
-no hard native dependency.
+The reference's host runtime — byte-swapping image encode
+(cudabrot.cu:563-571) and raw checkpoint IO (cudabrot.cu:215-280) — is C;
+ours is a C++ shared library covering the host-side hot paths (a
+20000x15000 render writes a 600 MB PGM and a 1.2 GB checkpoint) plus the
+host orbit-replay engine (see csrc/tpubrot_native.cpp for why replay runs
+on the host). Built lazily via `make -C csrc`; every entry point falls
+back to the numpy implementation when the library is unavailable, so the
+framework has no hard native dependency.
 """
 
 from __future__ import annotations
 
 import ctypes
 import os
-import sysconfig
+import subprocess
 import threading
 
 import numpy as np
@@ -22,18 +23,25 @@ _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
 _LOAD_FAILED = False
 
+_CSRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "csrc",
+)
+_SO = os.path.join(_CSRC, "libtpubrot_native.so")
 
-def _candidate_paths() -> list[str]:
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    names = ["libtpubrot_io.so"]
-    ext = sysconfig.get_config_var("EXT_SUFFIX")
-    if ext:
-        names.append(f"_tpubrot_io{ext}")
-    paths = []
-    for base in (os.path.join(root, "_native"), os.path.join(root, "..", "csrc")):
-        for name in names:
-            paths.append(os.path.join(base, name))
-    return paths
+
+def _try_build() -> None:
+    if os.path.exists(_SO) or not os.path.isdir(_CSRC):
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", _CSRC],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except (OSError, subprocess.SubprocessError):
+        pass
 
 
 def _load() -> ctypes.CDLL | None:
@@ -43,38 +51,98 @@ def _load() -> ctypes.CDLL | None:
     with _LOCK:
         if _LIB is not None or _LOAD_FAILED:
             return _LIB
-        for path in _candidate_paths():
-            if os.path.exists(path):
-                try:
-                    lib = ctypes.CDLL(path)
-                except OSError:
-                    continue
-                lib.tpubrot_write_pgm16.restype = ctypes.c_int
-                lib.tpubrot_write_pgm16.argtypes = [
-                    ctypes.c_char_p,
-                    ctypes.POINTER(ctypes.c_uint16),
-                    ctypes.c_int,
-                    ctypes.c_int,
-                ]
-                lib.tpubrot_write_file_atomic.restype = ctypes.c_int
-                lib.tpubrot_write_file_atomic.argtypes = [
-                    ctypes.c_char_p,
-                    ctypes.c_char_p,
-                    ctypes.c_uint64,
-                ]
-                lib.tpubrot_crc32.restype = ctypes.c_uint32
-                lib.tpubrot_crc32.argtypes = [
-                    ctypes.c_char_p,
-                    ctypes.c_uint64,
-                ]
-                _LIB = lib
-                return _LIB
-        _LOAD_FAILED = True
-        return None
+        _try_build()
+        if not os.path.exists(_SO):
+            _LOAD_FAILED = True
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _LOAD_FAILED = True
+            return None
+        lib.tpubrot_replay_scatter.restype = ctypes.c_int64
+        lib.tpubrot_replay_scatter.argtypes = [
+            ctypes.POINTER(ctypes.c_float),   # cr
+            ctypes.POINTER(ctypes.c_float),   # ci
+            ctypes.POINTER(ctypes.c_int32),   # iters
+            ctypes.c_int64,                   # n
+            ctypes.c_int32,                   # w
+            ctypes.c_int32,                   # h
+            ctypes.c_double,                  # min_real
+            ctypes.c_double,                  # min_imag
+            ctypes.c_double,                  # delta_real
+            ctypes.c_double,                  # delta_imag
+            ctypes.c_int32,                   # flags
+            ctypes.c_int32,                   # num_threads
+            ctypes.POINTER(ctypes.c_uint32),  # hist
+            ctypes.POINTER(ctypes.c_uint64),  # points_total out
+        ]
+        lib.tpubrot_write_pgm16.restype = ctypes.c_int32
+        lib.tpubrot_write_pgm16.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib.tpubrot_write_file_atomic.restype = ctypes.c_int32
+        lib.tpubrot_write_file_atomic.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_uint64,
+        ]
+        lib.tpubrot_crc32.restype = ctypes.c_uint32
+        lib.tpubrot_crc32.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+        _LIB = lib
+        return _LIB
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def replay_scatter(
+    cr: np.ndarray,
+    ci: np.ndarray,
+    iters: np.ndarray,
+    hist: np.ndarray,
+    *,
+    width: int,
+    height: int,
+    min_real: float,
+    min_imag: float,
+    delta_real: float,
+    delta_imag: float,
+    burning_ship: bool = False,
+    num_threads: int = 0,
+) -> tuple[int, int]:
+    """Replay known-escaping samples into ``hist`` (uint32 (h, w), mutated
+    in place). Returns (on_canvas_hits, total_points). Raises RuntimeError
+    if the native library is unavailable — callers gate on available()."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native replay library unavailable")
+    cr = np.ascontiguousarray(cr, np.float32)
+    ci = np.ascontiguousarray(ci, np.float32)
+    iters = np.ascontiguousarray(iters, np.int32)
+    assert hist.dtype == np.uint32 and hist.flags.c_contiguous
+    points = ctypes.c_uint64(0)
+    hits = lib.tpubrot_replay_scatter(
+        cr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ci.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        iters.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(cr),
+        width,
+        height,
+        min_real,
+        min_imag,
+        delta_real,
+        delta_imag,
+        1 if burning_ship else 0,
+        num_threads,
+        hist.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.byref(points),
+    )
+    return int(hits), int(points.value)
 
 
 def write_pgm16(path: str, image: np.ndarray) -> bool:
@@ -95,7 +163,7 @@ def write_pgm16(path: str, image: np.ndarray) -> bool:
 
 
 def write_file_atomic(path: str, payload: bytes) -> bool:
-    """Atomically (tmp + rename) write bytes via the native core."""
+    """Atomically (tmp + fsync + rename) write bytes via the native core."""
     lib = _load()
     if lib is None:
         return False

@@ -1,0 +1,162 @@
+"""Native C++ host replay engine: correctness vs the scalar ground truth
+and integration with the Pallas engine's host-replay mode."""
+
+import jax
+import numpy as np
+import pytest
+
+from cudabrot_tpu.config import Canvas, EngineOptions, IterationBand, RenderConfig
+from cudabrot_tpu.io import native
+from tests import reference_impl as ref
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built"
+)
+
+
+def _band_samples(n, max_it, min_it, seed=0):
+    rng = np.random.default_rng(seed)
+    cr = rng.uniform(-2, 2, n)
+    ci = rng.uniform(-2, 2, n)
+    iters = np.array(
+        [ref.classify_scalar(a, b, max_it) for a, b in zip(cr, ci)], np.int32
+    )
+    mask = (iters < max_it) & (iters >= min_it)
+    return cr[mask], ci[mask], iters[mask]
+
+
+def test_replay_matches_scalar_statistically():
+    canvas = Canvas(width=64, height=48, min_real=-2.0, max_real=2.0,
+                    min_imag=-1.5, max_imag=1.5)
+    cr, ci, iters = _band_samples(4096, 80, 3)
+    want = np.zeros(canvas.shape, np.uint32)
+    for a, b in zip(cr, ci):
+        ref.replay_scalar(a, b, want, canvas)
+
+    got = np.zeros(canvas.shape, np.uint32)
+    hits, points = native.replay_scatter(
+        cr, ci, iters, got,
+        width=canvas.width, height=canvas.height,
+        min_real=canvas.min_real, min_imag=canvas.min_imag,
+        delta_real=canvas.delta_real, delta_imag=canvas.delta_imag,
+    )
+    assert points == int((iters + 1).sum())
+    assert hits == got.sum()
+    # f32 native vs f64 scalar: orbits diverge slightly near bin edges;
+    # total mass and distribution must agree closely.
+    assert abs(int(got.sum()) - int(want.sum())) <= 0.01 * want.sum()
+    diff = np.abs(got.astype(int) - want.astype(int)).sum()
+    assert diff <= 0.05 * want.sum()
+
+
+def test_replay_skips_invalid_lanes():
+    canvas = Canvas(width=16, height=16)
+    cr = np.array([2.5, 0.3], np.float32)  # first escapes immediately
+    ci = np.array([0.0, 2.1], np.float32)
+    iters = np.array([-1, 0], np.int32)  # first marked invalid
+    hist = np.zeros(canvas.shape, np.uint32)
+    hits, points = native.replay_scatter(
+        cr, ci, iters, hist,
+        width=16, height=16,
+        min_real=canvas.min_real, min_imag=canvas.min_imag,
+        delta_real=canvas.delta_real, delta_imag=canvas.delta_imag,
+    )
+    assert points == 1  # only the valid lane's single update
+    # the valid lane's first update: z = c^2 + c for c=0.3+2.1i
+
+
+def test_replay_empty_batch():
+    canvas = Canvas(width=8, height=8)
+    hist = np.zeros(canvas.shape, np.uint32)
+    hits, points = native.replay_scatter(
+        np.zeros(0, np.float32), np.zeros(0, np.float32),
+        np.zeros(0, np.int32), hist,
+        width=8, height=8, min_real=-2, min_imag=-2,
+        delta_real=0.5, delta_imag=0.5,
+    )
+    assert hits == 0 and points == 0
+
+
+def test_crc32_matches_zlib():
+    import zlib
+
+    data = b"tpubrot native core"
+    assert native.crc32(data) == zlib.crc32(data) & 0xFFFFFFFF
+
+
+def test_native_pgm_matches_python(tmp_path):
+    from cudabrot_tpu.io import pgm
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 65536, size=(19, 33)).astype(np.uint16)
+    path = str(tmp_path / "native.pgm")
+    assert native.write_pgm16(path, img)
+    np.testing.assert_array_equal(pgm.read_pgm(path), img)
+
+
+def test_write_file_atomic(tmp_path):
+    path = str(tmp_path / "blob.bin")
+    payload = b"\x00\x01\x02" * 1000
+    assert native.write_file_atomic(path, payload)
+    assert open(path, "rb").read() == payload
+    leftovers = [p for p in tmp_path.iterdir() if "tmp" in p.name]
+    assert leftovers == []
+
+
+def test_pallas_engine_host_mode_matches_device_mode():
+    """The same classify stream replayed on host vs device must produce
+    statistically identical histograms (same samples, f32 both sides)."""
+    from cudabrot_tpu.engines.pallas_engine import PallasEngine
+
+    cfg = RenderConfig(
+        canvas=Canvas(width=40, height=40),
+        band=IterationBand(max_escape_iterations=60,
+                           min_escape_iterations=5),
+        options=EngineOptions(
+            engine="pallas", lane_rows=8, steps_per_pass=256,
+            steps_per_flush=16, replay_capacity=1 << 14, replay_chunk=64,
+        ),
+    )
+
+    def run(mode):
+        eng = PallasEngine(cfg, replay_mode=mode)
+        state = eng.init_state(None)
+        for p in range(3):
+            state = eng.run_pass(state, p)
+        jax.block_until_ready(state)
+        return eng.histogram(state), eng.stats(state)
+
+    dh, dstats = run("device")
+    hh, hstats = run("host")
+    assert hstats["replay"] == "host"
+    assert dstats["replay"] == "device"
+    # Identical emission stream; replay math is f32 on both sides but
+    # FMA contraction differs, so compare distributions tightly.
+    assert abs(int(hh.sum()) - int(dh.sum())) <= 0.01 * dh.sum()
+    a = dh.astype(np.float64) / dh.sum()
+    b = hh.astype(np.float64) / hh.sum()
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.999, corr
+    assert hstats["orbit_points"] > 0
+    assert hstats["on_canvas_points"] == hh.sum()
+
+
+def test_host_mode_resume_preserves_mass():
+    from cudabrot_tpu.engines.pallas_engine import PallasEngine
+
+    cfg = RenderConfig(
+        canvas=Canvas(width=24, height=24),
+        band=IterationBand(max_escape_iterations=50,
+                           min_escape_iterations=4),
+        options=EngineOptions(
+            engine="pallas", lane_rows=8, steps_per_pass=128,
+            steps_per_flush=16, replay_capacity=1 << 12, replay_chunk=32,
+        ),
+    )
+    eng = PallasEngine(cfg, replay_mode="host")
+    hist0 = np.full(cfg.canvas.shape, 7, np.uint32)
+    state = eng.init_state(hist0)
+    state = eng.run_pass(state, 0)
+    jax.block_until_ready(state)
+    hist = eng.histogram(state)
+    assert hist.min() >= 7  # resumed mass preserved under new counts
