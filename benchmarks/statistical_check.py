@@ -1,0 +1,111 @@
+"""Statistical-equivalence harness (SURVEY.md §6): renders the same
+configuration with two engines (or two seeds) and reports
+distribution-level agreement — chi-square on binned mass, Pearson
+correlation, and per-sample rates. The reference is only statistically
+reproducible (racy adds + time-boxed pass counts), so this is the
+apples-to-apples comparison its outputs support.
+
+Usage:
+  python benchmarks/statistical_check.py [--w 200 --h 200 -m 500 -c 20
+      --passes 4] [--engines pallas oracle] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def chi_square_binned(a: np.ndarray, b: np.ndarray, min_expected=20.0):
+    """Two-sample chi-square over bins with adequate mass; returns
+    (statistic/dof, dof)."""
+    a = a.astype(np.float64).ravel()
+    b = b.astype(np.float64).ravel()
+    na, nb = a.sum(), b.sum()
+    keep = (a + b) * min(na, nb) / (na + nb) >= min_expected
+    a, b = a[keep], b[keep]
+    if a.size == 0:
+        return 0.0, 0
+    # Standard two-sample chi-square with unequal totals.
+    k1 = np.sqrt(nb / na)
+    k2 = np.sqrt(na / nb)
+    stat = np.sum((k1 * a - k2 * b) ** 2 / (a + b))
+    dof = a.size - 1
+    return float(stat / max(dof, 1)), int(dof)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--w", type=int, default=200)
+    p.add_argument("--h", dest="height", type=int, default=200)
+    p.add_argument("-m", dest="max_it", type=int, default=500)
+    p.add_argument("-c", dest="min_it", type=int, default=20)
+    p.add_argument("--passes", type=int, default=4)
+    p.add_argument("--engines", nargs=2, default=["pallas", "oracle"])
+    p.add_argument("--seeds", nargs=2, type=int, default=[1337, 1337])
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from cudabrot_tpu import driver
+    from cudabrot_tpu.config import (
+        Canvas,
+        EngineOptions,
+        IterationBand,
+        RenderConfig,
+    )
+
+    hists = []
+    for engine, seed in zip(args.engines, args.seeds):
+        cfg = RenderConfig(
+            canvas=Canvas(width=args.w, height=args.height),
+            band=IterationBand(
+                max_escape_iterations=args.max_it,
+                min_escape_iterations=args.min_it,
+            ),
+            seconds_to_run=-1.0,
+            max_passes=args.passes,
+            seed=seed,
+            options=EngineOptions(
+                engine=engine,
+                # Comparable per-pass sample volumes keep Monte-Carlo
+                # noise from dominating the comparison.
+                oracle_samples_per_pass=1 << 18,
+            ),
+        )
+        res = driver.run_render(cfg, log=lambda s: None)
+        print(
+            f"{engine}(seed={seed}): mass={res.histogram.sum()} "
+            f"samples={res.stats.get('samples')} "
+            f"in_band={res.stats.get('in_band')}"
+        )
+        hists.append(res.histogram)
+
+    a, b = hists
+    pa = a.astype(np.float64) / max(a.sum(), 1)
+    pb = b.astype(np.float64) / max(b.sum(), 1)
+    corr = float(np.corrcoef(pa.ravel(), pb.ravel())[0, 1])
+    chi, dof = chi_square_binned(a, b)
+    tv = 0.5 * float(np.abs(pa - pb).sum())
+    print(f"pearson_corr={corr:.5f}")
+    print(f"chi2_per_dof={chi:.3f} (dof={dof}; ~1.0 = same distribution)")
+    print(f"total_variation={tv:.5f}")
+    # chi2/dof near 1 means differences are consistent with Monte-Carlo
+    # noise; correlation degrades when either run is under-sampled, so the
+    # verdict combines both.
+    ok = corr > 0.985 and chi <= 3.0
+    print("VERDICT:", "EQUIVALENT" if ok else "DIVERGENT")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -90,6 +90,11 @@ TPU-native extensions:
              passes (default: only at exit, like the reference).
   --png: Additionally save the image as 16-bit PNG next to the PGM.
   --stats-json <file>: Write render statistics as JSON.
+  --replay <mode>: orbit replay execution: auto (default), host
+             (native C++ engine overlapped with classification), or
+             device.
+  --progress <seconds>: log a progress line every N seconds.
+  --profile-dir <dir>: capture a jax.profiler trace of the render loop.
   --lane-rows <n> / --steps-per-pass <n> / --pipeline <n>: engine tuning
              (analogs of the reference's block size/count/samples-per-
              thread constants).
@@ -170,6 +175,8 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
         "seed": 1337,
         "max_passes": None,
         "checkpoint_interval": 0,
+        "progress_interval": 0.0,
+        "profile_dir": None,
     }
     opt = {}
     extras = CliExtras()
@@ -285,6 +292,17 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
         elif arg == "--pipeline":
             opt["pipeline_depth"] = _parse_int(argv, i)
             i += 2
+        elif arg == "--replay":
+            opt["replay"] = _parse_str(argv, i, "Missing replay mode.")
+            i += 2
+        elif arg == "--progress":
+            vals["progress_interval"] = _parse_float(argv, i)
+            i += 2
+        elif arg == "--profile-dir":
+            vals["profile_dir"] = _parse_str(
+                argv, i, "Missing profile directory."
+            )
+            i += 2
         elif arg == "--png":
             extras.save_png = True
             i += 1
@@ -317,6 +335,8 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
             inprogress_file=vals["inprogress_file"],
             checkpoint_interval=vals["checkpoint_interval"],
             device_index=vals["device_index"],
+            progress_interval=vals["progress_interval"],
+            profile_dir=vals["profile_dir"],
             options=EngineOptions(**opt),
         )
     except ConfigError as e:

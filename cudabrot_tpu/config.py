@@ -223,6 +223,12 @@ class RenderConfig:
     checkpoint_interval: int = 0
     #: Device index for single-device operation (-d, cudabrot.cu:667-671).
     device_index: int = 0
+    #: Log a progress line every N seconds while rendering (0 = only the
+    #: final report, like the reference, cudabrot.cu:498-499).
+    progress_interval: float = 0.0
+    #: Write a jax.profiler trace of the render loop to this directory
+    #: (view with TensorBoard/XProf). None disables.
+    profile_dir: str | None = None
     options: EngineOptions = dataclasses.field(default_factory=EngineOptions)
 
     def __post_init__(self) -> None:

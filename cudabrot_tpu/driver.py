@@ -100,6 +100,16 @@ def run_render(
             hist0, meta = loaded
             resumed_passes = int(meta.get("passes", 0))
 
+    # Memory estimate banner (SetupCUDA parity, cudabrot.cu:154-165).
+    estimate = getattr(engine, "memory_estimate", None)
+    if estimate is not None:
+        device_bytes, host_bytes = estimate()
+        log(
+            f"Approximate memory needed: "
+            f"{device_bytes / (1024.0 * 1024.0):.3f} MiB device, "
+            f"{host_bytes / (1024.0 * 1024.0):.3f} MiB host"
+        )
+
     state = engine.init_state(hist0)
     warmup = getattr(engine, "warmup", None)
     if warmup is not None:
@@ -111,22 +121,38 @@ def run_render(
     else:
         log(f"Running for {cfg.seconds_to_run:.3f} seconds.")
 
+    if cfg.profile_dir:
+        jax.profiler.start_trace(cfg.profile_dir)
+
     depth = max(1, cfg.options.pipeline_depth)
     passes = 0
     interrupted = False
     start = time.monotonic()
+    last_progress = start
     with SigintFlag(log) as flag:
         while not flag.triggered:
             state = engine.run_pass(state, resumed_passes + passes)
             passes += 1
             if passes % depth == 0:
                 jax.block_until_ready(state)
+            now = time.monotonic()
+            if (
+                cfg.progress_interval > 0
+                and now - last_progress >= cfg.progress_interval
+            ):
+                steps = getattr(engine, "steps_per_pass", 0) * passes
+                log(
+                    f"  pass {passes}: {now - start:.1f}s elapsed"
+                    + (
+                        f", ~{steps / (now - start):.3e} lane-steps/s"
+                        if steps
+                        else ""
+                    )
+                )
+                last_progress = now
             if cfg.max_passes is not None and passes >= cfg.max_passes:
                 break
-            if (
-                cfg.seconds_to_run >= 0
-                and (time.monotonic() - start) > cfg.seconds_to_run
-            ):
+            if cfg.seconds_to_run >= 0 and (now - start) > cfg.seconds_to_run:
                 break
             if (
                 cfg.inprogress_file
@@ -140,6 +166,9 @@ def run_render(
                     resumed_passes + passes,
                 )
         interrupted = flag.triggered
+
+    if cfg.profile_dir:
+        jax.profiler.stop_trace()
 
     jax.block_until_ready(state)
     elapsed = time.monotonic() - start

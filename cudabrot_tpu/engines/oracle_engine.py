@@ -55,6 +55,12 @@ class OracleEngine:
             state[k] = counters.u64_add(state[k], per_pass[k])
         return state
 
+    def memory_estimate(self) -> tuple[int, int]:
+        cv = self.cfg.canvas
+        hist = cv.num_pixels * 4
+        batch = self.cfg.options.oracle_samples_per_pass * 40
+        return hist + batch, hist + cv.num_pixels * 2
+
     def init_state(self, hist0: np.ndarray | None):
         shape = self.cfg.canvas.shape
         hist = (

@@ -235,6 +235,17 @@ class PallasEngine:
             share = o.replay_device_share
             if share < 0:
                 share = 0.25 if not self.interpret else 0.0
+                # The device split only pays when emissions fill whole
+                # replay blocks; at sparse-emission bands a lone orbit
+                # would drag a nearly-empty block through thousands of
+                # masked scatter chunks — route everything to the host.
+                rate = band_emission_rate(
+                    cfg.band.min_escape_iterations,
+                    cfg.band.max_escape_iterations,
+                )
+                expected = self.tuning.steps_per_pass * self.lanes * rate
+                if expected * share < 4 * self.tuning.replay_block:
+                    share = 0.0
             self.split_threshold = self.tuning.split_threshold(share)
             self._pass_fn = jax.jit(
                 functools.partial(
@@ -410,6 +421,21 @@ class PallasEngine:
         for k in STAT_KEYS:
             state[k] = counters.u64_zero()
         return state
+
+    def memory_estimate(self) -> tuple[int, int]:
+        """(device_bytes, host_bytes) — the reference's startup banner
+        equivalent (cudabrot.cu:154-165)."""
+        cv = self.cfg.canvas
+        tn = self.tuning
+        hist = cv.num_pixels * 4
+        lanes = self.lanes * 9 * 4  # persistent lane state arrays
+        chunks = tn.steps_per_pass // tn.steps_per_flush
+        emission = chunks * self.lanes * 12
+        device = hist + lanes + emission * 2 + self.replay_capacity * 12
+        host = hist + cv.num_pixels * 2  # final histogram + 16-bit image
+        if self._worker is not None:
+            host += hist  # host accumulation buffer
+        return device, host
 
     def warmup(self, state) -> None:
         """AOT-compile the pass executable so the driver's time box covers

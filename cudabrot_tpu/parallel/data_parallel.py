@@ -96,7 +96,11 @@ class DataParallelEngine:
             jax.tree.map(lambda x, i=i: x[i], state)
             for i in range(self.num_devices)
         ]
+        extras: dict = {}
         for local in local_states:
             for k, v in self.inner.stats(local).items():
-                totals[k] = totals.get(k, 0) + v
-        return totals
+                if isinstance(v, str):
+                    extras[k] = v
+                else:
+                    totals[k] = totals.get(k, 0) + v
+        return {**totals, **extras}

@@ -98,3 +98,31 @@ def test_dp_resume_preserves_mass(tmp_path):
     r1 = driver.run_render(cfg, log=lambda s: None)
     r2 = driver.run_render(cfg, log=lambda s: None)
     assert r2.histogram.sum() > r1.histogram.sum()
+
+
+def test_dp_with_pallas_engine():
+    """Production multi-chip path: Pallas engine (interpret) under
+    shard_map over the virtual mesh, device-side replay."""
+    from cudabrot_tpu.engines.pallas_engine import PallasEngine
+
+    cfg = RenderConfig(
+        canvas=Canvas(width=32, height=32),
+        band=IterationBand(max_escape_iterations=40,
+                           min_escape_iterations=3),
+        options=EngineOptions(
+            engine="pallas", lane_rows=8, steps_per_pass=128,
+            steps_per_flush=16, replay_capacity=1 << 12, replay_chunk=32,
+            num_devices=4,
+        ),
+    )
+    eng = engines.make_engine(cfg)
+    assert eng.name == "dp(pallas)"
+    state = eng.init_state(None)
+    for p in range(2):
+        state = eng.run_pass(state, p)
+    jax.block_until_ready(state)
+    hist = eng.histogram(state)
+    assert hist.sum() > 0
+    stats = eng.stats(state)
+    assert stats["samples"] > 0
+    assert stats["classify_iters"] == 4 * 2 * 128 * 8 * 128 - stats["culled"]
