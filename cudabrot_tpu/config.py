@@ -106,6 +106,14 @@ class IterationBand:
     def validate(self) -> None:
         if self.max_escape_iterations <= 0:
             raise ConfigError("Max escape iterations must be positive.")
+        if self.max_escape_iterations >= (1 << 24):
+            # Engine invariant: escape indices must be exactly
+            # representable in float32 transport (and a single interior
+            # sample at this setting would iterate for hours anyway; the
+            # reference warns above 60000, cudabrot.cu:692-695).
+            raise ConfigError(
+                "Max escape iterations must be below 16777216."
+            )
         if self.min_escape_iterations < 0:
             raise ConfigError("Min escape iterations must be non-negative.")
         # The reference does not reject min >= max (it just renders nothing);

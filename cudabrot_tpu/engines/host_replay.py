@@ -49,20 +49,30 @@ class HostReplayWorker:
         self._pool = cf.ThreadPoolExecutor(max_workers=1)
         self._pending: collections.deque[cf.Future] = collections.deque()
 
-    def submit(self, cr, ci, iters) -> None:
-        """Queue one emission batch (device or numpy arrays; invalid
-        entries marked with negative iters are skipped natively)."""
+    def submit(self, n_valid, payload) -> None:
+        """Queue one emission batch: ``payload`` is a (3, K) f32 device
+        array [cr; ci; iters-as-f32], of which only the first ``n_valid``
+        columns are live."""
         while len(self._pending) >= self.max_queue:
             self._pending.popleft().result()
-        self._pending.append(self._pool.submit(self._job, cr, ci, iters))
+        self._pending.append(self._pool.submit(self._job, n_valid, payload))
 
-    def _job(self, cr, ci, iters) -> None:
-        # np.asarray on a jax array blocks until the pass producing it has
-        # finished — by then the engine has already dispatched the next
-        # pass, so the device keeps working while we replay.
-        cr = np.asarray(cr, np.float32)
-        ci = np.asarray(ci, np.float32)
-        iters = np.asarray(iters, np.int32)
+    def _job(self, n_valid, payload) -> None:
+        # Materializing the device values blocks until the pass producing
+        # them has finished — by then the engine has already dispatched
+        # the next pass, so the device keeps working while we replay. The
+        # payload is fetched whole: it is an existing pass output, so the
+        # transfer needs no new device computation (anything dispatched
+        # here would queue behind the in-flight pass); keeping it small is
+        # the capacity model's job. Invalid lanes carry iters == -1 and
+        # cost the native engine nothing.
+        n = int(n_valid)
+        if n <= 0:
+            return
+        batch = np.asarray(payload, np.float32)
+        cr = batch[0]
+        ci = batch[1]
+        iters = batch[2].astype(np.int32)
         cv = self.canvas
         hits, points = native.replay_scatter(
             cr,

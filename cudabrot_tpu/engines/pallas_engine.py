@@ -55,16 +55,19 @@ def _pow2(x: float) -> int:
 
 
 def band_emission_rate(min_it: int, max_it: int) -> float:
-    """Rough expected in-band emissions per lane-step.
+    """Expected in-band emissions per lane-step (calibrated on-device).
 
-    The Mandelbrot escape-time tail follows P(T >= t) ~ C/t with C ~ 0.5
-    of domain area, so the band fraction per sample is
-    C*(1/min - 1/max); one sample costs ~3.5-4 lane-steps on average
-    (most of the [-2,2]^2 domain escapes almost immediately).
+    The Mandelbrot escape-time tail follows P(T >= t) ~ C/t (measured
+    C ~ 0.2-0.4 over the practically used bands), so the band fraction
+    per sample is C*(1/min - 1/max). Mean classification cost per sample
+    grows logarithmically with the iteration cap because non-culled
+    interior points pay the Brent detection latency: measured 3.1
+    steps/sample at m=100, 11.2 at m=20000, 12.6 at m=60000.
     """
-    frac = 0.5 * (1.0 / max(min_it, 2) - 1.0 / max(max_it, 4))
+    frac = 0.35 * (1.0 / max(min_it, 2) - 1.0 / max(max_it, 4))
     frac = max(frac, 1e-7)
-    return frac / 4.0
+    mean_cost = 3.2 + 1.1 * float(np.log(max(max_it, 100) / 100.0))
+    return frac / mean_cost
 
 
 class Tuning:
@@ -100,10 +103,14 @@ class Tuning:
                 * self.steps_per_flush
             )
         expected = self.steps_per_pass * lanes * rate
+        # pow2 rounding already grants up to 2x headroom; overflow beyond
+        # capacity is counted (replay_dropped) and statistically unbiased.
+        # Oversizing is not free: the emission payload crosses the
+        # device->host link every pass.
         self.replay_capacity = (
             o.replay_capacity
             if o.replay_capacity > 0
-            else int(np.clip(_pow2(2.0 * expected), 4096, 1 << 19))
+            else int(np.clip(_pow2(expected), 4096, 1 << 19))
         )
         # Replay block: lanes processed together; blocks with no active
         # lanes are skipped entirely. 1024 keeps blocks length-homogeneous
@@ -246,15 +253,32 @@ class PallasEngine:
                 expected = self.tuning.steps_per_pass * self.lanes * rate
                 if expected * share < 4 * self.tuning.replay_block:
                     share = 0.0
+                # ... and when orbits are short, the fixed replay-chunk
+                # granularity (and per-scatter call cost) makes the device
+                # path far slower than the host engine — require in-band
+                # orbits to span at least one chunk.
+                if cfg.band.min_escape_iterations < self.tuning.replay_chunk:
+                    share = 0.0
             self.split_threshold = self.tuning.split_threshold(share)
-            self._pass_fn = jax.jit(
-                functools.partial(
-                    self._classify_and_compact,
+            def host_pass(state, pass_index):
+                new_state, (cr, ci, it) = self._classify_and_compact(
+                    state,
+                    pass_index,
                     ordinal=jnp.uint32(0),
                     device_prefix=self.split_threshold,
-                ),
-                donate_argnums=0,
-            )
+                )
+                # Host-replay lanes are an exact prefix (compaction sorts
+                # valid-first by descending length; the device split only
+                # masks the short tail), so the worker can fetch just
+                # payload[:, :n_valid] — the tunnel to the host is
+                # ~45 MB/s here, so shipping empty capacity slots would
+                # dominate sparse-band passes. iters ride as f32 (exact
+                # below 2^24, enforced by config validation).
+                payload = jnp.stack([cr, ci, it.astype(jnp.float32)])
+                n_valid = jnp.sum(it >= 0).astype(jnp.int32)
+                return new_state, n_valid, payload
+
+            self._pass_fn = jax.jit(host_pass, donate_argnums=0)
         else:
             self.split_threshold = 0
             self._pass_fn = jax.jit(
@@ -445,8 +469,8 @@ class PallasEngine:
 
     def run_pass(self, state, pass_index: int):
         if self._worker is not None:
-            state, (cr_c, ci_c, it_c) = self._pass_fn(state, pass_index)
-            self._worker.submit(cr_c, ci_c, it_c)
+            state, n_valid, payload = self._pass_fn(state, pass_index)
+            self._worker.submit(n_valid, payload)
             return state
         return self._pass_fn(state, pass_index)
 
