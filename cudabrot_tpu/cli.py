@@ -93,6 +93,9 @@ TPU-native extensions:
   --replay <mode>: orbit replay execution: auto (default), host
              (native C++ engine overlapped with classification), or
              device.
+  --hist-sharding <mode>: multi-device histogram layout: replicated
+             (default) or rows (row-sharded across the mesh; canvas
+             memory and scatter throughput scale with devices).
   --progress <seconds>: log a progress line every N seconds.
   --profile-dir <dir>: capture a jax.profiler trace of the render loop.
   --lane-rows <n> / --steps-per-pass <n> / --pipeline <n>: engine tuning
@@ -294,6 +297,11 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
             i += 2
         elif arg == "--replay":
             opt["replay"] = _parse_str(argv, i, "Missing replay mode.")
+            i += 2
+        elif arg == "--hist-sharding":
+            opt["histogram_sharding"] = _parse_str(
+                argv, i, "Missing sharding mode."
+            )
             i += 2
         elif arg == "--progress":
             vals["progress_interval"] = _parse_float(argv, i)

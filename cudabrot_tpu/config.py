@@ -176,6 +176,10 @@ class EngineOptions:
     #: devices; default 1 device, matching the reference's single-GPU
     #: operation, cudabrot.cu:155).
     num_devices: int | None = 1
+    #: Multi-device histogram layout: "replicated" (each chip holds a
+    #: full copy, merged at readback) or "rows" (row-sharded across the
+    #: mesh — canvas memory and scatter work scale with chips).
+    histogram_sharding: str = "replicated"
     #: Allowed in-flight (dispatched, not yet blocked-on) passes.
     pipeline_depth: int = 2
 
@@ -186,6 +190,10 @@ class EngineOptions:
             raise ConfigError(f"Unknown scatter backend: {self.scatter}")
         if self.replay not in ("auto", "device", "host"):
             raise ConfigError(f"Unknown replay mode: {self.replay}")
+        if self.histogram_sharding not in ("replicated", "rows"):
+            raise ConfigError(
+                f"Unknown histogram sharding: {self.histogram_sharding}"
+            )
         if self.precision not in ("float32", "float64"):
             raise ConfigError(f"Unknown precision: {self.precision}")
         if self.steps_per_flush > 0 and (

@@ -58,6 +58,15 @@ def make_engine(cfg: RenderConfig) -> Engine:
         raise ValueError(f"Unknown engine {choice!r}")
 
     if n > 1:
+        if (
+            cfg.options.histogram_sharding == "rows"
+            and choice == "pallas"
+        ):
+            from cudabrot_tpu.parallel.sharded_hist import (
+                ShardedHistogramEngine,
+            )
+
+            return ShardedHistogramEngine(cfg, inner)
         from cudabrot_tpu.parallel.data_parallel import DataParallelEngine
 
         return DataParallelEngine(cfg, inner)

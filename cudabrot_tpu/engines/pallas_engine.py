@@ -144,6 +144,7 @@ def _blocked_replay(
     chunk: int,
     block: int,
     backend: str,
+    bin_fn=None,
 ):
     """Replay length-sorted batches block-by-block with early exits.
 
@@ -154,6 +155,8 @@ def _blocked_replay(
     """
     k = cr.shape[0]
     nblocks = k // block
+    if bin_fn is None:
+        bin_fn = functools.partial(binning.points_to_bin_ids, canvas)
 
     def outer_body(b, hist):
         off = b * block
@@ -174,7 +177,7 @@ def _blocked_replay(
                 zr, zi, s = s_c
                 nzr, nzi = fractals.step(fractal, zr, zi, bcr, bci)
                 rec = bva & (s <= bit)
-                ids = binning.points_to_bin_ids(canvas, nzr, nzi, rec)
+                ids = bin_fn(nzr, nzi, rec)
                 zr = jnp.where(rec, nzr, zr)
                 zi = jnp.where(rec, nzi, zi)
                 return (zr, zi, s + 1), ids

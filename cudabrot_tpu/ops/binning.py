@@ -36,6 +36,37 @@ def oob_id(canvas: Canvas) -> int:
     return canvas.num_pixels
 
 
+def points_to_bin_ids_sharded(
+    canvas: Canvas, re, im, valid, row_start, row_count: int
+):
+    """Like points_to_bin_ids, but for a row-sharded histogram: only
+    points whose row lands in [row_start, row_start+row_count) produce a
+    local id (row - row_start) * width + col; everything else maps to the
+    local sentinel row_count*width. ``row_start`` may be traced (e.g.
+    derived from a mesh axis index)."""
+    dtype = re.dtype
+    min_real = jnp.asarray(canvas.min_real, dtype)
+    min_imag = jnp.asarray(canvas.min_imag, dtype)
+    ok = valid & (re >= min_real) & (im >= min_imag)
+    col = ((re - min_real) / jnp.asarray(canvas.delta_real, dtype)).astype(
+        jnp.int32
+    )
+    row = ((im - min_imag) / jnp.asarray(canvas.delta_imag, dtype)).astype(
+        jnp.int32
+    )
+    ok = (
+        ok
+        & (row >= 0)
+        & (row < canvas.height)
+        & (col >= 0)
+        & (col < canvas.width)
+    )
+    local_row = row - row_start
+    ok = ok & (local_row >= 0) & (local_row < row_count)
+    flat = local_row * canvas.width + col
+    return jnp.where(ok, flat, row_count * canvas.width)
+
+
 def points_to_bin_ids(canvas: Canvas, re, im, valid):
     """Quantize complex orbit points to flat histogram bin ids.
 
