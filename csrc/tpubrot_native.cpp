@@ -97,7 +97,11 @@ uint64_t ReplayBlock(const float* cr, const float* ci, const int32_t* iters,
           rec && in_lo && row >= 0 && row < cv.h && col >= 0 && col < cv.w;
       idx[l] = ok ? row * cv.w + col : -1;
     }
-    // Scalar phase: histogram increments.
+    // Scalar phase: histogram increments. Prefetch all lanes' cache
+    // lines first so the read-modify-writes overlap their misses.
+    for (int l = 0; l < kLanes; ++l) {
+      if (idx[l] >= 0) __builtin_prefetch(&hist[idx[l]], 1, 1);
+    }
     for (int l = 0; l < kLanes; ++l) {
       const int32_t b = idx[l];
       if (b >= 0) {

@@ -46,6 +46,10 @@ class HostReplayWorker:
         self.hist = np.zeros(canvas.shape, np.uint32)
         self.hits = 0
         self.points = 0
+        #: Cumulative seconds the worker spent fetching payloads vs
+        #: replaying (diagnostics; surfaced via engine stats).
+        self.fetch_seconds = 0.0
+        self.replay_seconds = 0.0
         self._pool = cf.ThreadPoolExecutor(max_workers=1)
         self._pending: collections.deque[cf.Future] = collections.deque()
 
@@ -66,6 +70,9 @@ class HostReplayWorker:
         # here would queue behind the in-flight pass); keeping it small is
         # the capacity model's job. Invalid lanes carry iters == -1 and
         # cost the native engine nothing.
+        import time
+
+        t0 = time.perf_counter()
         n = int(n_valid)
         if n <= 0:
             return
@@ -73,6 +80,8 @@ class HostReplayWorker:
         cr = batch[0]
         ci = batch[1]
         iters = batch[2].astype(np.int32)
+        t1 = time.perf_counter()
+        self.fetch_seconds += t1 - t0
         cv = self.canvas
         hits, points = native.replay_scatter(
             cr,
@@ -90,6 +99,7 @@ class HostReplayWorker:
         )
         self.hits += hits
         self.points += points
+        self.replay_seconds += time.perf_counter() - t1
 
     def drain(self) -> None:
         """Block until all queued replays have accumulated."""

@@ -28,7 +28,7 @@ import zlib
 
 import numpy as np
 
-from cudabrot_tpu.config import Canvas, IterationBand, RenderConfig
+from cudabrot_tpu.config import RenderConfig
 
 FORMAT_VERSION = 1
 

@@ -22,7 +22,6 @@ Both are statistically equivalent to the reference and bitwise deterministic
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -87,8 +87,6 @@ class DataParallelEngine:
         return np.asarray(jax.device_get(merged), dtype=np.uint32)
 
     def stats(self, state) -> dict:
-        from cudabrot_tpu.utils import counters
-
         totals: dict[str, int] = {}
         # Stat counters are (lo, hi) uint32 pairs stacked per device; sum
         # exactly on the host.
