@@ -151,6 +151,10 @@ class EngineOptions:
     replay_capacity: int = 0
     #: Replay steps executed per scatter flush.
     replay_chunk: int = 256
+    #: Classify-kernel inner window: orbit updates between boundary
+    #: (refill/emission) passes. 0 = auto. Larger windows shorten the
+    #: instruction stream but let finished lanes coast to the window edge.
+    inner_unroll: int = 0
     #: Brent cycle detection for interior orbits (pallas engine). Disable
     #: for bitwise escape-count parity experiments with the reference,
     #: which always iterates interior points to the cap (cudabrot.cu:338).

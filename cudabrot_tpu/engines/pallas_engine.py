@@ -46,7 +46,7 @@ from cudabrot_tpu.utils import counters
 
 STAT_KEYS = (
     "samples", "culled", "in_band", "emitted", "replay_dropped",
-    "iters", "points", "cycles",
+    "iters", "points", "cycles", "wasted",
 )
 
 
@@ -118,6 +118,14 @@ class Tuning:
         # scatter stream) while staying wide enough for the VPU.
         self.replay_block = min(1024, self.replay_capacity)
         self.replay_chunk = o.replay_chunk
+        # Window size trades boundary-op amortization against
+        # finished-lane coast. Steady-state A/B on v5e (benchmarks/
+        # version_timing_tpu.md) shows U=1 wins at every practical band —
+        # the coast waste always outruns the instruction-stream savings —
+        # so auto stays at 1; the knob remains for experimentation.
+        self.inner_unroll = o.inner_unroll if o.inner_unroll > 0 else 1
+        if self.steps_per_flush % self.inner_unroll != 0:
+            self.inner_unroll = 1
         self.min_it = cfg.band.min_escape_iterations
         self.max_it = cfg.band.max_escape_iterations
 
@@ -308,9 +316,10 @@ class PallasEngine:
             # threefry bits instead (identical kernel logic, different
             # random stream — documented in pallas_kernels).
             chunks = tn.steps_per_pass // tn.steps_per_flush
+            windows = tn.steps_per_flush // tn.inner_unroll
             bits = jax.random.bits(
                 jax.random.fold_in(key, 1),
-                (chunks, tn.steps_per_flush, 2, self.lane_rows, 128),
+                (chunks, windows, 2, self.lane_rows, 128),
                 jnp.uint32,
             )
         else:
@@ -328,6 +337,7 @@ class PallasEngine:
             steps_per_flush=tn.steps_per_flush,
             cycle_detection=o.cycle_detection,
             interpret=self.interpret,
+            inner_unroll=tn.inner_unroll,
         )
 
         # --- compaction: one key sort packs valid entries first AND orders
@@ -349,6 +359,7 @@ class PallasEngine:
 
         # --- stats (orbit points are counted where replay runs) ---
         st = result.stats.astype(jnp.uint32)
+        wasted = jnp.sum(st[pk.STAT_WASTED])
         per_pass = {
             "samples": jnp.sum(st[pk.STAT_DRAWN]),
             "culled": jnp.sum(st[pk.STAT_CULLED]),
@@ -356,10 +367,10 @@ class PallasEngine:
             "cycles": jnp.sum(st[pk.STAT_CYCLES]),
             "emitted": emitted,
             "replay_dropped": dropped,
-            # Useful classify iterations: every lane-step except the one
-            # wasted on each culled draw.
-            "iters": jnp.uint32(tn.steps_per_pass * self.lanes)
-            - jnp.sum(st[pk.STAT_CULLED]),
+            "wasted": wasted,
+            # Useful classify iterations: executed lane-steps minus the
+            # window-coast and culled-draw waste the kernel counted.
+            "iters": jnp.uint32(tn.steps_per_pass * self.lanes) - wasted,
             "points": jnp.uint32(0),
         }
         new_state = dict(state)
@@ -494,6 +505,7 @@ class PallasEngine:
             "replay_dropped": vals["replay_dropped"],
             "cycles_detected": vals["cycles"],
             "classify_iters": vals["iters"],
+            "wasted_steps": vals["wasted"],
             "orbit_points": vals["points"],
         }
         if self._worker is not None:

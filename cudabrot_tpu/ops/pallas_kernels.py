@@ -62,8 +62,14 @@ _SAVE0 = 16
 _BIG = 1.0e30
 
 #: Number of int32 per-lane counters in the stats output.
-STATS_ROWS = 4
-STAT_DRAWN, STAT_CULLED, STAT_IN_BAND, STAT_CYCLES = range(STATS_ROWS)
+STATS_ROWS = 5
+(
+    STAT_DRAWN,
+    STAT_CULLED,
+    STAT_IN_BAND,
+    STAT_CYCLES,
+    STAT_WASTED,
+) = range(STATS_ROWS)
 
 
 class LaneState(NamedTuple):
@@ -113,6 +119,7 @@ def _make_kernel(
     steps_per_flush: int,
     cycle_detection: bool,
     use_prng: bool,
+    inner_unroll: int = 1,
 ):
     """Build the classify kernel body for a static configuration.
 
@@ -161,39 +168,60 @@ def _make_kernel(
         min_i = jnp.int32(min_it)
         max_i = jnp.int32(max_it)
 
-        def step(step_idx, s):
+        def step(widx, s):
+            """One window of `inner_unroll` orbit updates followed by one
+            boundary pass (termination, emission, Brent checkpointing,
+            refill). The inner loop is pure VPU arithmetic — ~16 ops/step
+            vs ~55 for boundary work — so amortizing the boundary over U
+            steps trades a little divergence idle (an escaped lane coasts
+            to the window edge) for a much shorter instruction stream."""
             (cr, ci, zr, zi, sr, si, it, sv, dead,
-             p_cr, p_ci, p_it, n_drawn, n_cull, n_band, n_cyc) = s
-            # --- one orbit update (cudabrot.cu:327-333) ---
-            if fold_abs:
-                zr = jnp.abs(zr)
-                zi = jnp.abs(zi)
-            azr = zr * zr - zi * zi + cr
-            azi = 2.0 * zr * zi + ci
-            it = it + 1
-            esc = (azr * azr + azi * azi) > 4.0  # cudabrot.cu:336
+             p_cr, p_ci, p_it, n_drawn, n_cull, n_band, n_cyc, n_waste) = s
 
-            # --- termination ---
-            if detect:
-                cyc = (azr == sr) & (azi == si)
-            else:
-                cyc = jnp.zeros_like(esc)
-            maxed = it >= max_i
+            # --- inner window: U orbit updates (cudabrot.cu:327-336) ---
+            azr, azi = zr, zi
+            esc_mask = jnp.zeros(azr.shape, bool)
+            cyc_mask = jnp.zeros(azr.shape, bool)
+            needed = jnp.zeros_like(it)  # escape index when esc_mask set
+            for k in range(inner_unroll):
+                if fold_abs:
+                    azr = jnp.abs(azr)
+                    azi = jnp.abs(azi)
+                nzr = azr * azr - azi * azi + cr
+                nzi = 2.0 * azr * azi + ci
+                azr, azi = nzr, nzi
+                hit = (azr * azr + azi * azi) > 4.0
+                newly = hit & ~esc_mask & ~cyc_mask
+                # iterations_needed is the 0-based escape loop index
+                # (cudabrot.cu:336): it + k.
+                needed = jnp.where(newly, it + k, needed)
+                esc_mask = esc_mask | newly
+                if detect:
+                    cyc_mask = cyc_mask | (
+                        (azr == sr) & (azi == si) & ~esc_mask
+                    )
+
+            it_new = it + inner_unroll
+
+            # --- boundary: termination + band filter ---
+            maxed = it_new >= max_i
             deadb = dead != 0
-            fin = esc | cyc | maxed | deadb
-
-            # --- in-band emission into the pending register ---
-            # iterations_needed == it - 1 (the reference's 0-based escape
-            # loop index, cudabrot.cu:336); band filter cudabrot.cu:407-408.
-            needed = it - 1
-            in_band = esc & ~deadb & (needed >= min_i)
+            fin = esc_mask | cyc_mask | maxed | deadb
+            # Window overshoot can carry a lane past max_i before its
+            # escape is observed; the explicit needed < max_i keeps the
+            # reference's band semantics exact (cudabrot.cu:407-408).
+            in_band = (
+                esc_mask & ~deadb & (needed >= min_i) & (needed < max_i)
+            )
             p_cr = jnp.where(in_band, cr, p_cr)
             p_ci = jnp.where(in_band, ci, p_ci)
             p_it = jnp.where(in_band, needed, p_it)
 
-            # --- Brent checkpoint maintenance (non-finished lanes) ---
+            # --- Brent checkpoint (window-boundary schedule: any fixed
+            # past-transient checkpoint works, doubling gaps bound the
+            # detection delay) ---
             if detect:
-                at_save = (it == sv) & ~fin
+                at_save = (it_new >= sv) & ~fin
                 sr2 = jnp.where(at_save, azr, sr)
                 si2 = jnp.where(at_save, azi, si)
                 sv2 = jnp.where(at_save, sv * 2, sv)
@@ -211,8 +239,8 @@ def _make_kernel(
                     jnp.uint32,
                 )
             else:
-                rb_r = bits_ref[0, step_idx, 0]
-                rb_i = bits_ref[0, step_idx, 1]
+                rb_r = bits_ref[0, widx, 0]
+                rb_i = bits_ref[0, widx, 1]
             ncr = _u32_to_domain(rb_r, -2.0, 4.0)
             nci = _u32_to_domain(rb_i, -2.0, 4.0)
             if use_cull:
@@ -225,14 +253,14 @@ def _make_kernel(
                 bulb = (t * t + imag_sq) < 0.0625
                 ncull = card | bulb
             else:
-                ncull = jnp.zeros_like(esc)
+                ncull = jnp.zeros_like(esc_mask)
 
             cr = jnp.where(fin, ncr, cr)
             ci = jnp.where(fin, nci, ci)
             # z starts at c, not 0 (cudabrot.cu:323-324).
             zr = jnp.where(fin, ncr, azr)
             zi = jnp.where(fin, nci, azi)
-            it = jnp.where(fin, 0, it)
+            it = jnp.where(fin, 0, it_new)
             sr = jnp.where(fin, jnp.float32(_BIG), sr2)
             si = jnp.where(fin, jnp.float32(_BIG), si2)
             sv = jnp.where(fin, jnp.int32(_SAVE0), sv2)
@@ -240,12 +268,20 @@ def _make_kernel(
 
             one = jnp.int32(1)
             zero = jnp.int32(0)
+            unroll = jnp.int32(inner_unroll)
             n_drawn = n_drawn + jnp.where(fin, one, zero)
             n_cull = n_cull + jnp.where(fin & ncull, one, zero)
             n_band = n_band + jnp.where(in_band, one, zero)
-            n_cyc = n_cyc + jnp.where(cyc & ~deadb & ~esc, one, zero)
+            n_cyc = n_cyc + jnp.where(cyc_mask & ~deadb, one, zero)
+            # Wasted lane-steps: a dead (culled) lane burns the whole
+            # window; an escaped lane coasts from its escape to the edge.
+            n_waste = n_waste + jnp.where(deadb, unroll, zero)
+            n_waste = n_waste + jnp.where(
+                esc_mask & ~deadb, it_new - needed - 1, zero
+            )
             return (cr, ci, zr, zi, sr, si, it, sv, dead,
-                    p_cr, p_ci, p_it, n_drawn, n_cull, n_band, n_cyc)
+                    p_cr, p_ci, p_it, n_drawn, n_cull, n_band, n_cyc,
+                    n_waste)
 
         carry = (
             cr_ref[...], ci_ref[...], zr_ref[...], zi_ref[...],
@@ -254,10 +290,13 @@ def _make_kernel(
             pend_cr[...], pend_ci[...], pend_it[...],
             counters[STAT_DRAWN], counters[STAT_CULLED],
             counters[STAT_IN_BAND], counters[STAT_CYCLES],
+            counters[STAT_WASTED],
         )
-        carry = jax.lax.fori_loop(0, steps_per_flush, step, carry)
+        carry = jax.lax.fori_loop(
+            0, steps_per_flush // inner_unroll, step, carry
+        )
         (cr, ci, zr, zi, sr, si, it, sv, dead,
-         p_cr, p_ci, p_it, n_drawn, n_cull, n_band, n_cyc) = carry
+         p_cr, p_ci, p_it, n_drawn, n_cull, n_band, n_cyc, n_waste) = carry
 
         cr_ref[...] = cr
         ci_ref[...] = ci
@@ -272,6 +311,7 @@ def _make_kernel(
         counters[STAT_CULLED] = n_cull
         counters[STAT_IN_BAND] = n_band
         counters[STAT_CYCLES] = n_cyc
+        counters[STAT_WASTED] = n_waste
         stats_ref[...] = counters[...]
 
         # Flush the pending in-band samples for this window and clear.
@@ -296,14 +336,14 @@ class ClassifyResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "fractal", "min_it", "max_it", "steps_per_pass", "steps_per_flush",
-        "cycle_detection", "interpret",
+        "cycle_detection", "interpret", "inner_unroll",
     ),
     donate_argnums=(0,),
 )
 def classify_pass(
     state: LaneState,
     seed: jax.Array,  # uint32 scalar, already folded with pass/device
-    bits: jax.Array | None = None,  # (chunks, F, 2, R, 128) u32 test bits
+    bits: jax.Array | None = None,  # (chunks, windows, 2, R, 128) u32 bits
     *,
     fractal: FractalMap,
     min_it: int,
@@ -312,6 +352,7 @@ def classify_pass(
     steps_per_flush: int,
     cycle_detection: bool = True,
     interpret: bool = False,
+    inner_unroll: int = 1,
 ) -> ClassifyResult:
     """Run one persistent-sampler classify pass of `steps_per_pass` lane
     steps, emitting in-band (c, iterations) candidates for replay.
@@ -322,7 +363,10 @@ def classify_pass(
     """
     if steps_per_pass % steps_per_flush != 0:
         raise ValueError("steps_per_pass must be a multiple of steps_per_flush")
+    if steps_per_flush % inner_unroll != 0:
+        raise ValueError("steps_per_flush must be a multiple of inner_unroll")
     chunks = steps_per_pass // steps_per_flush
+    windows = steps_per_flush // inner_unroll
     lane_rows = state.cr.shape[0]
     shape = (lane_rows, 128)
     use_prng = bits is None
@@ -334,6 +378,7 @@ def classify_pass(
         steps_per_flush=steps_per_flush,
         cycle_detection=cycle_detection,
         use_prng=use_prng,
+        inner_unroll=inner_unroll,
     )
 
     f32 = jnp.float32
@@ -354,11 +399,11 @@ def classify_pass(
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # seed (1,)
     inputs = [seed.reshape((1,)).astype(jnp.int32)]
     if not use_prng:
-        if bits.shape != (chunks, steps_per_flush, 2, lane_rows, 128):
+        if bits.shape != (chunks, windows, 2, lane_rows, 128):
             raise ValueError(f"bits has wrong shape {bits.shape}")
         in_specs.append(
             pl.BlockSpec(
-                (1, steps_per_flush, 2, lane_rows, 128),
+                (1, windows, 2, lane_rows, 128),
                 lambda i: (i, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             )

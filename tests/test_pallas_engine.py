@@ -46,9 +46,11 @@ def test_pass_invariants():
     eng = PallasEngine(cfg)
     hist, stats = _run(eng, 3)
     lane_steps = 3 * 256 * 8 * 128
-    # Every lane-step does one iteration except the step wasted per culled
-    # draw.
-    assert stats["classify_iters"] == lane_steps - stats["culled"]
+    # Useful + wasted (window coast + culled draws) must account for every
+    # executed lane-step exactly.
+    assert stats["classify_iters"] + stats["wasted_steps"] == lane_steps
+    # Each culled draw wastes at least one step.
+    assert stats["wasted_steps"] >= stats["culled"]
     # Cull fraction ~ cardioid+bulb area share of the [-2,2]^2 domain
     # (~8.6%).
     cull_frac = stats["culled"] / stats["samples"]

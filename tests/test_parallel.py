@@ -125,4 +125,5 @@ def test_dp_with_pallas_engine():
     assert hist.sum() > 0
     stats = eng.stats(state)
     assert stats["samples"] > 0
-    assert stats["classify_iters"] == 4 * 2 * 128 * 8 * 128 - stats["culled"]
+    lane_steps = 4 * 2 * 128 * 8 * 128
+    assert stats["classify_iters"] + stats["wasted_steps"] == lane_steps
