@@ -48,23 +48,36 @@ def main() -> int:
     state = engine.init_state(None)
     state = engine.run_pass(state, 0)
     jax.block_until_ready(state)
-    warm = engine.stats(state)
 
-    start = time.monotonic()
+    # Median of three segments: throughput through the shared tunnel is
+    # noisy (+-15%), so one long window under-reports as often as not.
+    seg_len = max(seconds / 3.0, 1.0)
+    seg_rates = []
     passes = 1
-    while time.monotonic() - start < seconds:
-        state = engine.run_pass(state, passes)
-        passes += 1
-    jax.block_until_ready(state)
-    hist = engine.histogram(state)  # drains any host replay worker
-    elapsed = time.monotonic() - start
+    prev = engine.stats(state)
+    elapsed = 0.0
+    classify = points = samples = 0
+    for _seg in range(3):
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < seg_len:
+            state = engine.run_pass(state, passes)
+            passes += 1
+        jax.block_until_ready(state)
+        if getattr(engine, "_worker", None) is not None:
+            engine._worker.drain()
+        dt = time.monotonic() - t0
+        st = engine.stats(state)
+        d_classify = st["classify_iters"] - prev["classify_iters"]
+        d_points = st["orbit_points"] - prev["orbit_points"]
+        classify += d_classify
+        points += d_points
+        samples += st["samples"] - prev["samples"]
+        elapsed += dt
+        seg_rates.append((d_classify + d_points) / dt)
+        prev = st
 
-    st = engine.stats(state)
-    classify = st.get("classify_iters", 0) - warm.get("classify_iters", 0)
-    points = st.get("orbit_points", 0) - warm.get("orbit_points", 0)
-    samples = st.get("samples", 0) - warm.get("samples", 0)
-    total = classify + points
-    iters_per_sec = total / elapsed if elapsed > 0 else 0.0
+    hist = engine.histogram(state)
+    iters_per_sec = sorted(seg_rates)[1]  # median segment
 
     print(
         json.dumps(
