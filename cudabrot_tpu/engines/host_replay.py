@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import collections
 import concurrent.futures as cf
+import time
 
 import numpy as np
 
@@ -70,8 +71,6 @@ class HostReplayWorker:
         # here would queue behind the in-flight pass); keeping it small is
         # the capacity model's job. Invalid lanes carry iters == -1 and
         # cost the native engine nothing.
-        import time
-
         t0 = time.perf_counter()
         n = int(n_valid)
         if n <= 0:

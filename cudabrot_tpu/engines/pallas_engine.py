@@ -16,12 +16,12 @@ cudabrot.cu:485-496):
   3. Blocked replay: fixed-size lane blocks re-iterate their known-escaping
      orbits (IterateAndRecord semantics, cudabrot.cu:347-365, with the
      unbounded while(1) replaced by masked chunks bounded by the recorded
-     escape index). Two levels of early exit — blocks beyond the valid
-     count never run, and each block stops at its own longest orbit (the
-     first lane, thanks to the descending sort).
-  4. Scatter: bin ids accumulate into the uint32 histogram via XLA
-     scatter-add — deterministic, unlike the reference's racy non-atomic
-     adds (cudabrot.cu:312).
+     escape index). Each block's chunk loop stops at its own longest
+     active orbit, and blocks with no active lanes skip immediately.
+  4. Accumulation: on the device via XLA scatter-add, on the host via the
+     native replay engine (csrc/), or split between both by orbit length
+     — always deterministic, unlike the reference's racy non-atomic adds
+     (cudabrot.cu:312).
 
 Engine geometry (pass length, flush window, replay capacity) auto-tunes
 from the iteration band: high cutoffs emit rarely and want long passes;
@@ -271,6 +271,7 @@ class PallasEngine:
                 if cfg.band.min_escape_iterations < self.tuning.replay_chunk:
                     share = 0.0
             self.split_threshold = self.tuning.split_threshold(share)
+
             def host_pass(state, pass_index):
                 new_state, (cr, ci, it) = self._classify_and_compact(
                     state,
@@ -278,13 +279,11 @@ class PallasEngine:
                     ordinal=jnp.uint32(0),
                     device_prefix=self.split_threshold,
                 )
-                # Host-replay lanes are an exact prefix (compaction sorts
-                # valid-first by descending length; the device split only
-                # masks the short tail), so the worker can fetch just
-                # payload[:, :n_valid] — the tunnel to the host is
-                # ~45 MB/s here, so shipping empty capacity slots would
-                # dominate sparse-band passes. iters ride as f32 (exact
-                # below 2^24, enforced by config validation).
+                # One packed fixed-shape payload: the host worker fetches a
+                # finished pass output (no fresh device op — that would
+                # queue behind the in-flight pass) in a single transfer.
+                # iters ride as f32 (exact below 2^24, enforced by config
+                # validation); capacity sizing keeps this small.
                 payload = jnp.stack([cr, ci, it.astype(jnp.float32)])
                 n_valid = jnp.sum(it >= 0).astype(jnp.int32)
                 return new_state, n_valid, payload
