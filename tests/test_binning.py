@@ -88,3 +88,34 @@ def test_backend_selection():
     assert binning.select_scatter_backend("auto", big, 1 << 16) == "xla"
     assert binning.select_scatter_backend("xla", small, 1) == "xla"
     assert binning.select_scatter_backend("sort", big, 1) == "sort"
+
+
+def test_sharded_bin_ids_partition_the_canvas():
+    """Summing per-shard local histograms must reproduce the unsharded
+    result exactly — every point maps to exactly one shard."""
+    canvas = Canvas(width=16, height=12)
+    rng = np.random.default_rng(7)
+    re, im = rng.uniform(-2.5, 2.5, size=(2, 4096))
+    valid = jnp.ones(re.shape, bool)
+    full_ids = np.asarray(
+        binning.points_to_bin_ids(canvas, jnp.asarray(re), jnp.asarray(im),
+                                  valid)
+    )
+    want = np.bincount(full_ids[full_ids < canvas.num_pixels],
+                       minlength=canvas.num_pixels).reshape(canvas.shape)
+
+    rows_per = 3  # 4 shards of 3 rows
+    got = np.zeros(canvas.shape, np.int64)
+    for s in range(4):
+        ids = np.asarray(
+            binning.points_to_bin_ids_sharded(
+                canvas, jnp.asarray(re), jnp.asarray(im), valid,
+                row_start=jnp.int32(s * rows_per), row_count=rows_per,
+            )
+        )
+        local = np.bincount(ids[ids < rows_per * canvas.width],
+                            minlength=rows_per * canvas.width)
+        got[s * rows_per:(s + 1) * rows_per] = local.reshape(
+            rows_per, canvas.width
+        )
+    np.testing.assert_array_equal(got, want)

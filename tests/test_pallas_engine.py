@@ -182,3 +182,29 @@ def test_driver_integration():
     res = driver.run_render(cfg, log=lambda s: None)
     assert res.engine_name == "pallas"
     assert res.histogram.sum() > 0
+
+
+def test_burning_ship_statistical_equivalence_with_oracle():
+    """Burning-ship variant must also match the oracle as a distribution
+    (no culls, no cycle detection on this map)."""
+    canvas = Canvas(width=32, height=32)
+    band = IterationBand(max_escape_iterations=50, min_escape_iterations=3)
+
+    pcfg = _cfg(canvas=canvas, band=band, fractal="burning-ship")
+    ph, pstats = _run(PallasEngine(pcfg), 8)
+
+    ocfg = RenderConfig(
+        canvas=canvas,
+        band=band,
+        fractal="burning-ship",
+        options=EngineOptions(engine="oracle",
+                              oracle_samples_per_pass=1 << 15),
+    )
+    from cudabrot_tpu.engines.oracle_engine import OracleEngine
+
+    oh, ostats = _run(OracleEngine(ocfg), 8)
+    assert pstats["culled"] == 0 and ostats["culled"] == 0
+    p = ph.astype(np.float64) / ph.sum()
+    o = oh.astype(np.float64) / oh.sum()
+    corr = np.corrcoef(p.ravel(), o.ravel())[0, 1]
+    assert corr > 0.99, corr
