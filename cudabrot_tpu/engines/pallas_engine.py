@@ -483,6 +483,11 @@ class PallasEngine:
     def run_pass(self, state, pass_index: int):
         if self._worker is not None:
             state, n_valid, payload = self._pass_fn(state, pass_index)
+            # Schedule the device->host copies now (they start the moment
+            # the pass completes), so the worker finds the data already
+            # resident instead of paying the transfer on its critical path.
+            n_valid.copy_to_host_async()
+            payload.copy_to_host_async()
             self._worker.submit(n_valid, payload)
             return state
         return self._pass_fn(state, pass_index)
