@@ -19,19 +19,18 @@ def write_pgm(path: str, image: np.ndarray) -> None:
     image = np.asarray(image)
     if image.ndim != 2:
         raise ValueError(f"PGM image must be 2-D, got shape {image.shape}")
-    if image.dtype == np.uint8:
-        maxval = 255
-        payload = image.tobytes()
-    elif image.dtype == np.uint16:
-        maxval = 65535
-        payload = image.astype(">u2").tobytes()
-    else:
+    if image.dtype not in (np.uint8, np.uint16):
         raise ValueError(f"PGM image must be uint8/uint16, got {image.dtype}")
     h, w = image.shape
+
     from cudabrot_tpu.io import native
 
     if image.dtype == np.uint16 and native.write_pgm16(path, image):
         return
+    if image.dtype == np.uint8:
+        maxval, payload = 255, image.tobytes()
+    else:
+        maxval, payload = 65535, image.astype(">u2").tobytes()
     with open(path, "wb") as f:
         f.write(f"P5\n{w} {h}\n{maxval}\n".encode("ascii"))
         f.write(payload)
