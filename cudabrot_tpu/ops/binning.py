@@ -28,13 +28,6 @@ import jax.numpy as jnp
 
 from cudabrot_tpu.config import Canvas
 
-#: Flat id used for points that fall outside the canvas. With jnp's
-#: default out-of-bounds-drop semantics under jit, ids == num_pixels are
-#: discarded by the scatter; the sort backend masks them explicitly.
-def oob_id(canvas: Canvas) -> int:
-    return canvas.num_pixels
-
-
 def points_to_bin_ids_sharded(
     canvas: Canvas, re, im, valid, row_start, row_count: int
 ):
@@ -122,14 +115,15 @@ def scatter_sorted(hist_flat, ids):
 def select_scatter_backend(name: str, canvas: Canvas, batch_points: int) -> str:
     """Resolve 'auto' to a concrete backend.
 
-    The sort backend pays O(num_pixels * log(batch)) gather work per flush,
-    so it only wins when the histogram is not vastly larger than the point
-    batch it absorbs.
+    Measured on v5e (benchmarks/PERF_NOTES.md): XLA's searchsorted lowers
+    to serial-rate gathers, so the scatter-free sort path loses to plain
+    scatter-add at every realistic size — auto is therefore always "xla".
+    The sort backend remains selectable for experimentation and for
+    backends where gather is vectorized.
     """
+    del canvas, batch_points  # kept for API stability
     if name != "auto":
         return name
-    if canvas.num_pixels <= max(4 * batch_points, 1 << 21):
-        return "sort"
     return "xla"
 
 
