@@ -34,7 +34,7 @@ class HostReplayWorker:
         *,
         burning_ship: bool,
         num_threads: int = 0,
-        max_queue: int = 2,
+        max_queue: int = 3,
     ):
         if not native.available():
             raise RuntimeError(
