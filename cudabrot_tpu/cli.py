@@ -88,6 +88,9 @@ TPU-native extensions:
              uses every visible device).
   --checkpoint-interval <n>: With -s, also write the checkpoint every n
              passes (default: only at exit, like the reference).
+  --preview <file>: with --checkpoint-interval, write a tone-mapped PNG
+             of the in-progress render every interval (atomic replace;
+             point a viewer at it for a live preview).
   --png: Additionally save the image as 16-bit PNG next to the PGM.
   --stats-json <file>: Write render statistics as JSON.
   --replay <mode>: orbit replay execution: auto (default), host
@@ -178,6 +181,7 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
         "seed": 1337,
         "max_passes": None,
         "checkpoint_interval": 0,
+        "preview_file": None,
         "progress_interval": 0.0,
         "profile_dir": None,
     }
@@ -282,6 +286,11 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
         elif arg == "--checkpoint-interval":
             vals["checkpoint_interval"] = _parse_int(argv, i)
             i += 2
+        elif arg == "--preview":
+            vals["preview_file"] = _parse_str(
+                argv, i, "Missing preview file name."
+            )
+            i += 2
         elif arg == "--devices":
             raw = _parse_str(argv, i, "Missing device count.")
             opt["num_devices"] = None if raw == "all" else int(raw)
@@ -342,6 +351,7 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
             output_image=vals["output_image"],
             inprogress_file=vals["inprogress_file"],
             checkpoint_interval=vals["checkpoint_interval"],
+            preview_file=vals["preview_file"],
             device_index=vals["device_index"],
             progress_interval=vals["progress_interval"],
             profile_dir=vals["profile_dir"],

@@ -241,6 +241,9 @@ class RenderConfig:
     #: Write the checkpoint every N passes (0 = only at exit, the reference
     #: behavior, cudabrot.cu:785).
     checkpoint_interval: int = 0
+    #: With checkpoint_interval > 0, also write a tone-mapped preview
+    #: image (PNG) of the in-progress render to this path every interval.
+    preview_file: str | None = None
     #: Device index for single-device operation (-d, cudabrot.cu:667-671).
     device_index: int = 0
     #: Log a progress line every N seconds while rendering (0 = only the

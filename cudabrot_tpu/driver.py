@@ -72,6 +72,33 @@ class SigintFlag:
         return False
 
 
+def _write_preview(cfg: RenderConfig, hist: np.ndarray) -> None:
+    """Tone-map and save an in-progress preview (atomic via tmp+rename so
+    a watcher never reads a torn file)."""
+    import os
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from cudabrot_tpu.io import png as png_io
+    from cudabrot_tpu.ops import tonemap as tonemap_op
+
+    mapped = tonemap_op.tonemap(jnp.asarray(hist), cfg.gamma)
+    image = np.asarray(jax.device_get(mapped.image))
+    directory = os.path.dirname(os.path.abspath(cfg.preview_file)) or "."
+    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".png.tmp")
+    os.close(fd)
+    try:
+        png_io.write_png(tmp, image)
+        os.replace(tmp, cfg.preview_file)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
 def run_render(
     cfg: RenderConfig,
     engine: engines.Engine | None = None,
@@ -155,16 +182,20 @@ def run_render(
             if cfg.seconds_to_run >= 0 and (now - start) > cfg.seconds_to_run:
                 break
             if (
-                cfg.inprogress_file
-                and cfg.checkpoint_interval > 0
+                cfg.checkpoint_interval > 0
                 and passes % cfg.checkpoint_interval == 0
+                and (cfg.inprogress_file or cfg.preview_file)
             ):
-                ckpt.save(
-                    cfg.inprogress_file,
-                    engine.histogram(state),
-                    cfg,
-                    resumed_passes + passes,
-                )
+                snapshot = engine.histogram(state)
+                if cfg.inprogress_file:
+                    ckpt.save(
+                        cfg.inprogress_file,
+                        snapshot,
+                        cfg,
+                        resumed_passes + passes,
+                    )
+                if cfg.preview_file:
+                    _write_preview(cfg, snapshot)
         interrupted = flag.triggered
 
     if cfg.profile_dir:

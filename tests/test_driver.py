@@ -109,3 +109,20 @@ def test_sigint_interrupts_and_saves(tmp_path):
     assert res.interrupted
     assert res.passes >= 1
     assert ckpt.load(path, cfg) is not None
+
+
+def test_preview_snapshots(tmp_path):
+    preview = str(tmp_path / "live.png")
+    cfg = _cfg(
+        max_passes=4,
+        checkpoint_interval=2,
+        preview_file=preview,
+    )
+    driver.run_render(cfg, log=lambda s: None)
+    from cudabrot_tpu.io import png
+
+    img = png.read_png(preview)
+    assert img.shape == (32, 32)
+    assert img.max() > 0
+    leftovers = [p for p in tmp_path.iterdir() if p.name.endswith(".tmp")]
+    assert leftovers == []
