@@ -293,7 +293,10 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
             i += 2
         elif arg == "--devices":
             raw = _parse_str(argv, i, "Missing device count.")
-            opt["num_devices"] = None if raw == "all" else int(raw)
+            if raw == "all":
+                opt["num_devices"] = None
+            else:
+                opt["num_devices"] = _parse_int(argv, i)
             i += 2
         elif arg == "--lane-rows":
             opt["lane_rows"] = _parse_int(argv, i)
@@ -405,12 +408,24 @@ def run(cfg: RenderConfig, extras: CliExtras, log=print) -> int:
     )
 
     log("Saving image.")
-    pgm_io.write_pgm(cfg.output_image, image)
+    # Image-save failures are non-fatal, like the reference's SaveImage
+    # (cudabrot.cu:553-556): by this point the checkpoint (if any) is
+    # already on disk, so a full disk / bad path must not turn an
+    # hours-long render into a traceback.
+    image_saved = True
+    try:
+        pgm_io.write_pgm(cfg.output_image, image)
+    except OSError as e:
+        log(f"Failed saving image {cfg.output_image}: {e}")
+        image_saved = False
     if extras.save_png:
         from cudabrot_tpu.io import png as png_io
 
         png_path = cfg.output_image.rsplit(".", 1)[0] + ".png"
-        png_io.write_png(png_path, image)
+        try:
+            png_io.write_png(png_path, image)
+        except OSError as e:
+            log(f"Failed saving image {png_path}: {e}")
     if extras.stats_json:
         payload = {
             "passes": result.passes,
@@ -422,7 +437,8 @@ def run(cfg: RenderConfig, extras: CliExtras, log=print) -> int:
         }
         with open(extras.stats_json, "w") as f:
             json.dump(payload, f, indent=2)
-    log(f"Done! Output image saved: {cfg.output_image}")
+    if image_saved:
+        log(f"Done! Output image saved: {cfg.output_image}")
     return 0
 
 
@@ -431,7 +447,11 @@ def main(argv: list[str] | None = None) -> int:
     if argv and argv[0] == "render-color":
         from cudabrot_tpu import color
 
-        return color.main(argv[1:])
+        try:
+            return color.main(argv[1:])
+        except CliError as e:
+            print(e.message)
+            return 1
     try:
         cfg, extras = parse_args(argv)
     except CliError as e:

@@ -210,6 +210,19 @@ class EngineOptions:
             raise ConfigError(
                 "lane_rows must be positive and replay_capacity non-negative"
             )
+        # Per-pass counter invariants (the kernel tracks per-lane steps in
+        # int32 and per-pass lane-steps in uint32). The auto-tuner bounds
+        # these internally; user-set values must be checked here.
+        if self.steps_per_pass >= (1 << 31):
+            raise ConfigError("steps_per_pass must be below 2^31")
+        if (
+            self.steps_per_pass > 0
+            and self.steps_per_pass * self.lane_rows * 128 >= (1 << 32)
+        ):
+            raise ConfigError(
+                "steps_per_pass * lane_rows * 128 (per-pass lane-steps) "
+                "must be below 2^32; lower one of them"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -102,6 +102,16 @@ class Tuning:
                 (self.steps_per_pass // self.steps_per_flush + 1)
                 * self.steps_per_flush
             )
+        # Per-pass lane-step count must fit uint32 (per-pass stat
+        # counters). EngineOptions.validate rejects user-set violations;
+        # the auto path (large lane_rows) is clamped down here.
+        max_steps = ((1 << 32) - 1) // lanes
+        if self.steps_per_pass > max_steps:
+            self.steps_per_pass = max(
+                (max_steps // self.steps_per_flush) * self.steps_per_flush,
+                self.steps_per_flush,
+            )
+        assert self.steps_per_pass * lanes < (1 << 32)
         expected = self.steps_per_pass * lanes * rate
         # pow2 rounding already grants up to 2x headroom; overflow beyond
         # capacity is counted (replay_dropped) and statistically unbiased.
@@ -117,6 +127,17 @@ class Tuning:
         # after the descending sort (low masked-sentinel waste in the
         # scatter stream) while staying wide enough for the VPU.
         self.replay_block = min(1024, self.replay_capacity)
+        # _blocked_replay processes whole blocks only: a capacity that is
+        # not a block multiple would silently drop the tail lanes — and
+        # since the batch is sorted by descending orbit length, the loss
+        # would be biased toward short orbits. Round user-set capacities
+        # up to the next block multiple (auto-tuned ones are powers of two
+        # >= 4096 and already aligned).
+        if self.replay_capacity % self.replay_block != 0:
+            self.replay_capacity = (
+                (self.replay_capacity // self.replay_block + 1)
+                * self.replay_block
+            )
         self.replay_chunk = o.replay_chunk
         # Window size trades boundary-op amortization against
         # finished-lane coast. Steady-state A/B on v5e (benchmarks/

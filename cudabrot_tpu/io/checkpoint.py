@@ -54,6 +54,21 @@ def _metadata(cfg: RenderConfig, passes: int) -> dict:
     }
 
 
+def _fsync_dir(dirpath: str) -> None:
+    """Flush the directory entry so a rename survives power loss; best
+    effort (some filesystems refuse O_RDONLY dir fsync)."""
+    try:
+        dfd = os.open(dirpath, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(dfd)
+    except OSError:
+        pass
+    finally:
+        os.close(dfd)
+
+
 def save(path: str, hist: np.ndarray, cfg: RenderConfig, passes: int) -> None:
     """Atomically write the checkpoint."""
     hist = np.ascontiguousarray(hist, dtype=np.uint32)
@@ -67,7 +82,13 @@ def save(path: str, hist: np.ndarray, cfg: RenderConfig, passes: int) -> None:
         with os.fdopen(fd, "wb") as f:
             np.savez(f, hist=hist, meta=np.frombuffer(
                 json.dumps(meta).encode(), dtype=np.uint8))
+            f.flush()
+            os.fsync(f.fileno())  # durable before the rename commits it
+        # mkstemp creates 0600; give the checkpoint normal umask-style
+        # permissions instead of silently resetting them every save.
+        os.chmod(tmp, 0o644)
         os.replace(tmp, path)
+        _fsync_dir(os.path.dirname(os.path.abspath(path)) or ".")
     except BaseException:
         try:
             os.unlink(tmp)

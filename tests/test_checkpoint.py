@@ -107,3 +107,15 @@ def test_atomic_save_leaves_no_tmp(tmp_path):
     ckpt.save(path, np.zeros(cfg.canvas.shape, np.uint32), cfg, passes=1)
     leftovers = [p for p in tmp_path.iterdir() if ".tmp." in p.name]
     assert leftovers == []
+
+
+def test_checkpoint_file_permissions(tmp_path):
+    """Checkpoints must not inherit mkstemp's 0600 (owner-only) mode."""
+    import stat
+
+    cfg = _cfg()
+    hist = np.zeros(cfg.canvas.shape, dtype=np.uint32)
+    path = tmp_path / "perm.ckpt"
+    ckpt.save(str(path), hist, cfg, passes=1)
+    mode = stat.S_IMODE(path.stat().st_mode)
+    assert mode == 0o644

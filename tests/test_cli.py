@@ -123,3 +123,38 @@ def test_flag_order_revalidation():
     # And an intermediate-invalid order errors like the reference:
     with pytest.raises(cli.CliError):
         cli.parse_args(["--min-real", "2.5", "--max-real", "3.0"])
+
+
+def test_devices_garbage_is_clean_cli_error():
+    """--devices with a non-integer must raise CliError (clean usage
+    message), not an uncaught ValueError traceback."""
+    with pytest.raises(cli.CliError):
+        cli.parse_args(["--devices", "2x"])
+
+
+def test_render_color_cli_error_is_clean(capsys):
+    """A CliError from the render-color subcommand must be caught by main
+    (message + nonzero exit), not propagate as a traceback."""
+    rc = cli.main(["render-color", "--band"])
+    assert rc == 1
+    out = capsys.readouterr().out
+    assert "Traceback" not in out
+
+
+def test_image_save_failure_is_nonfatal(tmp_path):
+    """A failing image write after a render must print-and-continue like
+    the reference's SaveImage (cudabrot.cu:553-556); the checkpoint stays
+    intact and the exit code is still 0."""
+    ckpt = tmp_path / "state.ckpt"
+    bad_image = tmp_path / "no_such_dir" / "out.pgm"
+    lines = []
+    cfg, extras = cli.parse_args(
+        ["-w", "32", "-h", "32", "-m", "60", "-c", "5",
+         "--passes", "2", "-t", "-1", "--engine", "oracle",
+         "-s", str(ckpt), "-o", str(bad_image)]
+    )
+    rc = cli.run(cfg, extras, log=lines.append)
+    assert rc == 0
+    assert ckpt.exists()
+    assert any("Failed saving image" in ln for ln in lines)
+    assert not any("Done!" in ln for ln in lines)

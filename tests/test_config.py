@@ -84,3 +84,14 @@ def test_config_is_hashable_static_arg():
     cfg = RenderConfig()
     assert hash(cfg) == hash(RenderConfig())
     assert cfg.replace(gamma=2.0) != cfg
+
+
+def test_steps_times_lanes_overflow_rejected():
+    """User-set per-pass lane-step counts must fit uint32 (kernel stat
+    counters); the auto-tuner guarantees this, user values are validated."""
+    with pytest.raises(ConfigError):
+        EngineOptions(lane_rows=128, steps_per_pass=1 << 18).validate()
+    with pytest.raises(ConfigError):
+        EngineOptions(steps_per_pass=1 << 31).validate()
+    # Just under the bound is fine.
+    EngineOptions(lane_rows=64, steps_per_pass=(1 << 18) - 64).validate()

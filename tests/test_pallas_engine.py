@@ -208,3 +208,41 @@ def test_burning_ship_statistical_equivalence_with_oracle():
     o = oh.astype(np.float64) / oh.sum()
     corr = np.corrcoef(p.ravel(), o.ravel())[0, 1]
     assert corr > 0.99, corr
+
+
+def test_tuning_rounds_replay_capacity_to_block_multiple():
+    """A user-set replay_capacity that is not a replay_block multiple
+    would silently drop the (shortest-orbit) tail in _blocked_replay;
+    Tuning must round it up instead."""
+    from cudabrot_tpu.engines.pallas_engine import Tuning
+
+    cfg = RenderConfig(
+        canvas=Canvas(width=64, height=64),
+        band=IterationBand(max_escape_iterations=64,
+                           min_escape_iterations=8),
+        options=EngineOptions(engine="pallas", replay_capacity=1500),
+    )
+    t = Tuning(cfg)
+    assert t.replay_capacity % t.replay_block == 0
+    assert t.replay_capacity == 2048  # rounded up, never down
+
+    # Small capacities (< one block) keep block == capacity.
+    t2 = Tuning(cfg.replace(options=EngineOptions(
+        engine="pallas", replay_capacity=100)))
+    assert t2.replay_block == t2.replay_capacity == 100
+
+
+def test_tuning_auto_steps_respect_lane_step_budget():
+    """With huge lane counts the auto pass length must shrink so per-pass
+    lane-steps stay below 2^32."""
+    from cudabrot_tpu.engines.pallas_engine import Tuning
+
+    cfg = RenderConfig(
+        canvas=Canvas(width=64, height=64),
+        band=IterationBand(max_escape_iterations=20000,
+                           min_escape_iterations=2000),
+        options=EngineOptions(engine="pallas", lane_rows=4096),
+    )
+    t = Tuning(cfg)
+    assert t.steps_per_pass * 4096 * 128 < (1 << 32)
+    assert t.steps_per_pass % t.steps_per_flush == 0
