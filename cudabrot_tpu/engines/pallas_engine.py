@@ -267,30 +267,17 @@ class PallasEngine:
             self._worker = HostReplayWorker(
                 cfg.canvas, burning_ship=self.fractal.fold_abs
             )
-            # Auto point-mass share from measured scatter rates (device
-            # ~1.5e8 pts/s with ~1.3x tail waste, host ~3e8 pts/s;
-            # PERF_NOTES.md) — the device takes the short-orbit ~quarter
-            # of the point mass.
-            share = o.replay_device_share
-            if share < 0:
-                share = 0.25 if not self.interpret else 0.0
-                # The device split only pays when emissions fill whole
-                # replay blocks; at sparse-emission bands a lone orbit
-                # would drag a nearly-empty block through thousands of
-                # masked scatter chunks — route everything to the host.
-                rate = band_emission_rate(
-                    cfg.band.min_escape_iterations,
-                    cfg.band.max_escape_iterations,
-                )
-                expected = self.tuning.steps_per_pass * self.lanes * rate
-                if expected * share < 4 * self.tuning.replay_block:
-                    share = 0.0
-                # ... and when orbits are short, the fixed replay-chunk
-                # granularity (and per-scatter call cost) makes the device
-                # path far slower than the host engine — require in-band
-                # orbits to span at least one chunk.
-                if cfg.band.min_escape_iterations < self.tuning.replay_chunk:
-                    share = 0.0
+            # Auto share is 0: route ALL replay to the host. Measured on
+            # v5e + AVX-512 host (benchmarks/phase_breakdown.py): device
+            # XLA scatter sustains ~1.1e8 slots/s on silicon that
+            # classifies at 2.8e10 lane-steps/s — every device-second
+            # spent scattering forfeits ~250x more useful iterations than
+            # it contributes — while the native host replay absorbs the
+            # full point mass at ~7.6e8 pts/s concurrently with the next
+            # classify pass. A positive replay_device_share remains
+            # honored for experimentation and for hosts slower than the
+            # emission stream.
+            share = max(o.replay_device_share, 0.0)
             self.split_threshold = self.tuning.split_threshold(share)
 
             def host_pass(state, pass_index):
