@@ -78,6 +78,9 @@ def main() -> int:
 
     hist = engine.histogram(state)
     iters_per_sec = sorted(seg_rates)[1]  # median segment
+    # Tunnel-noise visibility: publish every segment and the spread so a
+    # recorded number can be judged against the run's own variance.
+    spread_pct = 100.0 * (max(seg_rates) - min(seg_rates)) / iters_per_sec
 
     print(
         json.dumps(
@@ -86,6 +89,8 @@ def main() -> int:
                 "value": round(iters_per_sec, 1),
                 "unit": "iter/s",
                 "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 4),
+                "segment_rates": [round(r, 1) for r in seg_rates],
+                "segment_spread_pct": round(spread_pct, 2),
                 "classify_iters_per_sec": round(classify / elapsed, 1),
                 "orbit_points_per_sec": round(points / elapsed, 1),
                 "samples_per_sec": round(samples / elapsed, 1),

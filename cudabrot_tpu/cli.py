@@ -390,11 +390,15 @@ def run(cfg: RenderConfig, extras: CliExtras, log=print) -> int:
     log("Calculating image...")
     from cudabrot_tpu.io import checkpoint as _ckpt
 
+    from cudabrot_tpu.config import ConfigError
+
     try:
         result = driver.run_render(cfg, log=log)
-    except _ckpt.CheckpointError as e:
+    except (_ckpt.CheckpointError, ConfigError) as e:
         # Fatal like the reference's size check (cudabrot.cu:239-245), but
-        # with a clean message instead of a traceback.
+        # with a clean message instead of a traceback. ConfigError here
+        # covers engine-construction rejections (e.g. pallas + float64)
+        # that cannot be detected at flag-parse time.
         log(str(e))
         return 1
 

@@ -168,10 +168,17 @@ def run_render(
                 and now - last_progress >= cfg.progress_interval
             ):
                 steps = getattr(engine, "steps_per_pass", 0) * passes
+                # Oracle passes early-exit, so steps_per_pass is an upper
+                # bound there — label the rate honestly.
+                mark = (
+                    "~"
+                    if getattr(engine, "steps_per_pass_exact", True)
+                    else "<="
+                )
                 log(
                     f"  pass {passes}: {now - start:.1f}s elapsed"
                     + (
-                        f", ~{steps / (now - start):.3e} lane-steps/s"
+                        f", {mark}{steps / (now - start):.3e} lane-steps/s"
                         if steps
                         else ""
                     )

@@ -12,7 +12,7 @@ from typing import Protocol
 
 import numpy as np
 
-from cudabrot_tpu.config import RenderConfig
+from cudabrot_tpu.config import ConfigError, RenderConfig
 
 
 class Engine(Protocol):
@@ -41,6 +41,23 @@ def make_engine(cfg: RenderConfig) -> Engine:
     n = cfg.options.num_devices
     if n is None:
         n = len(jax.devices())
+
+    if cfg.options.precision == "float64":
+        # Honest precision support (the reference iterates in hardware
+        # double, cudabrot.cu:321): the Pallas production kernel is
+        # f32-only — measured statistically equivalent at production
+        # scales (benchmarks/precision_study.md) — so float64 must either
+        # run on the oracle engine with x64 actually enabled, or refuse.
+        if choice == "pallas":
+            raise ConfigError(
+                "float64 iteration is not supported by the pallas engine "
+                "(f32 is statistically equivalent at production scales; "
+                "see benchmarks/precision_study.md). Use --engine oracle "
+                "for exact double iteration."
+            )
+        # Without x64, jax silently demotes f64 arrays to f32 — the flag
+        # would lie. This is process-global and must precede tracing.
+        jax.config.update("jax_enable_x64", True)
 
     if choice == "oracle":
         from cudabrot_tpu.engines.oracle_engine import OracleEngine

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cudabrot_tpu.config import RenderConfig
+from cudabrot_tpu.config import ConfigError, RenderConfig
 from cudabrot_tpu.ops import oracle
 from cudabrot_tpu.utils import counters
 
@@ -26,6 +26,18 @@ class OracleEngine:
         self.steps_per_pass = (
             cfg.options.oracle_samples_per_pass * cfg.band.max_escape_iterations
         )
+        # Per-pass stat counters are uint32 (ops/oracle.py); the per-pass
+        # iteration count is bounded by samples * max_it.
+        if self.steps_per_pass >= (1 << 32):
+            raise ConfigError(
+                "oracle_samples_per_pass * max_escape_iterations must be "
+                "below 2^32 (per-pass stat counters are uint32); lower "
+                "oracle_samples_per_pass or use the pallas engine"
+            )
+        #: Worst-case bound, not an exact count: samples that escape (or
+        #: are culled) early execute fewer steps. The driver's progress
+        #: line must not present it as a measured rate.
+        self.steps_per_pass_exact = False
         self._pass_fn = jax.jit(
             functools.partial(self.core, ordinal=jnp.uint32(0)),
             donate_argnums=0,

@@ -239,6 +239,15 @@ class PallasEngine:
         replay_mode: str | None = None,
     ):
         cfg.options.validate()
+        if cfg.options.precision == "float64":
+            from cudabrot_tpu.config import ConfigError
+
+            raise ConfigError(
+                "float64 iteration is not supported by the pallas engine "
+                "(f32 is statistically equivalent at production scales; "
+                "see benchmarks/precision_study.md). Use --engine oracle "
+                "for exact double iteration."
+            )
         self.cfg = cfg
         self.fractal = fractals.get_fractal(cfg.fractal)
         o = cfg.options
