@@ -55,9 +55,11 @@ class HostReplayWorker:
         self._pending: collections.deque[cf.Future] = collections.deque()
 
     def submit(self, n_valid, payload) -> None:
-        """Queue one emission batch: ``payload`` is a (3, K) f32 device
-        array [cr; ci; iters-as-f32], of which only the first ``n_valid``
-        columns are live."""
+        """Queue one emission batch. ``payload`` is either a (2, K) u32
+        device array of packed emissions (24-bit RNG index per axis +
+        split 16-bit iters+1; see pallas_engine's host_pass) or the
+        legacy (3, K) f32 layout [cr; ci; iters-as-f32]. Only the first
+        ``n_valid`` columns are live."""
         while len(self._pending) >= self.max_queue:
             self._pending.popleft().result()
         self._pending.append(self._pool.submit(self._job, n_valid, payload))
@@ -75,10 +77,22 @@ class HostReplayWorker:
         n = int(n_valid)
         if n <= 0:
             return
-        batch = np.asarray(payload, np.float32)
-        cr = batch[0]
-        ci = batch[1]
-        iters = batch[2].astype(np.int32)
+        batch = np.asarray(payload)
+        if batch.dtype == np.uint32:
+            # Packed layout: exact c reconstruction (k * 2^-22 - 2 is the
+            # kernel's own sample quantization, bit-identical round trip).
+            w0, w1 = batch[0], batch[1]
+            k_r = (w0 & 0xFFFFFF).astype(np.float32)
+            k_i = (w1 & 0xFFFFFF).astype(np.float32)
+            cr = k_r * np.float32(2.384185791015625e-07) - np.float32(2.0)
+            ci = k_i * np.float32(2.384185791015625e-07) - np.float32(2.0)
+            enc = (w0 >> 24) | ((w1 >> 24) << 8)
+            iters = enc.astype(np.int32) - 1
+        else:
+            batch = batch.astype(np.float32, copy=False)
+            cr = batch[0]
+            ci = batch[1]
+            iters = batch[2].astype(np.int32)
         t1 = time.perf_counter()
         self.fetch_seconds += t1 - t0
         cv = self.canvas

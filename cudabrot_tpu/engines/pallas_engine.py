@@ -289,6 +289,18 @@ class PallasEngine:
             share = max(o.replay_device_share, 0.0)
             self.split_threshold = self.tuning.split_threshold(share)
 
+            # The kernel draws c from 24-bit RNG words: cr = k * 2^-22 - 2
+            # exactly (pallas_kernels._u32_to_domain), so k = (cr+2) * 2^22
+            # is exactly recoverable on-device and c is exactly
+            # reconstructible on the host. With escape indices < 2^16 the
+            # whole emission packs losslessly into two u32 words
+            # (24-bit k_re/k_im + split 16-bit iters+1): 8 bytes/emission
+            # instead of 12 — a 1.5x cut of the device->host payload,
+            # which is the binding constraint at emission-heavy bands on
+            # slow links (PERF_NOTES.md: this environment's tunnel runs
+            # ~45 MB/s; the reference's default band saturates it).
+            self._packed_payload = cfg.band.max_escape_iterations <= 0xFFFF
+
             def host_pass(state, pass_index):
                 new_state, (cr, ci, it) = self._classify_and_compact(
                     state,
@@ -296,13 +308,22 @@ class PallasEngine:
                     ordinal=jnp.uint32(0),
                     device_prefix=self.split_threshold,
                 )
-                # One packed fixed-shape payload: the host worker fetches a
+                # One fixed-shape payload: the host worker fetches a
                 # finished pass output (no fresh device op — that would
                 # queue behind the in-flight pass) in a single transfer.
-                # iters ride as f32 (exact below 2^24, enforced by config
-                # validation); capacity sizing keeps this small.
-                payload = jnp.stack([cr, ci, it.astype(jnp.float32)])
                 n_valid = jnp.sum(it >= 0).astype(jnp.int32)
+                if self._packed_payload:
+                    scale = jnp.float32(4194304.0)  # 2^22
+                    k_r = ((cr + 2.0) * scale).astype(jnp.uint32)
+                    k_i = ((ci + 2.0) * scale).astype(jnp.uint32)
+                    enc = (it + 1).astype(jnp.uint32)  # 0 == invalid lane
+                    w0 = k_r | ((enc & jnp.uint32(0xFF)) << 24)
+                    w1 = k_i | ((enc >> 8) << 24)
+                    payload = jnp.stack([w0, w1])
+                else:
+                    # iters ride as f32 (exact below 2^24, enforced by
+                    # config validation).
+                    payload = jnp.stack([cr, ci, it.astype(jnp.float32)])
                 return new_state, n_valid, payload
 
             self._pass_fn = jax.jit(host_pass, donate_argnums=0)
@@ -485,7 +506,10 @@ class PallasEngine:
         lanes = self.lanes * 9 * 4  # persistent lane state arrays
         chunks = tn.steps_per_pass // tn.steps_per_flush
         emission = chunks * self.lanes * 12
-        device = hist + lanes + emission * 2 + self.replay_capacity * 12
+        payload_bytes = 8 if getattr(self, "_packed_payload", False) else 12
+        device = (
+            hist + lanes + emission * 2 + self.replay_capacity * payload_bytes
+        )
         host = hist + cv.num_pixels * 2  # final histogram + 16-bit image
         if self._worker is not None:
             host += hist  # host accumulation buffer

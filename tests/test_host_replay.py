@@ -160,3 +160,71 @@ def test_host_mode_resume_preserves_mass():
     jax.block_until_ready(state)
     hist = eng.histogram(state)
     assert hist.min() >= 7  # resumed mass preserved under new counts
+
+
+def test_packed_payload_roundtrip_is_exact():
+    """The 8-byte packed emission layout must reconstruct the kernel's
+    f32 c values bit-exactly (c = k * 2^-22 - 2 for 24-bit k is the
+    kernel's own sample quantization) and the escape index losslessly."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    k = rng.integers(0, 1 << 24, size=512, dtype=np.uint32)
+    cr = (k.astype(np.float32) * np.float32(2.384185791015625e-07)
+          - np.float32(2.0))
+    it = rng.integers(-1, 0xFFFF, size=512).astype(np.int32)
+
+    # Device-side pack (mirrors pallas_engine.host_pass).
+    scale = jnp.float32(4194304.0)
+    k_r = ((jnp.asarray(cr) + 2.0) * scale).astype(jnp.uint32)
+    enc = (jnp.asarray(it) + 1).astype(jnp.uint32)
+    w0 = np.asarray(k_r | ((enc & jnp.uint32(0xFF)) << 24))
+    w1 = np.asarray(k_r | ((enc >> 8) << 24))
+
+    # Host-side unpack (mirrors HostReplayWorker._job).
+    k_back = (w0 & 0xFFFFFF).astype(np.float32)
+    cr_back = (k_back * np.float32(2.384185791015625e-07)
+               - np.float32(2.0))
+    enc_back = (w0 >> 24) | ((w1 >> 24) << 8)
+    it_back = enc_back.astype(np.int32) - 1
+
+    np.testing.assert_array_equal(cr_back.view(np.uint32),
+                                  cr.view(np.uint32))  # bit-exact
+    np.testing.assert_array_equal(it_back, it)
+
+
+def test_host_mode_uses_packed_payload_and_matches():
+    """Host mode with a packable band (max_it < 2^16) must produce the
+    same histogram mass as before packing (statistically identical
+    stream, bit-exact c round trip)."""
+    from cudabrot_tpu.engines.pallas_engine import PallasEngine
+
+    cfg = RenderConfig(
+        canvas=Canvas(width=40, height=40),
+        band=IterationBand(max_escape_iterations=60,
+                           min_escape_iterations=5),
+        options=EngineOptions(
+            engine="pallas", lane_rows=8, steps_per_pass=256,
+            steps_per_flush=16, replay_capacity=1 << 14, replay_chunk=64,
+        ),
+    )
+    eng = PallasEngine(cfg, replay_mode="host")
+    assert eng._packed_payload
+    state = eng.init_state(None)
+    for p in range(3):
+        state = eng.run_pass(state, p)
+    jax.block_until_ready(state)
+    hh = eng.histogram(state)
+    hstats = eng.stats(state)
+    assert hstats["orbit_points"] > 0
+    assert hstats["on_canvas_points"] == hh.sum()
+
+    # Device-mode replay of the same stream: tight statistical agreement
+    # (same invariant the unpacked payload test asserted).
+    dng = PallasEngine(cfg, replay_mode="device")
+    dstate = dng.init_state(None)
+    for p in range(3):
+        dstate = dng.run_pass(dstate, p)
+    jax.block_until_ready(dstate)
+    dh = dng.histogram(dstate)
+    assert abs(int(hh.sum()) - int(dh.sum())) <= 0.01 * dh.sum()
