@@ -552,6 +552,13 @@ class PallasEngine:
         return self._pass_fn(state, pass_index)
 
     def histogram(self, state) -> np.ndarray:
+        if self._worker is not None and self.split_threshold == 0:
+            # Pure host replay: the device histogram provably never gets a
+            # write (resumed mass also lives in the worker accumulator),
+            # so skip fetching it — at production canvases that is >1 GB
+            # of zeros through the device link.
+            self._worker.drain()
+            return self._worker.hist.copy()
         hist = np.asarray(jax.device_get(state["hist"]), dtype=np.uint32)
         if self._worker is not None:
             self._worker.drain()
