@@ -49,15 +49,18 @@ def main() -> int:
     state = engine.run_pass(state, 0)
     jax.block_until_ready(state)
 
-    # Median of three segments: throughput through the shared tunnel is
-    # noisy (+-15%), so one long window under-reports as often as not.
-    seg_len = max(seconds / 3.0, 1.0)
+    # Median of five segments: throughput through the shared tunnel is
+    # noisy (segments vary ~12% within a run), so one long window
+    # under-reports as often as not; the median of more, shorter
+    # segments keeps run-to-run medians within ~+-5%.
+    n_segments = 5
+    seg_len = max(seconds / n_segments, 1.0)
     seg_rates = []
     passes = 1
     prev = engine.stats(state)
     elapsed = 0.0
     classify = points = samples = 0
-    for _seg in range(3):
+    for _seg in range(n_segments):
         t0 = time.monotonic()
         while time.monotonic() - t0 < seg_len:
             state = engine.run_pass(state, passes)
@@ -77,7 +80,7 @@ def main() -> int:
         prev = st
 
     hist = engine.histogram(state)
-    iters_per_sec = sorted(seg_rates)[1]  # median segment
+    iters_per_sec = sorted(seg_rates)[n_segments // 2]  # median segment
     # Tunnel-noise visibility: publish every segment and the spread so a
     # recorded number can be judged against the run's own variance.
     spread_pct = 100.0 * (max(seg_rates) - min(seg_rates)) / iters_per_sec
