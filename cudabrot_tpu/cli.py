@@ -367,6 +367,15 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
 
 def run(cfg: RenderConfig, extras: CliExtras, log=print) -> int:
     """Render + tone-map + save (the main() sequence, cudabrot.cu:762-791)."""
+    from cudabrot_tpu.parallel import distributed
+
+    # Must precede any backend-initializing call (multi-slice launches,
+    # see parallel/distributed.py). Single-process runs are untouched.
+    distributed.initialize_from_env(log)
+    primary = distributed.is_primary()
+    if not primary:
+        log = lambda *_a, **_k: None  # noqa: E731 — non-primary is silent
+
     import jax
 
     from cudabrot_tpu import driver
@@ -401,6 +410,11 @@ def run(cfg: RenderConfig, extras: CliExtras, log=print) -> int:
         # that cannot be detected at flag-parse time.
         log(str(e))
         return 1
+
+    if not primary:
+        # Non-primary processes have contributed their samples through
+        # the collective passes; output is the primary's job.
+        return 0
 
     mapped = tonemap_op.tonemap(
         jax.numpy.asarray(result.histogram), cfg.gamma

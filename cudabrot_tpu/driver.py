@@ -151,13 +151,35 @@ def run_render(
     if cfg.profile_dir:
         jax.profiler.start_trace(cfg.profile_dir)
 
+    # Multi-process runs (parallel.distributed): every process executes
+    # the same collective pass sequence; the primary takes the stop
+    # decision (its clock / its SIGINT) and broadcasts it so nobody
+    # diverges out of the SPMD program.
+    multiproc = jax.process_count() > 1
+    primary = jax.process_index() == 0
+    if multiproc:
+        from cudabrot_tpu.parallel import distributed
+
     depth = max(1, cfg.options.pipeline_depth)
     passes = 0
     interrupted = False
     start = time.monotonic()
     last_progress = start
     with SigintFlag(log) as flag:
-        while not flag.triggered:
+        while True:
+            stop = flag.triggered
+            if cfg.max_passes is not None and passes >= cfg.max_passes:
+                stop = True
+            if (
+                passes > 0
+                and cfg.seconds_to_run >= 0
+                and (time.monotonic() - start) > cfg.seconds_to_run
+            ):
+                stop = True
+            if multiproc:
+                stop = distributed.broadcast_flag(stop if primary else False)
+            if stop:
+                break
             state = engine.run_pass(state, resumed_passes + passes)
             passes += 1
             if passes % depth == 0:
@@ -184,24 +206,22 @@ def run_render(
                     )
                 )
                 last_progress = now
-            if cfg.max_passes is not None and passes >= cfg.max_passes:
-                break
-            if cfg.seconds_to_run >= 0 and (now - start) > cfg.seconds_to_run:
-                break
             if (
                 cfg.checkpoint_interval > 0
                 and passes % cfg.checkpoint_interval == 0
                 and (cfg.inprogress_file or cfg.preview_file)
             ):
+                # engine.histogram is a collective in multi-process runs:
+                # every process computes it, only the primary writes.
                 snapshot = engine.histogram(state)
-                if cfg.inprogress_file:
+                if primary and cfg.inprogress_file:
                     ckpt.save(
                         cfg.inprogress_file,
                         snapshot,
                         cfg,
                         resumed_passes + passes,
                     )
-                if cfg.preview_file:
+                if primary and cfg.preview_file:
                     _write_preview(cfg, snapshot)
         interrupted = flag.triggered
 
@@ -213,7 +233,7 @@ def run_render(
     hist = engine.histogram(state)
     log(f"{passes} Buddhabrot passes took {elapsed:f} seconds.")
 
-    if cfg.inprogress_file:
+    if cfg.inprogress_file and primary:
         log(f"Saving in-progress buffer to {cfg.inprogress_file}.")
         ckpt.save(cfg.inprogress_file, hist, cfg, resumed_passes + passes)
 

@@ -58,6 +58,40 @@ class DataParallelEngine:
     def init_state(self, hist0: np.ndarray | None):
         local = self.inner.init_state(None)
         d = self.num_devices
+        sharding = NamedSharding(self.mesh, P("devices"))
+
+        if jax.process_count() > 1:
+            # Multi-process: build global arrays shard-by-shard (every
+            # process provides exactly its addressable slabs; device_put
+            # of host-local arrays onto a cross-process sharding is not).
+            local_np = jax.tree.map(np.asarray, local)
+            hist0_np = (
+                None if hist0 is None else np.asarray(hist0, np.uint32)
+            )
+
+            def build(x, inject0=None):
+                gshape = (d,) + x.shape
+
+                def cb(index):
+                    sl = index[0]
+                    lo = sl.start or 0
+                    hi = sl.stop if sl.stop is not None else d
+                    slab = np.broadcast_to(x, (hi - lo,) + x.shape).copy()
+                    if inject0 is not None and lo == 0:
+                        slab[0] = inject0
+                    return slab
+
+                return jax.make_array_from_callback(gshape, sharding, cb)
+
+            state = jax.tree.map(build, local_np)
+            if hist0_np is not None:
+                # Resume: the loaded histogram becomes device 0's replica;
+                # the final sum over replicas reconstructs the total.
+                state["hist"] = build(
+                    np.zeros(self.cfg.canvas.shape, np.uint32),
+                    inject0=hist0_np,
+                )
+            return state
 
         def stack(x):
             x = jnp.asarray(x)
@@ -70,7 +104,6 @@ class DataParallelEngine:
             hist = jnp.zeros((d,) + self.cfg.canvas.shape, jnp.uint32)
             hist = hist.at[0].set(jnp.asarray(hist0, jnp.uint32))
             state["hist"] = hist
-        sharding = NamedSharding(self.mesh, P("devices"))
         return jax.tree.map(
             lambda x: jax.device_put(x, sharding), state
         )
@@ -79,19 +112,39 @@ class DataParallelEngine:
         return self._pass_fn(state, pass_index)
 
     def histogram(self, state) -> np.ndarray:
-        # The single cross-device histogram reduction (psum over ICI under
-        # the hood); uint32 adds are exact.
-        merged = jax.jit(lambda h: jnp.sum(h, axis=0, dtype=jnp.uint32))(
-            state["hist"]
-        )
+        # The single cross-device histogram reduction (psum over ICI /
+        # DCN under the hood); uint32 adds are exact. The replicated
+        # output sharding makes the result addressable on every process.
+        merged = jax.jit(
+            lambda h: jnp.sum(h, axis=0, dtype=jnp.uint32),
+            out_shardings=NamedSharding(self.mesh, P()),
+        )(state["hist"])
         return np.asarray(jax.device_get(merged), dtype=np.uint32)
 
     def stats(self, state) -> dict:
         totals: dict[str, int] = {}
         # Stat counters are (lo, hi) uint32 pairs stacked per device; sum
-        # exactly on the host.
+        # exactly on the host. In multi-process runs the per-device
+        # counter columns live on remote processes, so first replicate
+        # the (tiny) counter leaves to every process via a jitted
+        # identity with a replicated output sharding.
+        counter_keys = [
+            k for k in state if k not in ("hist", "hist_shard", "lanes")
+        ]
+        if jax.process_count() > 1 and counter_keys:
+            fetch = jax.jit(
+                lambda s: {k: s[k] for k in counter_keys},
+                out_shardings=NamedSharding(self.mesh, P()),
+            )
+            fetched = jax.device_get(fetch(state))
+        else:
+            fetched = {k: state[k] for k in counter_keys}
+        big = {k: v for k, v in state.items() if k not in counter_keys}
         local_states = [
-            jax.tree.map(lambda x, i=i: x[i], state)
+            {
+                **jax.tree.map(lambda x, i=i: x[i], fetched),
+                **{k: None for k in big},
+            }
             for i in range(self.num_devices)
         ]
         extras: dict = {}

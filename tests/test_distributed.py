@@ -1,0 +1,110 @@
+"""Multi-process (multi-slice analog) rendering: two coordinated
+processes with 4 virtual CPU devices each must produce exactly the same
+render as one process with all 8 devices — the histogram merge, RNG
+ordinal folds, and control-flow broadcasts are topology-independent."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = """
+import sys
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_num_cpu_devices', int(sys.argv[1]))
+from cudabrot_tpu.cli import main
+sys.exit(main(sys.argv[2:]))
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _render_args(out_dir: str) -> list[str]:
+    return [
+        "-w", "40", "-h", "40", "-m", "60", "-c", "5",
+        "--passes", "2", "-t", "-1", "--engine", "oracle",
+        "--devices", "all",
+        "-o", os.path.join(out_dir, "out.pgm"),
+        "-s", os.path.join(out_dir, "state.ckpt"),
+    ]
+
+
+def _run(args, env, timeout=600):
+    return subprocess.run(
+        [sys.executable, "-c", CHILD, *args],
+        env=env, capture_output=True, text=True, timeout=timeout,
+    )
+
+
+def test_two_processes_match_single_process(tmp_path):
+    base_env = dict(os.environ)
+    base_env["PYTHONPATH"] = REPO + os.pathsep + base_env.get(
+        "PYTHONPATH", ""
+    )
+    base_env.pop("CUDABROT_COORDINATOR", None)
+
+    # Reference: one process, 8 devices.
+    single_dir = tmp_path / "single"
+    single_dir.mkdir()
+    res = _run(["8", *_render_args(str(single_dir))], base_env)
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    # Two coordinated processes, 4 devices each.
+    multi_dir = tmp_path / "multi"
+    multi_dir.mkdir()
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(base_env)
+        env["CUDABROT_COORDINATOR"] = f"127.0.0.1:{port}"
+        env["CUDABROT_NUM_PROCESSES"] = "2"
+        env["CUDABROT_PROCESS_ID"] = str(pid)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", CHILD, "4",
+                 *_render_args(str(multi_dir))],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, (out[-1000:], err[-2000:])
+
+    # Primary printed the banner; non-primary emitted no render output
+    # (transport libraries may still chatter on stdout).
+    assert "Buddhabrot passes took" in outs[0][0]
+    assert "Buddhabrot passes took" not in outs[1][0]
+    assert "Saving image" not in outs[1][0]
+
+    # Bitwise-identical render state.
+    from cudabrot_tpu.config import Canvas, IterationBand, RenderConfig
+    from cudabrot_tpu.io import checkpoint as ckpt
+
+    cfg = RenderConfig(
+        canvas=Canvas(width=40, height=40),
+        band=IterationBand(max_escape_iterations=60,
+                           min_escape_iterations=5),
+    )
+    h_single, m_single = ckpt.load(str(single_dir / "state.ckpt"), cfg)
+    h_multi, m_multi = ckpt.load(str(multi_dir / "state.ckpt"), cfg)
+    assert m_single["passes"] == m_multi["passes"] == 2
+    assert h_single.sum() > 0
+    np.testing.assert_array_equal(h_multi, h_single)
+
+    # And the images match byte-for-byte.
+    assert (single_dir / "out.pgm").read_bytes() == (
+        multi_dir / "out.pgm"
+    ).read_bytes()
