@@ -140,11 +140,37 @@ class Tuning:
             )
         self.replay_chunk = o.replay_chunk
         # Window size trades boundary-op amortization against
-        # finished-lane coast. Steady-state A/B on v5e (benchmarks/
-        # version_timing_tpu.md) shows U=1 wins at every practical band —
-        # the coast waste always outruns the instruction-stream savings —
-        # so auto stays at 1; the knob remains for experimentation.
-        self.inner_unroll = o.inner_unroll if o.inner_unroll > 0 else 1
+        # finished-lane coast. Round-2 steady-state A/B on v5e (benchmarks/
+        # version_timing_tpu.md): the boundary work (refill/PRNG/cull/
+        # emit bookkeeping) dominates the per-step instruction stream, so
+        # the raw lane-step rate scales hard with U (2.7e10 -> 6.1e10 ->
+        # 8.5e10 at U=1/4/8) while coast waste grows as (U-1)/2 divided by
+        # the mean sample lifetime L ~ 3.2+1.1*ln(max/100). Auto picks the
+        # largest U in {1,2,4,8} whose predicted waste stays under 20% —
+        # fine band (L~12.6): U=8, 2.69e10 -> 5.67e10 useful it/s —
+        # EXCEPT at emission-heavy bands, where throughput is bound by
+        # emissions transferred per useful step and waste directly
+        # inflates it, so they stay at U=1. (The r1 "U=1 always wins"
+        # conclusion was confounded by the then-dominant replay path.)
+        if o.inner_unroll > 0:
+            self.inner_unroll = o.inner_unroll
+        elif rate > 1e-4:  # emission-heavy: transfer-bound, waste hurts
+            self.inner_unroll = 1
+        else:
+            # Maximize modeled useful throughput: per-lane-step cost is
+            # c_inner + c_boundary/U (measured on v5e: raw 2.7e10 /
+            # 6.1e10 / 8.5e10 lane-steps/s at U=1/4/8 fits c_i=7.2e-12 s,
+            # c_b=3.7e-11 s), and the coast waste is (U-1)/(2L).
+            lifetime = 3.2 + 1.1 * float(
+                np.log(max(cfg.band.max_escape_iterations, 100) / 100.0)
+            )
+            c_i, c_b = 7.2e-12, 3.7e-11
+
+            def score(u: int) -> float:
+                useful = max(0.0, 1.0 - (u - 1) / (2.0 * lifetime))
+                return useful / (c_i + c_b / u)
+
+            self.inner_unroll = max((1, 2, 4, 8), key=score)
         if self.steps_per_flush % self.inner_unroll != 0:
             self.inner_unroll = 1
         self.min_it = cfg.band.min_escape_iterations
