@@ -64,13 +64,27 @@ def make_engine(cfg: RenderConfig) -> Engine:
 
         inner = OracleEngine(cfg)
     elif choice == "pallas":
+        from cudabrot_tpu.io import native
         from cudabrot_tpu.engines.pallas_engine import PallasEngine
 
-        # Data-parallel passes run fully on-device (the host replay
-        # pipeline is a single-process accelerator<->host loop).
-        inner = PallasEngine(
-            cfg, replay_mode="device" if n > 1 else None
+        # Multi-device: host replay (the fast accumulation path) when a
+        # single process drives all devices and the native library is
+        # present; device replay otherwise (multi-process runs would need
+        # per-process workers + a cross-process histogram merge, and the
+        # row-sharded engine does its scatter on-device by design).
+        dp_host = (
+            n > 1
+            and jax.process_count() == 1
+            and cfg.options.histogram_sharding == "replicated"
+            and cfg.options.replay in ("auto", "host")
+            and native.available()
         )
+        if n > 1 and not dp_host:
+            inner = PallasEngine(cfg, replay_mode="device")
+        elif n > 1:
+            inner = PallasEngine(cfg, replay_mode="host")
+        else:
+            inner = PallasEngine(cfg)
     else:
         raise ValueError(f"Unknown engine {choice!r}")
 
@@ -84,7 +98,12 @@ def make_engine(cfg: RenderConfig) -> Engine:
             )
 
             return ShardedHistogramEngine(cfg, inner)
-        from cudabrot_tpu.parallel.data_parallel import DataParallelEngine
+        from cudabrot_tpu.parallel.data_parallel import (
+            DataParallelEngine,
+            DataParallelHostReplayEngine,
+        )
 
+        if choice == "pallas" and dp_host:
+            return DataParallelHostReplayEngine(cfg, inner)
         return DataParallelEngine(cfg, inner)
     return inner

@@ -74,10 +74,16 @@ class HostReplayWorker:
         # the capacity model's job. Invalid lanes carry iters == -1 and
         # cost the native engine nothing.
         t0 = time.perf_counter()
-        n = int(n_valid)
+        n = int(np.asarray(n_valid).sum())
         if n <= 0:
             return
         batch = np.asarray(payload)
+        if batch.ndim == 3:
+            # Stacked multi-device payloads (D, C, K) from the
+            # data-parallel host-replay engine: fold the device axis into
+            # the lane axis — replay order is irrelevant (addition
+            # commutes) and invalid lanes cost nothing.
+            batch = np.concatenate(list(batch), axis=1)
         if batch.dtype == np.uint32:
             # Packed layout: exact c reconstruction (k * 2^-22 - 2 is the
             # kernel's own sample quantization, bit-identical round trip).

@@ -327,32 +327,10 @@ class PallasEngine:
             # ~45 MB/s; the reference's default band saturates it).
             self._packed_payload = cfg.band.max_escape_iterations <= 0xFFFF
 
-            def host_pass(state, pass_index):
-                new_state, (cr, ci, it) = self._classify_and_compact(
-                    state,
-                    pass_index,
-                    ordinal=jnp.uint32(0),
-                    device_prefix=self.split_threshold,
-                )
-                # One fixed-shape payload: the host worker fetches a
-                # finished pass output (no fresh device op — that would
-                # queue behind the in-flight pass) in a single transfer.
-                n_valid = jnp.sum(it >= 0).astype(jnp.int32)
-                if self._packed_payload:
-                    scale = jnp.float32(4194304.0)  # 2^22
-                    k_r = ((cr + 2.0) * scale).astype(jnp.uint32)
-                    k_i = ((ci + 2.0) * scale).astype(jnp.uint32)
-                    enc = (it + 1).astype(jnp.uint32)  # 0 == invalid lane
-                    w0 = k_r | ((enc & jnp.uint32(0xFF)) << 24)
-                    w1 = k_i | ((enc >> 8) << 24)
-                    payload = jnp.stack([w0, w1])
-                else:
-                    # iters ride as f32 (exact below 2^24, enforced by
-                    # config validation).
-                    payload = jnp.stack([cr, ci, it.astype(jnp.float32)])
-                return new_state, n_valid, payload
-
-            self._pass_fn = jax.jit(host_pass, donate_argnums=0)
+            self._pass_fn = jax.jit(
+                functools.partial(self.host_pass, ordinal=jnp.uint32(0)),
+                donate_argnums=0,
+            )
         else:
             self.split_threshold = 0
             self._pass_fn = jax.jit(
@@ -361,6 +339,35 @@ class PallasEngine:
             )
 
     # -- engine interface ---------------------------------------------------
+
+    def host_pass(self, state, pass_index, ordinal):
+        """Device-side half of a host-replay pass: classify + compact +
+        payload packing. Pure and ordinal-parameterized so the
+        data-parallel wrapper can run it per device under shard_map
+        (each chip streams its own emissions to the host worker)."""
+        new_state, (cr, ci, it) = self._classify_and_compact(
+            state,
+            pass_index,
+            ordinal=ordinal,
+            device_prefix=self.split_threshold,
+        )
+        # One fixed-shape payload: the host worker fetches a finished
+        # pass output (no fresh device op — that would queue behind the
+        # in-flight pass) in a single transfer.
+        n_valid = jnp.sum(it >= 0).astype(jnp.int32)
+        if self._packed_payload:
+            scale = jnp.float32(4194304.0)  # 2^22
+            k_r = ((cr + 2.0) * scale).astype(jnp.uint32)
+            k_i = ((ci + 2.0) * scale).astype(jnp.uint32)
+            enc = (it + 1).astype(jnp.uint32)  # 0 == invalid lane
+            w0 = k_r | ((enc & jnp.uint32(0xFF)) << 24)
+            w1 = k_i | ((enc >> 8) << 24)
+            payload = jnp.stack([w0, w1])
+        else:
+            # iters ride as f32 (exact below 2^24, enforced by config
+            # validation).
+            payload = jnp.stack([cr, ci, it.astype(jnp.float32)])
+        return new_state, n_valid, payload
 
     def _classify_and_compact(
         self, state, pass_index, ordinal, device_prefix: int = 0
@@ -591,9 +598,13 @@ class PallasEngine:
             hist = hist + self._worker.hist
         return hist
 
-    def stats(self, state) -> dict:
+    def counter_stats(self, state) -> dict:
+        """Per-state counter totals only — no host-worker contributions.
+        Used directly by the data-parallel wrappers, which slice stacked
+        counters per device and must add the (shared) worker tally once,
+        not once per device."""
         vals = {k: counters.u64_value(state[k]) for k in STAT_KEYS}
-        out = {
+        return {
             "samples": vals["samples"],
             "culled": vals["culled"],
             "in_band": vals["in_band"],
@@ -604,11 +615,14 @@ class PallasEngine:
             "wasted_steps": vals["wasted"],
             "orbit_points": vals["points"],
         }
+
+    def stats(self, state) -> dict:
+        out = self.counter_stats(state)
         if self._worker is not None:
             self._worker.drain()
             # Device-replayed prefix points live in the jit counter; the
             # host worker's tally covers the rest.
-            out["orbit_points"] = vals["points"] + self._worker.points
+            out["orbit_points"] = out["orbit_points"] + self._worker.points
             out["on_canvas_points"] = self._worker.hits
             out["replay"] = (
                 "hybrid" if self.split_threshold > 0 else "host"

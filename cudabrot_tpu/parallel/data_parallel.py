@@ -121,6 +121,10 @@ class DataParallelEngine:
         )(state["hist"])
         return np.asarray(jax.device_get(merged), dtype=np.uint32)
 
+    def warmup(self, state) -> None:
+        clone = jax.tree.map(jnp.copy, state)
+        jax.block_until_ready(self._pass_fn(clone, 0))
+
     def stats(self, state) -> dict:
         totals: dict[str, int] = {}
         # Stat counters are (lo, hi) uint32 pairs stacked per device; sum
@@ -148,10 +152,102 @@ class DataParallelEngine:
             for i in range(self.num_devices)
         ]
         extras: dict = {}
+        # counter_stats (when available) excludes shared host-worker
+        # tallies, which must not be summed once per device.
+        stat_fn = getattr(self.inner, "counter_stats", self.inner.stats)
         for local in local_states:
-            for k, v in self.inner.stats(local).items():
+            for k, v in stat_fn(local).items():
                 if isinstance(v, str):
                     extras[k] = v
                 else:
                     totals[k] = totals.get(k, 0) + v
+        if hasattr(self.inner, "counter_stats"):
+            extras.setdefault("replay", "device")
         return {**totals, **extras}
+
+
+class DataParallelHostReplayEngine(DataParallelEngine):
+    """Multi-device classification with host-side orbit replay.
+
+    Every chip runs its own persistent classify kernel (distinct RNG
+    ordinal) under shard_map; the per-chip emission payloads come back
+    stacked along the device axis and stream to the native host replay
+    worker, exactly like the single-device host mode. This keeps every
+    device-second on classification — the measured XLA scatter path
+    contributes ~250x less useful work per second than classify
+    (benchmarks/PERF_NOTES.md) — so multi-chip scaling applies to the
+    fast path, not the fallback. Single-process only: in multi-process
+    runs each process would need its own worker and a cross-process
+    histogram merge (future work); make_engine falls back to device
+    replay there.
+    """
+
+    def __init__(self, cfg: RenderConfig, inner):
+        if inner._worker is None:
+            raise ValueError("inner engine must be in host-replay mode")
+        self.cfg = cfg
+        self.inner = inner
+        self.name = f"dp-host({inner.name})"
+        self.mesh = make_mesh(cfg.options.num_devices)
+        self.num_devices = self.mesh.devices.size
+        self.steps_per_pass = inner.steps_per_pass * self.num_devices
+
+        def per_device(state, pass_index):
+            ordinal = jax.lax.axis_index("devices").astype(jnp.uint32)
+            local = jax.tree.map(lambda x: x[0], state)
+            local, n_valid, payload = inner.host_pass(
+                local, pass_index, ordinal
+            )
+            return (
+                jax.tree.map(lambda x: x[None], local),
+                n_valid[None],
+                payload[None],
+            )
+
+        sharded = jax.shard_map(
+            per_device,
+            mesh=self.mesh,
+            in_specs=(P("devices"), P()),
+            out_specs=(P("devices"), P("devices"), P("devices")),
+            check_vma=False,
+        )
+        self._pass_fn = jax.jit(sharded, donate_argnums=0)
+
+    def init_state(self, hist0: np.ndarray | None):
+        # super() re-inits the inner engine (which zeroes the worker
+        # accumulator), so the resumed mass must be injected afterwards.
+        state = super().init_state(None)
+        if hist0 is not None:
+            # Resumed mass lives in the worker accumulator (host mode).
+            self.inner._worker.hist += np.asarray(hist0, np.uint32)
+        return state
+
+    def warmup(self, state) -> None:
+        clone = jax.tree.map(jnp.copy, state)
+        out = self._pass_fn(clone, 0)
+        jax.block_until_ready(out)
+        _, n_valid, payload = out
+        np.asarray(n_valid)  # warm the D2H transfer signatures
+        np.asarray(payload)
+
+    def run_pass(self, state, pass_index: int):
+        state, n_valid, payload = self._pass_fn(state, pass_index)
+        n_valid.copy_to_host_async()
+        payload.copy_to_host_async()
+        self.inner._worker.submit(n_valid, payload)
+        return state
+
+    def histogram(self, state) -> np.ndarray:
+        # Device histogram replicas provably stay zero (host replay, no
+        # device prefix); the worker accumulator is the histogram.
+        self.inner._worker.drain()
+        return self.inner._worker.hist.copy()
+
+    def stats(self, state) -> dict:
+        out = super().stats(state)
+        w = self.inner._worker
+        w.drain()
+        out["orbit_points"] = out.get("orbit_points", 0) + w.points
+        out["on_canvas_points"] = w.hits
+        out["replay"] = "host"
+        return out

@@ -102,8 +102,11 @@ def test_dp_resume_preserves_mass(tmp_path):
 
 def test_dp_with_pallas_engine():
     """Production multi-chip path: Pallas engine (interpret) under
-    shard_map over the virtual mesh, device-side replay."""
+    shard_map over the virtual mesh. make_engine picks host replay when
+    the native library is present (the fast accumulation path), device
+    replay otherwise; both must render."""
     from cudabrot_tpu.engines.pallas_engine import PallasEngine
+    from cudabrot_tpu.io import native
 
     cfg = RenderConfig(
         canvas=Canvas(width=32, height=32),
@@ -116,7 +119,8 @@ def test_dp_with_pallas_engine():
         ),
     )
     eng = engines.make_engine(cfg)
-    assert eng.name == "dp(pallas)"
+    expected = "dp-host(pallas)" if native.available() else "dp(pallas)"
+    assert eng.name == expected
     state = eng.init_state(None)
     for p in range(2):
         state = eng.run_pass(state, p)
@@ -127,3 +131,88 @@ def test_dp_with_pallas_engine():
     assert stats["samples"] > 0
     lane_steps = 4 * 2 * 128 * 8 * 128
     assert stats["classify_iters"] + stats["wasted_steps"] == lane_steps
+
+
+def test_dp_host_replay_matches_device_replay():
+    """The multi-device host-replay engine streams the same emission
+    batches as device replay (same classify stream per ordinal), so
+    orbit-point totals match exactly and the histograms agree
+    statistically (f32 replay on both sides)."""
+    from cudabrot_tpu.engines.pallas_engine import PallasEngine
+    from cudabrot_tpu.io import native
+    from cudabrot_tpu.parallel.data_parallel import (
+        DataParallelEngine,
+        DataParallelHostReplayEngine,
+    )
+
+    if not native.available():
+        pytest.skip("native library not built")
+
+    cfg = RenderConfig(
+        canvas=Canvas(width=40, height=40),
+        band=IterationBand(max_escape_iterations=60,
+                           min_escape_iterations=5),
+        options=EngineOptions(
+            engine="pallas", lane_rows=8, steps_per_pass=256,
+            steps_per_flush=16, replay_capacity=1 << 14, replay_chunk=64,
+            num_devices=4,
+        ),
+    )
+
+    dev = DataParallelEngine(cfg, PallasEngine(cfg, replay_mode="device"))
+    dstate = dev.init_state(None)
+    for p in range(2):
+        dstate = dev.run_pass(dstate, p)
+    jax.block_until_ready(dstate)
+    dh = dev.histogram(dstate)
+    dstats = dev.stats(dstate)
+
+    host = DataParallelHostReplayEngine(
+        cfg, PallasEngine(cfg, replay_mode="host")
+    )
+    hstate = host.init_state(None)
+    for p in range(2):
+        hstate = host.run_pass(hstate, p)
+    jax.block_until_ready(hstate)
+    hh = host.histogram(hstate)
+    hstats = host.stats(hstate)
+
+    assert hstats["replay"] == "host"
+    assert dstats["replay"] == "device"
+    assert hstats["samples"] == dstats["samples"]
+    assert hstats["emitted"] == dstats["emitted"]
+    # Same emissions => exactly the same number of replayed points.
+    assert hstats["orbit_points"] == dstats["orbit_points"]
+    assert hstats["on_canvas_points"] == hh.sum()
+    assert abs(int(hh.sum()) - int(dh.sum())) <= 0.01 * dh.sum()
+
+
+def test_dp_host_replay_resume_preserves_mass():
+    from cudabrot_tpu.engines.pallas_engine import PallasEngine
+    from cudabrot_tpu.io import native
+    from cudabrot_tpu.parallel.data_parallel import (
+        DataParallelHostReplayEngine,
+    )
+
+    if not native.available():
+        pytest.skip("native library not built")
+
+    cfg = RenderConfig(
+        canvas=Canvas(width=24, height=24),
+        band=IterationBand(max_escape_iterations=50,
+                           min_escape_iterations=4),
+        options=EngineOptions(
+            engine="pallas", lane_rows=8, steps_per_pass=128,
+            steps_per_flush=16, replay_capacity=1 << 12, replay_chunk=32,
+            num_devices=4,
+        ),
+    )
+    eng = DataParallelHostReplayEngine(
+        cfg, PallasEngine(cfg, replay_mode="host")
+    )
+    hist0 = np.full(cfg.canvas.shape, 5, np.uint32)
+    state = eng.init_state(hist0)
+    state = eng.run_pass(state, 0)
+    jax.block_until_ready(state)
+    hist = eng.histogram(state)
+    assert hist.min() >= 5

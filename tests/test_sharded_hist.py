@@ -20,6 +20,11 @@ def _cfg(n_dev, sharding="rows", height=32, **kw):
             engine="pallas", lane_rows=8, steps_per_pass=128,
             steps_per_flush=16, replay_capacity=1 << 12, replay_chunk=32,
             num_devices=n_dev, histogram_sharding=sharding,
+            # Pin device replay: the bitwise sharded==replicated invariant
+            # requires identical replay arithmetic on both sides (the
+            # replicated default is host replay, whose f32 contraction
+            # differs) — and the sharded engine replays on-device.
+            replay="device",
         ),
     )
     defaults.update(kw)
