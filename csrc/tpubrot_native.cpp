@@ -125,23 +125,62 @@ struct ThreadResult {
 #if defined(__AVX512F__)
 
 // AVX-512 replay: kGroups independent 16-lane vectors advance together so
-// the z-update dependency chains overlap, and histogram increments walk the
-// on-canvas mask with tzcnt (no per-lane branch). The generic ReplayBlock
-// above ran fully scalar (the masking ternaries defeat autovectorization —
+// the z-update dependency chains overlap. The generic ReplayBlock above
+// ran fully scalar (the masking ternaries defeat autovectorization —
 // measured 15 cycles/point); this path is the same math in explicit vector
 // form. Orbit-point semantics match ReplayBlock exactly: z starts at c,
 // every update through the escape point is recorded (cudabrot.cu:352-364),
-// low-boundary guard before the truncating divide (cudabrot.cu:305-310).
+// out-of-range points (including below-min, cudabrot.cu:305-310) are
+// rejected before any divide/increment.
+//
+// The histogram increments are decoupled from the vector phase: each step
+// compresses its on-canvas bin indices (vpcompressd) into a batch buffer,
+// and a tight load/inc/store loop flushes the buffer when it fills. The
+// round-1 bit-walk interleaved a vector store, per-lane scalar reloads of
+// the same cache line (store-forward stalls), and branchy increments into
+// every step; batching removes the stalls and lets the increment loop run
+// at its own best IPC. Increment order within a flush equals lane order
+// within step order — the same order the bit walk produced — and u32
+// addition commutes, so the histogram is bit-identical either way.
 constexpr int kGroups = 4;
 constexpr int kLanesAvx = kGroups * 16;
+//: Batch buffer: 4096 indices (16 KiB) — big enough to amortize the flush
+//: loop's warmup, small enough to stay L1-resident.
+constexpr int kBufCap = 4096;
+
+struct IncBuf {
+  alignas(64) int32_t idx[kBufCap];
+  int n = 0;
+};
+
+template <bool kPrefetch>
+inline void FlushIncrements(IncBuf& buf, uint32_t* hist) {
+  const int32_t* b = buf.idx;
+  const int n = buf.n;
+  int i = 0;
+  if (kPrefetch) {
+    // Software lookahead only pays when the histogram exceeds the LLC
+    // (production canvases, >1 GB: the RMW would otherwise serialize on
+    // DRAM); on cache-resident canvases the extra instructions are pure
+    // cost, so ReplayRange selects at compile time by histogram size.
+    constexpr int kAhead = 24;
+    for (; i < n - kAhead; ++i) {
+      __builtin_prefetch(&hist[b[i + kAhead]], 1, 1);
+      ++hist[b[i]];
+    }
+  }
+  for (; i < n; ++i) ++hist[b[i]];
+  buf.n = 0;
+}
 
 template <bool kBurningShip, bool kPrefetch>
 uint64_t ReplayBlockAvx(const float* cr, const float* ci,
                         const int32_t* iters, int count, const Canvas& cv,
-                        uint32_t* hist, uint64_t* points_total) {
+                        uint32_t* hist, uint64_t* points_total,
+                        IncBuf& buf) {
   __m512 vzr[kGroups], vzi[kGroups], vcr[kGroups], vci[kGroups];
   __m512i vlim[kGroups];
-  int32_t gmax[kGroups];
+  int32_t gmax[kGroups], gmin[kGroups];
   int32_t max_iter = -1;
   for (int g = 0; g < kGroups; ++g) {
     const int base = g * 16;
@@ -157,6 +196,13 @@ uint64_t ReplayBlockAvx(const float* cr, const float* ci,
     vlim[g] = _mm512_mask_loadu_epi32(_mm512_set1_epi32(-1), live,
                                       iters + base);
     gmax[g] = _mm512_reduce_max_epi32(vlim[g]);
+    // While s <= gmin every lane of the group is still recording, so the
+    // per-step rec mask and masked state blends are skipped entirely.
+    // Any dead lane makes gmin = -1, which disables the fast regime for
+    // the group (dead lanes carry z = c = 0, whose bin IS on-canvas).
+    // Sorted descending input keeps blocks length-homogeneous, so most
+    // steps run in the fast regime.
+    gmin[g] = _mm512_reduce_min_epi32(vlim[g]);
     if (gmax[g] > max_iter) max_iter = gmax[g];
   }
   for (int l = 0; l < count; ++l) {
@@ -169,20 +215,13 @@ uint64_t ReplayBlockAvx(const float* cr, const float* ci,
   const __m512 inv_di = _mm512_set1_ps(static_cast<float>(1.0 / cv.delta_imag));
   const __m512i vw = _mm512_set1_epi32(cv.w);
   const __m512i vh = _mm512_set1_epi32(cv.h);
-  const __m512i vzero = _mm512_setzero_si512();
   const __m512 sign_clear = _mm512_castsi512_ps(_mm512_set1_epi32(0x7FFFFFFF));
 
   uint64_t hits = 0;
-  alignas(64) int32_t idxbuf[kGroups][16];
-  __mmask16 okbuf[kGroups];
   for (int32_t s = 0; s <= max_iter; ++s) {
     const __m512i vs = _mm512_set1_epi32(s);
     for (int g = 0; g < kGroups; ++g) {
-      if (s > gmax[g]) {  // sorted input: whole group finished
-        okbuf[g] = 0;
-        continue;
-      }
-      const __mmask16 rec = _mm512_cmple_epi32_mask(vs, vlim[g]);
+      if (s > gmax[g]) continue;  // sorted input: whole group finished
       __m512 r = vzr[g], im = vzi[g];
       if (kBurningShip) {
         r = _mm512_and_ps(r, sign_clear);
@@ -192,54 +231,39 @@ uint64_t ReplayBlockAvx(const float* cr, const float* ci,
           _mm512_sub_ps(_mm512_mul_ps(r, r), _mm512_mul_ps(im, im)), vcr[g]);
       const __m512 ni = _mm512_add_ps(
           _mm512_mul_ps(_mm512_add_ps(r, r), im), vci[g]);
-      vzr[g] = _mm512_mask_mov_ps(vzr[g], rec, nr);
-      vzi[g] = _mm512_mask_mov_ps(vzi[g], rec, ni);
-      // Low-boundary guard (>= min, NaN-false like the scalar compare).
-      __mmask16 ok = _mm512_mask_cmp_ps_mask(rec, nr, min_r, _CMP_GE_OQ);
-      ok = _mm512_mask_cmp_ps_mask(ok, ni, min_i, _CMP_GE_OQ);
-      const __m512i col = _mm512_cvttps_epi32(
-          _mm512_mul_ps(_mm512_sub_ps(nr, min_r), inv_dr));
-      const __m512i row = _mm512_cvttps_epi32(
-          _mm512_mul_ps(_mm512_sub_ps(ni, min_i), inv_di));
-      ok = _mm512_mask_cmple_epi32_mask(ok, vzero, col);
-      ok = _mm512_mask_cmpgt_epi32_mask(ok, vw, col);
-      ok = _mm512_mask_cmple_epi32_mask(ok, vzero, row);
-      ok = _mm512_mask_cmpgt_epi32_mask(ok, vh, row);
-      _mm512_store_si512(
-          idxbuf[g],
-          _mm512_add_epi32(_mm512_mullo_epi32(row, vw), col));
-      okbuf[g] = ok;
-    }
-    // Prefetch every lane's cache line first so the read-modify-writes
-    // overlap their misses. Only pays when the histogram exceeds cache
-    // (production canvases, >1 GB: measured +9%); on cache-resident
-    // canvases the extra instructions cost ~11%, so it is compile-time
-    // selected by histogram size in ReplayRange.
-    if (kPrefetch) {
-      for (int g = 0; g < kGroups; ++g) {
-        uint32_t m = okbuf[g];
-        while (m) {
-          const int l = __builtin_ctz(m);
-          __builtin_prefetch(&hist[idxbuf[g][l]], 1, 1);
-          m &= m - 1;
-        }
-      }
-    }
-    for (int g = 0; g < kGroups; ++g) {
-      uint32_t m = okbuf[g];
-      hits += static_cast<uint64_t>(__builtin_popcount(m));
-      if (m == 0xFFFFu) {
-        // Full canvases cover most of |z|<=2, so the all-on-canvas case
-        // dominates; a straight 16-increment loop beats the bit walk.
-        for (int l = 0; l < 16; ++l) ++hist[idxbuf[g][l]];
+      __mmask16 rec;
+      if (s <= gmin[g]) {
+        vzr[g] = nr;
+        vzi[g] = ni;
+        rec = static_cast<__mmask16>(0xFFFF);
       } else {
-        while (m) {
-          const int l = __builtin_ctz(m);
-          ++hist[idxbuf[g][l]];
-          m &= m - 1;
-        }
+        rec = _mm512_cmple_epi32_mask(vs, vlim[g]);
+        vzr[g] = _mm512_mask_mov_ps(vzr[g], rec, nr);
+        vzi[g] = _mm512_mask_mov_ps(vzi[g], rec, ni);
       }
+      // Floor-convert, then one unsigned compare per axis: floor sends
+      // below-min fractions to -1 (the truncate path needed a separate
+      // >= min guard to catch them, cudabrot.cu:305-310), and as unsigned
+      // any negative — or saturated 0x80000000 from NaN/huge — exceeds
+      // the canvas bound. Accepted values are >= 0, where floor and the
+      // reference's truncating divide agree, so the accepted bin set is
+      // bit-identical to the guarded-truncate path.
+      const __m512i col = _mm512_cvt_roundps_epi32(
+          _mm512_mul_ps(_mm512_sub_ps(nr, min_r), inv_dr),
+          _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC);
+      const __m512i row = _mm512_cvt_roundps_epi32(
+          _mm512_mul_ps(_mm512_sub_ps(ni, min_i), inv_di),
+          _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC);
+      __mmask16 ok = _mm512_mask_cmplt_epu32_mask(rec, col, vw);
+      ok = _mm512_mask_cmplt_epu32_mask(ok, row, vh);
+      const __m512i idx =
+          _mm512_add_epi32(_mm512_mullo_epi32(row, vw), col);
+      _mm512_mask_compressstoreu_epi32(buf.idx + buf.n, ok, idx);
+      const int c = __builtin_popcount(static_cast<unsigned>(ok));
+      buf.n += c;
+      hits += static_cast<uint64_t>(c);
     }
+    if (buf.n > kBufCap - kLanesAvx) FlushIncrements<kPrefetch>(buf, hist);
   }
   return hits;
 }
@@ -255,16 +279,22 @@ void ReplayRange(const float* cr, const float* ci, const int32_t* iters,
   // out of the last-level cache; 16 MiB is a conservative LLC estimate.
   const bool big = static_cast<size_t>(cv.w) * cv.h * sizeof(uint32_t) >
                    (16u << 20);
+  IncBuf buf;
   for (int64_t i = begin; i < end; i += kLanesAvx) {
     const int count =
         static_cast<int>(end - i < kLanesAvx ? end - i : kLanesAvx);
     out->hits +=
         big ? ReplayBlockAvx<kBurningShip, true>(cr + i, ci + i, iters + i,
                                                  count, cv, hist,
-                                                 &out->points)
+                                                 &out->points, buf)
             : ReplayBlockAvx<kBurningShip, false>(cr + i, ci + i, iters + i,
                                                   count, cv, hist,
-                                                  &out->points);
+                                                  &out->points, buf);
+  }
+  if (big) {
+    FlushIncrements<true>(buf, hist);
+  } else {
+    FlushIncrements<false>(buf, hist);
   }
 #else
   for (int64_t i = begin; i < end; i += kLanes) {

@@ -177,7 +177,12 @@ def run_render(
             ):
                 stop = True
             if multiproc:
-                stop = distributed.broadcast_flag(stop if primary else False)
+                # Primary contributes the full verdict (its clock owns the
+                # time box); non-primaries contribute their local SIGINT so
+                # ctrl+C on any process stops the whole render.
+                stop = distributed.any_flag(
+                    stop if primary else flag.triggered
+                )
             if stop:
                 break
             state = engine.run_pass(state, resumed_passes + passes)

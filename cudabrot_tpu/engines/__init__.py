@@ -67,14 +67,14 @@ def make_engine(cfg: RenderConfig) -> Engine:
         from cudabrot_tpu.io import native
         from cudabrot_tpu.engines.pallas_engine import PallasEngine
 
-        # Multi-device: host replay (the fast accumulation path) when a
-        # single process drives all devices and the native library is
-        # present; device replay otherwise (multi-process runs would need
-        # per-process workers + a cross-process histogram merge, and the
-        # row-sharded engine does its scatter on-device by design).
+        # Multi-device: host replay (the fast accumulation path) when the
+        # native library is present — including multi-process runs, where
+        # every process feeds its own worker from its addressable payload
+        # shards and the host histograms merge once at readback. Device
+        # replay otherwise (the row-sharded engine does its scatter
+        # on-device by design).
         dp_host = (
             n > 1
-            and jax.process_count() == 1
             and cfg.options.histogram_sharding == "replicated"
             and cfg.options.replay in ("auto", "host")
             and native.available()

@@ -59,7 +59,10 @@ class HostReplayWorker:
         device array of packed emissions (24-bit RNG index per axis +
         split 16-bit iters+1; see pallas_engine's host_pass) or the
         legacy (3, K) f32 layout [cr; ci; iters-as-f32]. Only the first
-        ``n_valid`` columns are live."""
+        ``n_valid`` columns are live. Multi-device engines pass stacked
+        (D, C, K) payloads; multi-process engines pass a *list* of the
+        process's addressable (d_local, C, K) shards (plus the matching
+        n_valid list)."""
         while len(self._pending) >= self.max_queue:
             self._pending.popleft().result()
         self._pending.append(self._pool.submit(self._job, n_valid, payload))
@@ -74,10 +77,21 @@ class HostReplayWorker:
         # the capacity model's job. Invalid lanes carry iters == -1 and
         # cost the native engine nothing.
         t0 = time.perf_counter()
-        n = int(np.asarray(n_valid).sum())
+        if isinstance(n_valid, (list, tuple)):
+            n = sum(int(np.asarray(x).sum()) for x in n_valid)
+        else:
+            n = int(np.asarray(n_valid).sum())
         if n <= 0:
             return
-        batch = np.asarray(payload)
+        if isinstance(payload, (list, tuple)):
+            # Per-shard payloads from a multi-process engine: fold each
+            # shard's device axis and stack them — (sum_d, C, K).
+            parts = [np.asarray(p) for p in payload]
+            batch = np.concatenate(
+                [p.reshape((-1,) + p.shape[-2:]) for p in parts], axis=0
+            )
+        else:
+            batch = np.asarray(payload)
         if batch.ndim == 3:
             # Stacked multi-device payloads (D, C, K) from the
             # data-parallel host-replay engine: fold the device axis into

@@ -176,10 +176,12 @@ class DataParallelHostReplayEngine(DataParallelEngine):
     device-second on classification — the measured XLA scatter path
     contributes ~250x less useful work per second than classify
     (benchmarks/PERF_NOTES.md) — so multi-chip scaling applies to the
-    fast path, not the fallback. Single-process only: in multi-process
-    runs each process would need its own worker and a cross-process
-    histogram merge (future work); make_engine falls back to device
-    replay there.
+    fast path, not the fallback. In multi-process runs every process
+    feeds its own native worker from its *addressable* payload shards
+    (emissions never cross process boundaries) and the host histograms
+    merge once at readback via a process allgather — O(image) per
+    readback, zero per-pass cross-process traffic, same as the
+    single-process design.
     """
 
     def __init__(self, cfg: RenderConfig, inner):
@@ -217,37 +219,78 @@ class DataParallelHostReplayEngine(DataParallelEngine):
         # super() re-inits the inner engine (which zeroes the worker
         # accumulator), so the resumed mass must be injected afterwards.
         state = super().init_state(None)
-        if hist0 is not None:
-            # Resumed mass lives in the worker accumulator (host mode).
+        if hist0 is not None and jax.process_index() == 0:
+            # Resumed mass lives in the worker accumulator (host mode);
+            # only the primary's worker holds it, so the cross-process
+            # merge counts it exactly once.
             self.inner._worker.hist += np.asarray(hist0, np.uint32)
         return state
+
+    @staticmethod
+    def _local_shards(global_array):
+        return [s.data for s in global_array.addressable_shards]
 
     def warmup(self, state) -> None:
         clone = jax.tree.map(jnp.copy, state)
         out = self._pass_fn(clone, 0)
         jax.block_until_ready(out)
         _, n_valid, payload = out
-        np.asarray(n_valid)  # warm the D2H transfer signatures
-        np.asarray(payload)
+        if jax.process_count() > 1:
+            for a in (*self._local_shards(n_valid),
+                      *self._local_shards(payload)):
+                np.asarray(a)  # warm the per-shard D2H signatures
+        else:
+            np.asarray(n_valid)  # warm the D2H transfer signatures
+            np.asarray(payload)
 
     def run_pass(self, state, pass_index: int):
         state, n_valid, payload = self._pass_fn(state, pass_index)
-        n_valid.copy_to_host_async()
-        payload.copy_to_host_async()
-        self.inner._worker.submit(n_valid, payload)
+        if jax.process_count() > 1:
+            # Only this process's shards are addressable; each process
+            # replays its own devices' emissions on its own worker.
+            nv = self._local_shards(n_valid)
+            pl = self._local_shards(payload)
+            for a in (*nv, *pl):
+                a.copy_to_host_async()
+            self.inner._worker.submit(nv, pl)
+        else:
+            n_valid.copy_to_host_async()
+            payload.copy_to_host_async()
+            self.inner._worker.submit(n_valid, payload)
         return state
 
     def histogram(self, state) -> np.ndarray:
         # Device histogram replicas provably stay zero (host replay, no
-        # device prefix); the worker accumulator is the histogram.
+        # device prefix); the worker accumulator is the histogram. In
+        # multi-process runs each process holds a partial accumulator;
+        # merge them with one allgather (collective — every process must
+        # call this, mirroring DataParallelEngine.histogram).
         self.inner._worker.drain()
-        return self.inner._worker.hist.copy()
+        local = self.inner._worker.hist
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            gathered = np.asarray(multihost_utils.process_allgather(local))
+            return gathered.sum(axis=0, dtype=np.uint32)
+        return local.copy()
 
     def stats(self, state) -> dict:
         out = super().stats(state)
         w = self.inner._worker
         w.drain()
-        out["orbit_points"] = out.get("orbit_points", 0) + w.points
-        out["on_canvas_points"] = w.hits
+        points, hits = int(w.points), int(w.hits)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            tallies = np.asarray(
+                multihost_utils.process_allgather(
+                    np.asarray([points, hits], dtype=np.uint64)
+                ),
+                dtype=np.uint64,
+            ).reshape(-1, 2)
+            points = int(tallies[:, 0].sum())
+            hits = int(tallies[:, 1].sum())
+        out["orbit_points"] = out.get("orbit_points", 0) + points
+        out["on_canvas_points"] = hits
         out["replay"] = "host"
         return out

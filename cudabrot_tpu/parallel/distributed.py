@@ -73,6 +73,26 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def any_flag(value: bool) -> bool:
+    """OR-reduce a local stop request across all processes.
+
+    Used for SIGINT: a ctrl+C delivered to *any* process (each may run in
+    its own terminal/job slot) must stop the whole distributed render, and
+    every process must observe the decision on the same pass. The
+    primary's contribution also carries the time-box / pass-count verdict
+    (those stay on the primary's clock to avoid divergent local clocks)."""
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        return value
+    out = multihost_utils.process_allgather(
+        np.asarray([value], dtype=np.bool_)
+    )
+    return bool(np.asarray(out).any())
+
+
 def broadcast_flag(value: bool) -> bool:
     """Broadcast a control decision from the primary to every process.
 

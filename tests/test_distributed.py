@@ -108,3 +108,117 @@ def test_two_processes_match_single_process(tmp_path):
     assert (single_dir / "out.pgm").read_bytes() == (
         multi_dir / "out.pgm"
     ).read_bytes()
+
+
+def test_two_processes_host_replay_match_single_process(tmp_path):
+    """Multi-process HOST replay: every process feeds its own native
+    worker from its addressable payload shards; the merged histogram must
+    be bitwise identical to a single-process host-replay run (same
+    emission streams — RNG ordinals are mesh-global — and exact u32
+    accumulation)."""
+    from cudabrot_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+
+    base_env = dict(os.environ)
+    base_env["PYTHONPATH"] = REPO + os.pathsep + base_env.get(
+        "PYTHONPATH", ""
+    )
+    base_env.pop("CUDABROT_COORDINATOR", None)
+
+    args = [
+        "-w", "32", "-h", "32", "-m", "48", "-c", "4",
+        "--passes", "2", "-t", "-1",
+        "--engine", "pallas", "--replay", "host",
+        "--lane-rows", "8", "--steps-per-pass", "128",
+        "--devices", "all",
+    ]
+
+    single_dir = tmp_path / "single"
+    single_dir.mkdir()
+    res = _run(
+        ["8", *args, "-s", str(single_dir / "state.ckpt"),
+         "-o", str(single_dir / "out.pgm")],
+        base_env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    multi_dir = tmp_path / "multi"
+    multi_dir.mkdir()
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(base_env)
+        env["CUDABROT_COORDINATOR"] = f"127.0.0.1:{port}"
+        env["CUDABROT_NUM_PROCESSES"] = "2"
+        env["CUDABROT_PROCESS_ID"] = str(pid)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", CHILD, "4", *args,
+                 "-s", str(multi_dir / "state.ckpt"),
+                 "-o", str(multi_dir / "out.pgm")],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, (out[-1000:], err[-2000:])
+
+    from cudabrot_tpu.config import Canvas, IterationBand, RenderConfig
+    from cudabrot_tpu.io import checkpoint as ckpt
+
+    cfg = RenderConfig(
+        canvas=Canvas(width=32, height=32),
+        band=IterationBand(max_escape_iterations=48,
+                           min_escape_iterations=4),
+    )
+    h_single, _ = ckpt.load(str(single_dir / "state.ckpt"), cfg)
+    h_multi, _ = ckpt.load(str(multi_dir / "state.ckpt"), cfg)
+    assert h_single.sum() > 0
+    np.testing.assert_array_equal(h_multi, h_single)
+
+
+def test_sigint_on_nonprimary_stops_distributed_render(tmp_path):
+    """A SIGINT delivered to a NON-primary process must stop the whole
+    distributed render (driver or-reduces local stop requests across
+    processes); without the reduction the render would run its -t -1
+    loop forever and this test would time out."""
+    import signal as _signal
+    import time as _time
+
+    base_env = dict(os.environ)
+    base_env["PYTHONPATH"] = REPO + os.pathsep + base_env.get(
+        "PYTHONPATH", ""
+    )
+    base_env.pop("CUDABROT_COORDINATOR", None)
+
+    args = [
+        "-w", "32", "-h", "32", "-m", "40", "-c", "4",
+        "-t", "-1", "--engine", "oracle", "--devices", "all",
+        "-o", os.path.join(str(tmp_path), "out.pgm"),
+    ]
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(base_env)
+        env["CUDABROT_COORDINATOR"] = f"127.0.0.1:{port}"
+        env["CUDABROT_NUM_PROCESSES"] = "2"
+        env["CUDABROT_PROCESS_ID"] = str(pid)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", CHILD, "4", *args],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    # Give the render time to reach the pass loop, then interrupt the
+    # NON-primary. (If the signal lands during warmup the flag is still
+    # honored at the first loop check — either way both must exit.)
+    _time.sleep(20)
+    procs[1].send_signal(_signal.SIGINT)
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, (out[-1000:], err[-2000:])
+    assert "Buddhabrot passes took" in outs[0][0]
