@@ -51,9 +51,9 @@ struct Canvas {
 // (cudabrot.cu:323-324) and record every update including the escape point
 // (cudabrot.cu:352-364); the loop is bounded by the classification-reported
 // escape index instead of the reference's unbounded while(1).
-template <bool kBurningShip>
+template <bool kBurningShip, typename HistT>
 uint64_t ReplayBlock(const float* cr, const float* ci, const int32_t* iters,
-                     int count, const Canvas& cv, uint32_t* hist,
+                     int count, const Canvas& cv, HistT* hist,
                      uint64_t* points_total) {
   float zr[kLanes], zi[kLanes];
   int32_t limit[kLanes];
@@ -153,8 +153,8 @@ struct IncBuf {
   int n = 0;
 };
 
-template <bool kPrefetch>
-inline void FlushIncrements(IncBuf& buf, uint32_t* hist) {
+template <bool kPrefetch, typename HistT>
+inline void FlushIncrements(IncBuf& buf, HistT* hist) {
   const int32_t* b = buf.idx;
   const int n = buf.n;
   int i = 0;
@@ -173,10 +173,10 @@ inline void FlushIncrements(IncBuf& buf, uint32_t* hist) {
   buf.n = 0;
 }
 
-template <bool kBurningShip, bool kPrefetch>
+template <bool kBurningShip, bool kPrefetch, typename HistT>
 uint64_t ReplayBlockAvx(const float* cr, const float* ci,
                         const int32_t* iters, int count, const Canvas& cv,
-                        uint32_t* hist, uint64_t* points_total,
+                        HistT* hist, uint64_t* points_total,
                         IncBuf& buf) {
   __m512 vzr[kGroups], vzi[kGroups], vcr[kGroups], vci[kGroups];
   __m512i vlim[kGroups];
@@ -270,14 +270,14 @@ uint64_t ReplayBlockAvx(const float* cr, const float* ci,
 
 #endif  // __AVX512F__
 
-template <bool kBurningShip>
+template <bool kBurningShip, typename HistT>
 void ReplayRange(const float* cr, const float* ci, const int32_t* iters,
-                 int64_t begin, int64_t end, const Canvas& cv, uint32_t* hist,
+                 int64_t begin, int64_t end, const Canvas& cv, HistT* hist,
                  ThreadResult* out) {
 #if defined(__AVX512F__)
   // Prefetching the histogram lines only pays once the histogram spills
   // out of the last-level cache; 16 MiB is a conservative LLC estimate.
-  const bool big = static_cast<size_t>(cv.w) * cv.h * sizeof(uint32_t) >
+  const bool big = static_cast<size_t>(cv.w) * cv.h * sizeof(HistT) >
                    (16u << 20);
   IncBuf buf;
   for (int64_t i = begin; i < end; i += kLanesAvx) {
@@ -303,6 +303,78 @@ void ReplayRange(const float* cr, const float* ci, const int32_t* iters,
                                            cv, hist, &out->points);
   }
 #endif
+}
+
+// Shared implementation for the uint32/uint64 histogram entry points.
+template <typename HistT>
+int64_t ReplayScatterImpl(const float* cr, const float* ci,
+                          const int32_t* iters, int64_t n, int32_t w,
+                          int32_t h, double min_real, double min_imag,
+                          double delta_real, double delta_imag, int32_t flags,
+                          int32_t num_threads, HistT* hist,
+                          uint64_t* points_total) {
+  if (n <= 0 || w <= 0 || h <= 0) return 0;
+  const Canvas cv{w, h, min_real, min_imag, delta_real, delta_imag};
+  const bool ship = (flags & 1) != 0;
+
+  int threads = num_threads;
+  if (threads <= 0) {
+    threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (threads <= 0) threads = 1;
+  }
+  const int64_t min_per_thread = 1024;
+  if (n / min_per_thread < threads) {
+    threads = static_cast<int>(n / min_per_thread);
+    if (threads < 1) threads = 1;
+  }
+
+  std::vector<ThreadResult> results(threads);
+  if (threads == 1) {
+    if (ship) {
+      ReplayRange<true>(cr, ci, iters, 0, n, cv, hist, &results[0]);
+    } else {
+      ReplayRange<false>(cr, ci, iters, 0, n, cv, hist, &results[0]);
+    }
+  } else {
+    // Per-thread private histograms: deterministic, no atomics.
+    const size_t bins = static_cast<size_t>(w) * h;
+    std::vector<std::vector<HistT>> priv(threads - 1,
+                                         std::vector<HistT>(bins, 0));
+    std::vector<std::thread> pool;
+    const int64_t chunk = (n + threads - 1) / threads;
+    for (int t = 1; t < threads; ++t) {
+      const int64_t b = t * chunk;
+      const int64_t e = std::min<int64_t>(n, b + chunk);
+      HistT* th = priv[t - 1].data();
+      pool.emplace_back([=, &results] {
+        if (ship) {
+          ReplayRange<true>(cr, ci, iters, b, e, cv, th, &results[t]);
+        } else {
+          ReplayRange<false>(cr, ci, iters, b, e, cv, th, &results[t]);
+        }
+      });
+    }
+    if (ship) {
+      ReplayRange<true>(cr, ci, iters, 0, std::min<int64_t>(n, chunk), cv,
+                        hist, &results[0]);
+    } else {
+      ReplayRange<false>(cr, ci, iters, 0, std::min<int64_t>(n, chunk), cv,
+                         hist, &results[0]);
+    }
+    for (auto& th : pool) th.join();
+    for (int t = 1; t < threads; ++t) {
+      const HistT* src = priv[t - 1].data();
+      for (size_t i = 0; i < bins; ++i) hist[i] += src[i];
+    }
+  }
+
+  uint64_t hits = 0, points = 0;
+  for (const auto& r : results) {
+    hits += r.hits;
+    points += r.points;
+  }
+  if (points_total) *points_total = points;
+  return static_cast<int64_t>(hits);
 }
 
 uint32_t crc_table[256];
@@ -332,68 +404,23 @@ int64_t tpubrot_replay_scatter(const float* cr, const float* ci,
                                double delta_real, double delta_imag,
                                int32_t flags, int32_t num_threads,
                                uint32_t* hist, uint64_t* points_total) {
-  if (n <= 0 || w <= 0 || h <= 0) return 0;
-  const Canvas cv{w, h, min_real, min_imag, delta_real, delta_imag};
-  const bool ship = (flags & 1) != 0;
+  return ReplayScatterImpl(cr, ci, iters, n, w, h, min_real, min_imag,
+                           delta_real, delta_imag, flags, num_threads, hist,
+                           points_total);
+}
 
-  int threads = num_threads;
-  if (threads <= 0) {
-    threads = static_cast<int>(std::thread::hardware_concurrency());
-    if (threads <= 0) threads = 1;
-  }
-  const int64_t min_per_thread = 1024;
-  if (n / min_per_thread < threads) {
-    threads = static_cast<int>(n / min_per_thread);
-    if (threads < 1) threads = 1;
-  }
-
-  std::vector<ThreadResult> results(threads);
-  if (threads == 1) {
-    if (ship) {
-      ReplayRange<true>(cr, ci, iters, 0, n, cv, hist, &results[0]);
-    } else {
-      ReplayRange<false>(cr, ci, iters, 0, n, cv, hist, &results[0]);
-    }
-  } else {
-    // Per-thread private histograms: deterministic, no atomics.
-    const size_t bins = static_cast<size_t>(w) * h;
-    std::vector<std::vector<uint32_t>> priv(
-        threads - 1, std::vector<uint32_t>(bins, 0));
-    std::vector<std::thread> pool;
-    const int64_t chunk = (n + threads - 1) / threads;
-    for (int t = 1; t < threads; ++t) {
-      const int64_t b = t * chunk;
-      const int64_t e = std::min<int64_t>(n, b + chunk);
-      uint32_t* th = priv[t - 1].data();
-      pool.emplace_back([=, &results] {
-        if (ship) {
-          ReplayRange<true>(cr, ci, iters, b, e, cv, th, &results[t]);
-        } else {
-          ReplayRange<false>(cr, ci, iters, b, e, cv, th, &results[t]);
-        }
-      });
-    }
-    if (ship) {
-      ReplayRange<true>(cr, ci, iters, 0, std::min<int64_t>(n, chunk), cv,
-                        hist, &results[0]);
-    } else {
-      ReplayRange<false>(cr, ci, iters, 0, std::min<int64_t>(n, chunk), cv,
-                         hist, &results[0]);
-    }
-    for (auto& th : pool) th.join();
-    for (int t = 1; t < threads; ++t) {
-      const uint32_t* src = priv[t - 1].data();
-      for (size_t i = 0; i < bins; ++i) hist[i] += src[i];
-    }
-  }
-
-  uint64_t hits = 0, points = 0;
-  for (const auto& r : results) {
-    hits += r.hits;
-    points += r.points;
-  }
-  if (points_total) *points_total = points;
-  return static_cast<int64_t>(hits);
+// uint64 histogram variant: identical semantics with a 64-bit accumulation
+// buffer, for extreme-duration renders whose hottest bins would overflow
+// uint32 (the reference is uint32-only, cudabrot.cu:105-108).
+int64_t tpubrot_replay_scatter64(const float* cr, const float* ci,
+                                 const int32_t* iters, int64_t n, int32_t w,
+                                 int32_t h, double min_real, double min_imag,
+                                 double delta_real, double delta_imag,
+                                 int32_t flags, int32_t num_threads,
+                                 uint64_t* hist, uint64_t* points_total) {
+  return ReplayScatterImpl(cr, ci, iters, n, w, h, min_real, min_imag,
+                           delta_real, delta_imag, flags, num_threads, hist,
+                           points_total);
 }
 
 // 16-bit binary PGM writer: P5 header + big-endian pixels

@@ -81,6 +81,8 @@ TPU-native extensions:
   --scatter <name>: histogram accumulation backend: auto (default),
              sort, or xla.
   --precision <p>: float32 (default) or float64.
+  --hist-dtype <d>: uint32 (default) or uint64 — 64-bit histogram bins
+             for extreme-duration renders (host replay only).
   --seed <n>: RNG seed. Defaults to 1337.
   --passes <n>: Stop after exactly n engine passes (deterministic
              alternative to -t).
@@ -277,6 +279,11 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
         elif arg == "--precision":
             opt["precision"] = _parse_str(argv, i, "Missing precision.")
             i += 2
+        elif arg == "--hist-dtype":
+            opt["hist_dtype"] = _parse_str(
+                argv, i, "Missing histogram dtype."
+            )
+            i += 2
         elif arg == "--seed":
             vals["seed"] = _parse_int(argv, i)
             i += 2
@@ -416,9 +423,7 @@ def run(cfg: RenderConfig, extras: CliExtras, log=print) -> int:
         # the collective passes; output is the primary's job.
         return 0
 
-    mapped = tonemap_op.tonemap(
-        jax.numpy.asarray(result.histogram), cfg.gamma
-    )
+    mapped = tonemap_op.tonemap_hist(result.histogram, cfg.gamma)
     image = np.asarray(jax.device_get(mapped.image))
     log(
         f"Max value: {int(mapped.max_count)}, "

@@ -184,6 +184,11 @@ class EngineOptions:
     #: full copy, merged at readback) or "rows" (row-sharded across the
     #: mesh — canvas memory and scatter work scale with chips).
     histogram_sharding: str = "replicated"
+    #: Histogram bin dtype: "uint32" (reference parity, cudabrot.cu:105)
+    #: or "uint64" for extreme-duration renders whose hottest bins would
+    #: overflow 32 bits (~4.3e9 counts). uint64 accumulation runs in the
+    #: native host-replay engine; the device scatter path is uint32-only.
+    hist_dtype: str = "uint32"
     #: Allowed in-flight (dispatched, not yet blocked-on) passes.
     pipeline_depth: int = 2
 
@@ -200,6 +205,8 @@ class EngineOptions:
             )
         if self.precision not in ("float32", "float64"):
             raise ConfigError(f"Unknown precision: {self.precision}")
+        if self.hist_dtype not in ("uint32", "uint64"):
+            raise ConfigError(f"Unknown histogram dtype: {self.hist_dtype}")
         if self.steps_per_flush > 0 and (
             self.steps_per_pass % self.steps_per_flush != 0
         ):

@@ -83,7 +83,7 @@ def _write_preview(cfg: RenderConfig, hist: np.ndarray) -> None:
     from cudabrot_tpu.io import png as png_io
     from cudabrot_tpu.ops import tonemap as tonemap_op
 
-    mapped = tonemap_op.tonemap(jnp.asarray(hist), cfg.gamma)
+    mapped = tonemap_op.tonemap_hist(hist, cfg.gamma)
     image = np.asarray(jax.device_get(mapped.image))
     directory = os.path.dirname(os.path.abspath(cfg.preview_file)) or "."
     fd, tmp = tempfile.mkstemp(dir=directory, suffix=".png.tmp")

@@ -35,6 +35,7 @@ class HostReplayWorker:
         burning_ship: bool,
         num_threads: int = 0,
         max_queue: int = 3,
+        dtype=np.uint32,
     ):
         if not native.available():
             raise RuntimeError(
@@ -44,7 +45,9 @@ class HostReplayWorker:
         self.burning_ship = burning_ship
         self.num_threads = num_threads
         self.max_queue = max_queue
-        self.hist = np.zeros(canvas.shape, np.uint32)
+        # uint64 bins for extreme-duration renders (EngineOptions
+        # .hist_dtype); the native engine has entry points for both.
+        self.hist = np.zeros(canvas.shape, dtype)
         self.hits = 0
         self.points = 0
         #: Cumulative seconds the worker spent fetching payloads vs
@@ -133,6 +136,22 @@ class HostReplayWorker:
         self.hits += hits
         self.points += points
         self.replay_seconds += time.perf_counter() - t1
+
+    def add_resumed(self, hist0: np.ndarray) -> None:
+        """Fold a resumed checkpoint into the accumulator, guarding the
+        uint64-checkpoint-into-uint32-render downcast (silent wraparound
+        would corrupt hours of work)."""
+        h0 = np.asarray(hist0)
+        if (
+            self.hist.dtype == np.uint32
+            and h0.dtype == np.uint64
+            and int(h0.max(initial=0)) > 0xFFFFFFFF
+        ):
+            raise ValueError(
+                "checkpoint holds uint64 counts above the uint32 range; "
+                "resume with --hist-dtype uint64"
+            )
+        self.hist += h0.astype(self.hist.dtype)
 
     def drain(self) -> None:
         """Block until all queued replays have accumulated."""

@@ -22,6 +22,12 @@ class OracleEngine:
     name = "oracle"
 
     def __init__(self, cfg: RenderConfig):
+        if cfg.options.hist_dtype != "uint32":
+            raise ConfigError(
+                "uint64 histograms are supported by the pallas engine's "
+                "host-replay path only (the oracle accumulates on-device "
+                "in uint32)."
+            )
         self.cfg = cfg
         self.steps_per_pass = (
             cfg.options.oracle_samples_per_pass * cfg.band.max_escape_iterations

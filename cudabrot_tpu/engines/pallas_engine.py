@@ -296,11 +296,20 @@ class PallasEngine:
             mode = "host" if native.available() else "device"
         self.replay_mode = mode
         self._worker = None
+        if o.hist_dtype == "uint64" and mode != "host":
+            from cudabrot_tpu.config import ConfigError
+
+            raise ConfigError(
+                "uint64 histograms require host replay (the device "
+                "scatter path accumulates in uint32); use --replay host."
+            )
         if mode == "host":
             from cudabrot_tpu.engines.host_replay import HostReplayWorker
 
             self._worker = HostReplayWorker(
-                cfg.canvas, burning_ship=self.fractal.fold_abs
+                cfg.canvas,
+                burning_ship=self.fractal.fold_abs,
+                dtype=np.dtype(o.hist_dtype),
             )
             # Auto share is 0: route ALL replay to the host. Measured on
             # v5e + AVX-512 host (benchmarks/phase_breakdown.py): device
@@ -314,6 +323,13 @@ class PallasEngine:
             # emission stream.
             share = max(o.replay_device_share, 0.0)
             self.split_threshold = self.tuning.split_threshold(share)
+            if o.hist_dtype == "uint64" and self.split_threshold > 0:
+                from cudabrot_tpu.config import ConfigError
+
+                raise ConfigError(
+                    "uint64 histograms cannot use a device replay share "
+                    "(the device prefix accumulates in uint32)."
+                )
 
             # The kernel draws c from 24-bit RNG words: cr = k * 2^-22 - 2
             # exactly (pallas_kernels._u32_to_domain), so k = (cr+2) * 2^22
@@ -514,7 +530,7 @@ class PallasEngine:
             self._worker.hits = 0
             self._worker.points = 0
             if hist0 is not None:
-                self._worker.hist += np.asarray(hist0, np.uint32)
+                self._worker.add_resumed(hist0)
             hist = jnp.zeros(shape, jnp.uint32)
         else:
             hist = (
@@ -545,7 +561,8 @@ class PallasEngine:
         )
         host = hist + cv.num_pixels * 2  # final histogram + 16-bit image
         if self._worker is not None:
-            host += hist  # host accumulation buffer
+            # Host accumulation buffer (8 bytes/bin for uint64 renders).
+            host += cv.num_pixels * self._worker.hist.dtype.itemsize
         return device, host
 
     def warmup(self, state) -> None:

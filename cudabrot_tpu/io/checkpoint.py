@@ -70,9 +70,12 @@ def _fsync_dir(dirpath: str) -> None:
 
 
 def save(path: str, hist: np.ndarray, cfg: RenderConfig, passes: int) -> None:
-    """Atomically write the checkpoint."""
-    hist = np.ascontiguousarray(hist, dtype=np.uint32)
+    """Atomically write the checkpoint (uint32, or uint64 for
+    extreme-duration renders — the dtype rides in the npz array)."""
+    dtype = np.uint64 if np.asarray(hist).dtype == np.uint64 else np.uint32
+    hist = np.ascontiguousarray(hist, dtype=dtype)
     meta = _metadata(cfg, passes)
+    meta["dtype"] = np.dtype(dtype).name
     meta["crc32"] = zlib.crc32(hist.tobytes()) & 0xFFFFFFFF
     fd, tmp = tempfile.mkstemp(
         dir=os.path.dirname(os.path.abspath(path)) or ".",
@@ -123,7 +126,9 @@ def load(path: str, cfg: RenderConfig) -> tuple[np.ndarray, dict] | None:
         return hist, {"format_version": 0, "passes": 0}
 
     with np.load(path) as data:
-        hist = np.asarray(data["hist"], dtype=np.uint32)
+        hist = np.asarray(data["hist"])
+        if hist.dtype != np.uint64:  # uint64 survives; anything else is u32
+            hist = hist.astype(np.uint32)
         meta = json.loads(bytes(data["meta"]).decode())
 
     if hist.shape != canvas.shape:

@@ -80,6 +80,14 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint32),  # hist
             ctypes.POINTER(ctypes.c_uint64),  # points_total out
         ]
+        lib.tpubrot_replay_scatter64.restype = ctypes.c_int64
+        lib.tpubrot_replay_scatter64.argtypes = (
+            lib.tpubrot_replay_scatter.argtypes[:-2]
+            + [
+                ctypes.POINTER(ctypes.c_uint64),  # hist (64-bit bins)
+                ctypes.POINTER(ctypes.c_uint64),  # points_total out
+            ]
+        )
         lib.tpubrot_write_pgm16.restype = ctypes.c_int32
         lib.tpubrot_write_pgm16.argtypes = [
             ctypes.c_char_p,
@@ -118,16 +126,36 @@ def replay_scatter(
     burning_ship: bool = False,
     num_threads: int = 0,
 ) -> tuple[int, int]:
-    """Replay known-escaping samples into ``hist`` (uint32 (h, w), mutated
-    in place). Returns (on_canvas_hits, total_points). Raises RuntimeError
-    if the native library is unavailable — callers gate on available()."""
+    """Replay known-escaping samples into ``hist`` ((h, w) uint32 or
+    uint64, mutated in place — the dtype selects the native entry point).
+    Returns (on_canvas_hits, total_points). Raises RuntimeError if the
+    native library is unavailable — callers gate on available()."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native replay library unavailable")
     cr = np.ascontiguousarray(cr, np.float32)
     ci = np.ascontiguousarray(ci, np.float32)
     iters = np.ascontiguousarray(iters, np.int32)
-    assert hist.dtype == np.uint32 and hist.flags.c_contiguous
+    assert hist.dtype in (np.uint32, np.uint64) and hist.flags.c_contiguous
+    if hist.dtype == np.uint64:
+        points = ctypes.c_uint64(0)
+        hits = lib.tpubrot_replay_scatter64(
+            cr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ci.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            iters.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(cr),
+            width,
+            height,
+            min_real,
+            min_imag,
+            delta_real,
+            delta_imag,
+            1 if burning_ship else 0,
+            num_threads,
+            hist.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            ctypes.byref(points),
+        )
+        return int(hits), int(points.value)
     points = ctypes.c_uint64(0)
     hits = lib.tpubrot_replay_scatter(
         cr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -56,3 +56,20 @@ def tonemap(hist: jnp.ndarray, gamma: float) -> TonemapResult:
         corrected = jnp.clip(corrected, 0.0, maxval)
         out = corrected.astype(jnp.uint16)
     return TonemapResult(out, max_count.astype(jnp.uint32), scale)
+
+
+def tonemap_hist(hist, gamma: float) -> TonemapResult:
+    """Dtype-dispatching entry for host histograms.
+
+    uint64 histograms (extreme-duration renders) can't ride through jax
+    without x64 (silent demotion) — and don't need to: the tone map is a
+    ratio, so float32 carries it to far below one gray level. max_count
+    is taken exactly on the host for the parity print."""
+    import numpy as np
+
+    h = np.asarray(hist)
+    if h.dtype == np.uint64:
+        res = tonemap(jnp.asarray(h.astype(np.float32)), gamma)
+        return TonemapResult(res.image, int(h.max(initial=0)),
+                             res.linear_scale)
+    return tonemap(jnp.asarray(h), gamma)

@@ -223,7 +223,7 @@ class DataParallelHostReplayEngine(DataParallelEngine):
             # Resumed mass lives in the worker accumulator (host mode);
             # only the primary's worker holds it, so the cross-process
             # merge counts it exactly once.
-            self.inner._worker.hist += np.asarray(hist0, np.uint32)
+            self.inner._worker.add_resumed(hist0)
         return state
 
     @staticmethod
