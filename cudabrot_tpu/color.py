@@ -158,6 +158,81 @@ DEFAULT_HSL_BANDS = {
     "L": BandSpec(max_it=60000, min_it=45000, gamma=-1.0, seconds=120.0),
 }
 
+def render_bands_interleaved(
+    cfgs: dict[str, "object"], log=print
+) -> dict[str, np.ndarray]:
+    """Render all bands concurrently by round-robin pass dispatch.
+
+    The bands are independent renders (own engine, own RNG stream, own
+    accumulator), so their passes can interleave freely on one chip: while
+    band A's host worker replays its emissions, band B's classify pass
+    occupies the device — the pipeline bubbles of the sequential loop
+    (host-bound bands idle the chip, classify-bound bands idle the host)
+    fill with other bands' work. Per-band histograms are bitwise identical
+    to sequential runs of the same pass counts (engines never share
+    state); with time boxes, budgets overlap instead of adding — the wall
+    clock for the reference's 12h+4h+2h HSL recipe
+    (generate_hires_color_image.sh:27-59) becomes max, not sum.
+
+    ``cfgs`` maps band key -> RenderConfig (seconds_to_run / max_passes
+    taken from each config). Returns band key -> histogram.
+    """
+    import time
+
+    import jax
+
+    from cudabrot_tpu import engines as engines_mod
+    from cudabrot_tpu.driver import SigintFlag
+    from cudabrot_tpu.utils import jaxcache
+
+    jaxcache.enable()
+    slots = {}
+    for key, cfg in cfgs.items():
+        engine = engines_mod.make_engine(cfg)
+        state = engine.init_state(None)
+        warmup = getattr(engine, "warmup", None)
+        if warmup is not None:
+            warmup(state)
+        slots[key] = {"engine": engine, "state": state, "passes": 0,
+                      "cfg": cfg}
+
+    start = time.monotonic()
+    active = list(slots)
+    with SigintFlag(log) as flag:
+        while active:
+            if flag.triggered:
+                break
+            elapsed = time.monotonic() - start
+            for key in list(active):
+                s = slots[key]
+                cfg = s["cfg"]
+                done = (
+                    cfg.max_passes is not None
+                    and s["passes"] >= cfg.max_passes
+                )
+                if (
+                    s["passes"] > 0
+                    and cfg.seconds_to_run >= 0
+                    and elapsed > cfg.seconds_to_run
+                ):
+                    done = True
+                if done:
+                    active.remove(key)
+                    continue
+                s["state"] = s["engine"].run_pass(s["state"], s["passes"])
+                s["passes"] += 1
+                depth = max(1, cfg.options.pipeline_depth)
+                if s["passes"] % depth == 0:
+                    jax.block_until_ready(s["state"])
+
+    out = {}
+    for key, s in slots.items():
+        jax.block_until_ready(s["state"])
+        out[key] = s["engine"].histogram(s["state"])
+        log(f"  band {key!r}: {s['passes']} passes")
+    return out
+
+
 COLOR_USAGE = """Usage: {prog} render-color [options]
 
 Renders multiple iteration bands and combines them into one color image,
@@ -178,6 +253,10 @@ Options:
         (generate_hires_color_image.sh:70).
   --normalize: apply the ImageMagick-style contrast stretch to each band
         before combining (generate_hires_color_image.sh:35).
+  --interleave: stream all bands concurrently (round-robin pass
+        dispatch) so one band's host replay overlaps another's
+        classify; time budgets then overlap (wall = max, not sum).
+        Per-band output is bitwise identical to sequential --passes runs.
   --engine/--scatter/--seed/--devices: forwarded to the renderer.
   --keep-bands: also save each band's grayscale PGM.
 """
@@ -194,6 +273,7 @@ def main(argv: list[str]) -> int:
     adjust_hue = 0.3
     do_normalize = False
     keep_bands = False
+    interleave = False
     passes: int | None = None
 
     i = 0
@@ -245,6 +325,9 @@ def main(argv: list[str]) -> int:
         elif arg == "--normalize":
             do_normalize = True
             i += 1
+        elif arg == "--interleave":
+            interleave = True
+            i += 1
         elif arg == "--keep-bands":
             keep_bands = True
             i += 1
@@ -271,9 +354,7 @@ def main(argv: list[str]) -> int:
     from cudabrot_tpu import driver
     from cudabrot_tpu.ops import tonemap as tonemap_op
 
-    layers: dict[str, np.ndarray] = {}
-    for key, spec in bands.items():
-        print(f"Rendering band {key!r}: m={spec.max_it} c={spec.min_it}")
+    def band_cfg(spec: BandSpec):
         band_argv = canvas_args + engine_args + [
             "-m", str(spec.max_it),
             "-c", str(spec.min_it),
@@ -282,9 +363,28 @@ def main(argv: list[str]) -> int:
         if passes is not None:
             band_argv += ["--passes", str(passes)]
         cfg, _ = main_cli.parse_args(band_argv)
-        result = driver.run_render(cfg)
-        mapped = tonemap_op.tonemap(jax.numpy.asarray(result.histogram),
-                                    spec.gamma)
+        return cfg
+
+    hists: dict[str, np.ndarray] = {}
+    if interleave:
+        print(
+            f"Streaming {len(bands)} bands concurrently: "
+            + ", ".join(
+                f"{k}(m={s.max_it},c={s.min_it})" for k, s in bands.items()
+            )
+        )
+        hists = render_bands_interleaved(
+            {key: band_cfg(spec) for key, spec in bands.items()}
+        )
+    else:
+        for key, spec in bands.items():
+            print(f"Rendering band {key!r}: m={spec.max_it} c={spec.min_it}")
+            result = driver.run_render(band_cfg(spec))
+            hists[key] = result.histogram
+
+    layers: dict[str, np.ndarray] = {}
+    for key, spec in bands.items():
+        mapped = tonemap_op.tonemap_hist(hists[key], spec.gamma)
         img = np.asarray(jax.device_get(mapped.image))
         if do_normalize:
             layers[key] = normalize(img)

@@ -88,3 +88,35 @@ def test_render_color_end_to_end(tmp_path, monkeypatch):
     img = png_io.read_png(out)
     assert img.shape == (24, 24, 3)
     assert img.sum() > 0
+
+
+def test_interleaved_matches_sequential_bitwise(tmp_path, monkeypatch):
+    """--interleave must produce per-band output bitwise identical to the
+    sequential loop for fixed pass counts: the bands are independent
+    renders, so dispatch order cannot affect their histograms."""
+    monkeypatch.chdir(tmp_path)
+    args = [
+        "--mode", "rgb",
+        "-w", "20", "-h", "20",
+        "--engine", "oracle",
+        "--passes", "2",
+        "--band", "blue:40:4:1.0:1",
+        "--band", "lime:60:10:1.0:1",
+        "--band", "red:90:30:1.0:1",
+        "--keep-bands",
+    ]
+    rc = color.main(args + ["-o", str(tmp_path / "seq.png")])
+    assert rc == 0
+    from cudabrot_tpu.io import pgm as pgm_io
+
+    seq = {k: pgm_io.read_pgm(f"band_{k}.pgm") for k in ("blue", "lime", "red")}
+
+    rc = color.main(args + ["--interleave", "-o", str(tmp_path / "il.png")])
+    assert rc == 0
+    for k in seq:
+        np.testing.assert_array_equal(
+            pgm_io.read_pgm(f"band_{k}.pgm"), seq[k]
+        )
+    assert (tmp_path / "seq.png").read_bytes() == (
+        tmp_path / "il.png"
+    ).read_bytes()
