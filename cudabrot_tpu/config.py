@@ -155,6 +155,21 @@ class EngineOptions:
     #: (refill/emission) passes. 0 = auto. Larger windows shorten the
     #: instruction stream but let finished lanes coast to the window edge.
     inner_unroll: int = 0
+    #: Refill-randomness source for the classify kernel: "threefry"
+    #: (in-kernel counter-based Threefry-2x32 — unbiased, identical on
+    #: CPU and TPU) or "hardware" (pltpu.prng_random_bits — a faster
+    #: window boundary, but its deep-iteration-tail sampling is
+    #: measurably biased; see benchmarks/PERF_NOTES.md "PRNG stream
+    #: separation"). Interpret mode always uses threefry.
+    refill_rng: str = "threefry"
+    #: Classify-kernel escape bookkeeping: "step" tracks the escape index
+    #: with per-step masks (and checks Brent cycles every step); "thin"
+    #: counts surviving steps and recovers the index at the window
+    #: boundary (cycle checks move to boundaries too — escape is a point
+    #: of no return for this dynamics, see pallas_kernels._make_kernel),
+    #: cutting the inner instruction stream by roughly a third. "auto"
+    #: uses thin tracking.
+    escape_tracking: str = "auto"
     #: Brent cycle detection for interior orbits (pallas engine). Disable
     #: for bitwise escape-count parity experiments with the reference,
     #: which always iterates interior points to the cap (cudabrot.cu:338).
@@ -203,6 +218,12 @@ class EngineOptions:
             raise ConfigError(
                 f"Unknown histogram sharding: {self.histogram_sharding}"
             )
+        if self.refill_rng not in ("threefry", "hardware"):
+            raise ConfigError(f"Unknown refill rng: {self.refill_rng}")
+        if self.escape_tracking not in ("auto", "step", "thin"):
+            raise ConfigError(
+                f"Unknown escape tracking mode: {self.escape_tracking}"
+            )
         if self.precision not in ("float32", "float64"):
             raise ConfigError(f"Unknown precision: {self.precision}")
         if self.hist_dtype not in ("uint32", "uint64"):
@@ -217,19 +238,11 @@ class EngineOptions:
             raise ConfigError(
                 "lane_rows must be positive and replay_capacity non-negative"
             )
-        # Per-pass counter invariants (the kernel tracks per-lane steps in
-        # int32 and per-pass lane-steps in uint32). The auto-tuner bounds
-        # these internally; user-set values must be checked here.
+        # Per-lane counter invariant: the kernel tracks per-lane steps in
+        # int32 (per-PASS totals are exact u64 pairs, counters.u64_sum_i32,
+        # so no cross-lane ceiling applies).
         if self.steps_per_pass >= (1 << 31):
             raise ConfigError("steps_per_pass must be below 2^31")
-        if (
-            self.steps_per_pass > 0
-            and self.steps_per_pass * self.lane_rows * 128 >= (1 << 32)
-        ):
-            raise ConfigError(
-                "steps_per_pass * lane_rows * 128 (per-pass lane-steps) "
-                "must be below 2^32; lower one of them"
-            )
 
 
 @dataclasses.dataclass(frozen=True)

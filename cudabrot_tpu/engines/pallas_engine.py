@@ -55,68 +55,139 @@ def _pow2(x: float) -> int:
 
 
 def band_emission_rate(min_it: int, max_it: int) -> float:
-    """Expected in-band emissions per lane-step (calibrated on-device).
+    """Expected in-band emissions per *useful* lane-step.
 
-    The Mandelbrot escape-time tail follows P(T >= t) ~ C/t (measured
-    C ~ 0.2-0.4 over the practically used bands), so the band fraction
-    per sample is C*(1/min - 1/max). Mean classification cost per sample
-    grows logarithmically with the iteration cap because non-culled
-    interior points pay the Brent detection latency: measured 3.1
-    steps/sample at m=100, 11.2 at m=20000, 12.6 at m=60000.
+    The Mandelbrot escape-time tail follows P(T >= t) ~ C/t; C = 0.22
+    re-calibrated against unbiased (threefry) sampling on v5e: measured
+    per-draw in-band rates 9.9e-5 at [2000, 20000) and 1.07e-6 at
+    [45000, 60000) fit C = 0.22 at both bands (the old C = 0.35 came
+    from the biased hardware-PRNG streams). Mean classification cost per
+    sample grows logarithmically with the iteration cap because
+    non-culled interior points pay the Brent detection latency: measured
+    3.1 steps/sample at m=100, 11.2 at m=20000, 12.6 at m=60000.
+    Window-coast waste is applied separately where executed (not useful)
+    lane-steps are the denominator (Tuning capacity sizing).
     """
-    frac = 0.35 * (1.0 / max(min_it, 2) - 1.0 / max(max_it, 4))
+    frac = 0.22 * (1.0 / max(min_it, 2) - 1.0 / max(max_it, 4))
     frac = max(frac, 1e-7)
     mean_cost = 3.2 + 1.1 * float(np.log(max(max_it, 100) / 100.0))
     return frac / mean_cost
 
 
 class Tuning:
-    """Resolved per-band engine geometry."""
+    """Resolved per-band engine geometry.
 
-    def __init__(self, cfg: RenderConfig):
+    ``interpret`` caps the flush window at 4096: in interpreter mode the
+    refill randomness streams from a pre-generated bits array of shape
+    (chunks, flush/U, 2, R, 128), which at the large emission-light-band
+    windows would allocate gigabytes on CPU for no benefit.
+    """
+
+    def __init__(self, cfg: RenderConfig, interpret: bool = False):
+        self._interpret = interpret
         o = cfg.options
         rate = band_emission_rate(
             cfg.band.min_escape_iterations, cfg.band.max_escape_iterations
         )
         lanes = o.lane_rows * 128
         # Flush window: aim for ~0.25 expected emissions per lane per
-        # window (~12% pending-overwrite loss at the high end).
+        # window (~12% pending-overwrite loss at the high end). The upper
+        # cap bounds the emission buffer the compaction argsort must chew
+        # through every pass (buffer = chunks * lanes entries; measured on
+        # v5e the 256-chunk fine-band buffer cost ~20 ms/pass — more than
+        # the classify kernel itself). Emission-light bands (rare in-band
+        # finishes, negligible overwrite loss at any window size) take a
+        # 16x larger cap so the buffer stays small; emission-heavy bands
+        # keep the tight cap, where the window target is the binding
+        # constraint anyway and overwrite loss costs real points.
+        flush_cap = 4096 if (rate > 1e-5 or interpret) else 65536
         self.steps_per_flush = (
             o.steps_per_flush
             if o.steps_per_flush > 0
-            else int(np.clip(_pow2(0.25 / rate), 32, 4096))
+            else int(np.clip(_pow2(0.25 / rate), 32, flush_cap))
         )
-        # Pass length: enough chunks to amortize dispatch without letting
-        # the emission buffer (chunks * lanes entries) explode.
+        # Window size trades boundary-op amortization against
+        # finished-lane coast (selected before pass length, which scales
+        # with it). Thin (boundary) escape tracking is strictly cheaper
+        # per inner step and semantically equivalent modulo
+        # Brent-detection latency; "auto" always takes it. "step" remains
+        # for exact-parity experiments (per-step cycle checks,
+        # first-crossing indices).
+        self.thin_tracking = o.escape_tracking != "step"
+        if o.inner_unroll > 0:
+            self.inner_unroll = o.inner_unroll
+        elif rate > 1e-4:  # emission-heavy: transfer-bound, waste hurts
+            self.inner_unroll = 1
+        else:
+            # Maximize modeled useful throughput: per-lane-step cost is
+            # c_inner + c_boundary/U, and the coast waste is (U-1)/(2L).
+            # Constants fit from measured raw rates on v5e
+            # (benchmarks/tracking_ab.py): step tracking 2.8e10/6.7e10/
+            # 9.5e10 lane-steps/s at U=1/4/8 -> c_i=7.2e-12 s,
+            # c_b=3.7e-11 s; thin tracking + threefry refill (the
+            # production default) 6.6e10/1.16e11/1.84e11 at U=4/8/16 ->
+            # c_i=2.3e-12 s, c_b=5.0e-11 s. (With the hardware PRNG thin
+            # reaches 1.54e11/2.36e11 at U=8/16 — c_b=3.9e-11 — but its
+            # deep-tail bias rules it out as a default; see
+            # config.EngineOptions.refill_rng.) With practical lifetimes
+            # L <~ 13 the score peaks at U=8; 16/32 stay in the candidate
+            # set for hypothetical very-long-lived bands.
+            lifetime = 3.2 + 1.1 * float(
+                np.log(max(cfg.band.max_escape_iterations, 100) / 100.0)
+            )
+            if self.thin_tracking:
+                if o.refill_rng == "hardware":
+                    c_i, c_b = 1.7e-12, 3.9e-11
+                else:
+                    c_i, c_b = 2.3e-12, 5.0e-11
+                candidates = (1, 2, 4, 8, 16, 32)
+            else:
+                c_i, c_b = 7.2e-12, 3.7e-11
+                candidates = (1, 2, 4, 8)
+
+            def score(u: int) -> float:
+                useful = max(0.0, 1.0 - (u - 1) / (2.0 * lifetime))
+                return useful / (c_i + c_b / u)
+
+            self.inner_unroll = max(candidates, key=score)
+        if self.steps_per_flush % self.inner_unroll != 0:
+            self.inner_unroll = 1
+        # Pass length: enough work per dispatch to amortize the
+        # per-call overhead (~28-30 ms through this environment's tunnel,
+        # PERF_NOTES.md). Windowed (U>1) configurations step U-times
+        # faster, so the cap scales with U to keep pass wall time roughly
+        # constant (~80-120 ms on v5e); the lane-aware bound keeps
+        # per-pass lane-steps <= 2^34 so huge lane counts stay SIGINT-
+        # responsive. Per-pass stat totals are exact u64 pairs
+        # (counters.u64_sum_i32), so no uint32 ceiling applies.
         if o.steps_per_pass > 0:
             self.steps_per_pass = o.steps_per_pass
         else:
-            chunks = 256
-            # Upper bound keeps per-pass lane-steps (and thus every
-            # per-pass uint32 stat counter) below 2^32.
+            cap = min((1 << 18) * self.inner_unroll, (1 << 34) // lanes)
             self.steps_per_pass = int(
-                np.clip(self.steps_per_flush * chunks, 4096, 1 << 18)
+                np.clip(self.steps_per_flush * 256, 4096, max(cap, 4096))
             )
         if self.steps_per_pass % self.steps_per_flush != 0:
             self.steps_per_pass = (
                 (self.steps_per_pass // self.steps_per_flush + 1)
                 * self.steps_per_flush
             )
-        # Per-pass lane-step count must fit uint32 (per-pass stat
-        # counters). EngineOptions.validate rejects user-set violations;
-        # the auto path (large lane_rows) is clamped down here.
-        max_steps = ((1 << 32) - 1) // lanes
-        if self.steps_per_pass > max_steps:
-            self.steps_per_pass = max(
-                (max_steps // self.steps_per_flush) * self.steps_per_flush,
-                self.steps_per_flush,
-            )
-        assert self.steps_per_pass * lanes < (1 << 32)
-        expected = self.steps_per_pass * lanes * rate
-        # pow2 rounding already grants up to 2x headroom; overflow beyond
-        # capacity is counted (replay_dropped) and statistically unbiased.
-        # Oversizing is not free: the emission payload crosses the
-        # device->host link every pass.
+        # Expected emissions per pass: the rate model counts per useful
+        # lane-step, so discount the window-coast waste a U>1 window pays
+        # (executed steps are the product below). pow2 rounding already
+        # grants up to 2x headroom; overflow beyond capacity is counted
+        # (replay_dropped) and statistically unbiased. Oversizing is not
+        # free: the emission payload crosses the device->host link every
+        # pass, and the fetch sits on the host worker's critical path
+        # when the band is replay-bound (measured: a 4x-oversized
+        # headline payload cost ~25% of the pass wall).
+        lifetime_w = 3.2 + 1.1 * float(
+            np.log(max(cfg.band.max_escape_iterations, 100) / 100.0)
+        )
+        useful_frac = max(
+            0.25, 1.0 - (self.inner_unroll - 1) / (2.0 * lifetime_w)
+        )
+        expected = self.steps_per_pass * lanes * rate * useful_frac
         self.replay_capacity = (
             o.replay_capacity
             if o.replay_capacity > 0
@@ -139,40 +210,6 @@ class Tuning:
                 * self.replay_block
             )
         self.replay_chunk = o.replay_chunk
-        # Window size trades boundary-op amortization against
-        # finished-lane coast. Round-2 steady-state A/B on v5e (benchmarks/
-        # version_timing_tpu.md): the boundary work (refill/PRNG/cull/
-        # emit bookkeeping) dominates the per-step instruction stream, so
-        # the raw lane-step rate scales hard with U (2.7e10 -> 6.1e10 ->
-        # 8.5e10 at U=1/4/8) while coast waste grows as (U-1)/2 divided by
-        # the mean sample lifetime L ~ 3.2+1.1*ln(max/100). Auto picks the
-        # largest U in {1,2,4,8} whose predicted waste stays under 20% —
-        # fine band (L~12.6): U=8, 2.69e10 -> 5.67e10 useful it/s —
-        # EXCEPT at emission-heavy bands, where throughput is bound by
-        # emissions transferred per useful step and waste directly
-        # inflates it, so they stay at U=1. (The r1 "U=1 always wins"
-        # conclusion was confounded by the then-dominant replay path.)
-        if o.inner_unroll > 0:
-            self.inner_unroll = o.inner_unroll
-        elif rate > 1e-4:  # emission-heavy: transfer-bound, waste hurts
-            self.inner_unroll = 1
-        else:
-            # Maximize modeled useful throughput: per-lane-step cost is
-            # c_inner + c_boundary/U (measured on v5e: raw 2.7e10 /
-            # 6.1e10 / 8.5e10 lane-steps/s at U=1/4/8 fits c_i=7.2e-12 s,
-            # c_b=3.7e-11 s), and the coast waste is (U-1)/(2L).
-            lifetime = 3.2 + 1.1 * float(
-                np.log(max(cfg.band.max_escape_iterations, 100) / 100.0)
-            )
-            c_i, c_b = 7.2e-12, 3.7e-11
-
-            def score(u: int) -> float:
-                useful = max(0.0, 1.0 - (u - 1) / (2.0 * lifetime))
-                return useful / (c_i + c_b / u)
-
-            self.inner_unroll = max((1, 2, 4, 8), key=score)
-        if self.steps_per_flush % self.inner_unroll != 0:
-            self.inner_unroll = 1
         self.min_it = cfg.band.min_escape_iterations
         self.max_it = cfg.band.max_escape_iterations
 
@@ -277,16 +314,22 @@ class PallasEngine:
         self.cfg = cfg
         self.fractal = fractals.get_fractal(cfg.fractal)
         o = cfg.options
-        self.tuning = Tuning(cfg)
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.interpret = interpret
+        self.tuning = Tuning(cfg, interpret=interpret)
         self.lane_rows = o.lane_rows
         self.lanes = o.lane_rows * 128
         self.steps_per_pass = self.tuning.steps_per_pass * self.lanes
         self.replay_capacity = self.tuning.replay_capacity
-        if interpret is None:
-            interpret = jax.default_backend() != "tpu"
-        self.interpret = interpret
         self.scatter_backend = (
             o.scatter if o.scatter != "auto" else "xla"
+        )
+        # Refill RNG: in-kernel Threefry by default (unbiased, backend-
+        # independent). The hardware PRNG is TPU-only — the interpreter
+        # stubs it to zeros — so interpret mode always takes threefry.
+        self.refill_rng = (
+            "threefry" if interpret else cfg.options.refill_rng
         )
 
         mode = replay_mode or o.replay
@@ -395,27 +438,16 @@ class PallasEngine:
         key = jax.random.fold_in(
             jax.random.fold_in(base_key, ordinal), pass_index
         )
-        seed = jax.random.bits(key, (), jnp.uint32)
-
-        if self.interpret:
-            # Off-TPU the interpreter stubs the hardware PRNG; stream
-            # threefry bits instead (identical kernel logic, different
-            # random stream — documented in pallas_kernels).
-            chunks = tn.steps_per_pass // tn.steps_per_flush
-            windows = tn.steps_per_flush // tn.inner_unroll
-            bits = jax.random.bits(
-                jax.random.fold_in(key, 1),
-                (chunks, windows, 2, self.lane_rows, 128),
-                jnp.uint32,
-            )
-        else:
-            bits = None
+        # Two uint32 key words: the in-kernel Threefry key (or the
+        # hardware-PRNG seed, which uses word 0). Backend-independent —
+        # CPU (interpret) and TPU runs draw identical refill samples.
+        seed = jax.random.bits(key, (2,), jnp.uint32)
 
         lane_state = pk.LaneState(*state["lanes"])
         result = pk.classify_pass(
             lane_state,
             seed,
-            bits,
+            None,
             fractal=self.fractal,
             min_it=cfg.band.min_escape_iterations,
             max_it=cfg.band.max_escape_iterations,
@@ -424,6 +456,8 @@ class PallasEngine:
             cycle_detection=o.cycle_detection,
             interpret=self.interpret,
             inner_unroll=tn.inner_unroll,
+            thin_tracking=tn.thin_tracking,
+            rng=self.refill_rng,
         )
 
         # --- compaction: one key sort packs valid entries first AND orders
@@ -444,25 +478,35 @@ class PallasEngine:
         dropped = n_valid - emitted
 
         # --- stats (orbit points are counted where replay runs) ---
-        st = result.stats.astype(jnp.uint32)
-        wasted = jnp.sum(st[pk.STAT_WASTED])
+        # Per-pass totals are exact (lo, hi) uint32 pairs: per-lane
+        # counters are int32 in the kernel, but their cross-lane sums can
+        # exceed 2^32 once passes are sized to amortize dispatch overhead
+        # (counters.u64_sum_i32). The reference has no analog — it only
+        # counts passes (cudabrot.cu:498-499).
+        st = result.stats
+        wasted = counters.u64_sum_i32(st[pk.STAT_WASTED])
+        zero_pair = (jnp.uint32(0), jnp.uint32(0))
         per_pass = {
-            "samples": jnp.sum(st[pk.STAT_DRAWN]),
-            "culled": jnp.sum(st[pk.STAT_CULLED]),
-            "in_band": jnp.sum(st[pk.STAT_IN_BAND]),
-            "cycles": jnp.sum(st[pk.STAT_CYCLES]),
-            "emitted": emitted,
-            "replay_dropped": dropped,
+            "samples": counters.u64_sum_i32(st[pk.STAT_DRAWN]),
+            "culled": counters.u64_sum_i32(st[pk.STAT_CULLED]),
+            "in_band": counters.u64_sum_i32(st[pk.STAT_IN_BAND]),
+            "cycles": counters.u64_sum_i32(st[pk.STAT_CYCLES]),
+            "emitted": (emitted, jnp.uint32(0)),
+            "replay_dropped": (dropped, jnp.uint32(0)),
             "wasted": wasted,
             # Useful classify iterations: executed lane-steps minus the
             # window-coast and culled-draw waste the kernel counted.
-            "iters": jnp.uint32(tn.steps_per_pass * self.lanes) - wasted,
-            "points": jnp.uint32(0),
+            "iters": counters.u64_sub_pair(
+                counters.u64_pair(tn.steps_per_pass * self.lanes), wasted
+            ),
+            "points": zero_pair,
         }
         new_state = dict(state)
         new_state["lanes"] = tuple(result.state)
         for key_ in STAT_KEYS:
-            new_state[key_] = counters.u64_add(state[key_], per_pass[key_])
+            new_state[key_] = counters.u64_add_pair(
+                state[key_], per_pass[key_]
+            )
         # Mark invalid compacted lanes with negative iters so both replay
         # backends can skip them.
         it_c = jnp.where(valid_c, it_c, -1)

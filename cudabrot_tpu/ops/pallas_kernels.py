@@ -17,10 +17,13 @@ mean. Three design moves recover the hardware:
      across passes (kernel calls) via input/output aliasing, so orbits
      longer than one pass are never truncated (which would bias against
      exactly the slow-escaping samples the high bands select for).
-  2. **Counter-based PRNG.** `pltpu.prng_seed(seed, pass, chunk)` +
-     `prng_random_bits` replace cuRAND's 262k-entry device state array
-     (cudabrot.cu:146-149, 176-181): no init kernel, no state memory, no
-     checkpoint coupling, reproducible per (seed, pass, device) fold.
+  2. **Counter-based PRNG.** An in-kernel Threefry-2x32 keyed by the
+     pass seed over (lane id, window index) replaces cuRAND's 262k-entry
+     device state array (cudabrot.cu:146-149, 176-181): no init kernel,
+     no state memory, no checkpoint coupling, reproducible per
+     (seed, pass, device) fold, and identical on CPU and TPU. (The TPU
+     hardware PRNG is ~free but measurably biased in the deep escape-time
+     tail — see `threefry2x32`; it remains available as `rng="hardware"`.)
   3. **Brent cycle detection.** Non-culled interior points cost the
      reference the full max_escape_iterations every time
      (cudabrot.cu:326-339). Interior Mandelbrot orbits converge to
@@ -100,6 +103,53 @@ def init_lane_state(lane_rows: int) -> LaneState:
     )
 
 
+def threefry2x32(k0, k1, x0, x1):
+    """Threefry-2x32 (20 rounds), bit-exact with JAX's base PRNG.
+
+    The production refill-randomness source. Counter-based and stateless:
+    the kernel calls it with (key = per-pass/device seed words,
+    counter = (global lane id, global window index)), so every lane/window
+    gets an independent, reproducible draw with no RNG state arrays
+    (contrast cuRAND's 262k-state initialization, cudabrot.cu:146-149,
+    176-181) and no reliance on the TPU hardware PRNG.
+
+    Why not `pltpu.prng_random_bits`: the hardware generator's deep-tail
+    sampling is measurably biased — at the [45000, 60000) band the
+    in-band rate came out 19% low with 512-window streams and 12% high
+    with 8192-window streams vs 1.106e-6 +- 3% ground truth measured
+    with JAX threefry bits through the identical kernel (PERF_NOTES.md
+    "PRNG stream separation"). Buddhabrot's deep bands select for
+    exactly the tail this distorts. Pure add/xor/rotate on the VPU, and
+    identical on the CPU interpreter — TPU and CPU runs share streams.
+
+    All inputs uint32 arrays/scalars (broadcastable); returns two uint32
+    outputs. Implementation mirrors jax._src.prng.threefry2x32's
+    rotation/injection schedule so it can be regression-tested against
+    `jax.random.key_data`-level primitives (tests/test_pallas_engine.py).
+    """
+    rotations = ((13, 15, 26, 6), (17, 29, 16, 24))
+
+    def rotl(x, r):
+        return jax.lax.shift_left(x, jnp.uint32(r)) | (
+            jax.lax.shift_right_logical(x, jnp.uint32(32 - r))
+        )
+
+    ks0 = k0
+    ks1 = k1
+    ks2 = k0 ^ k1 ^ jnp.uint32(0x1BD11BDA)
+    ks = (ks0, ks1, ks2)
+    x0 = x0 + ks0
+    x1 = x1 + ks1
+    for i in range(5):
+        for r in rotations[i % 2]:
+            x0 = x0 + x1
+            x1 = rotl(x1, r)
+            x1 = x0 ^ x1
+        x0 = x0 + ks[(i + 1) % 3]
+        x1 = x1 + ks[(i + 2) % 3] + jnp.uint32(i + 1)
+    return x0, x1
+
+
 def _u32_to_domain(bits, lo: float, span: float):
     """uint32 random bits -> uniform float32 in [lo, lo + span)."""
     # Keep the top 24 bits: they fit exactly in both int32 and the f32
@@ -118,24 +168,36 @@ def _make_kernel(
     max_it: int,
     steps_per_flush: int,
     cycle_detection: bool,
-    use_prng: bool,
+    rng: str,
     inner_unroll: int = 1,
+    thin_tracking: bool = False,
+    _ablate: tuple = (),
 ):
     """Build the classify kernel body for a static configuration.
 
-    ``use_prng=True`` (TPU production) draws refill samples from the
-    per-core hardware PRNG; ``use_prng=False`` streams pre-generated
-    threefry bits from an input buffer — the interpreter stubs the TPU
-    PRNG to zeros, so this is the only way to exercise the full kernel on
-    CPU, and it doubles as an A/B harness for PRNG-quality comparisons on
-    real hardware.
+    ``_ablate`` is a benchmark-only hook (benchmarks/boundary_ablation.py)
+    that strips named boundary stages ("prng", "cull", "stats", "emit",
+    "brent") so their marginal cost can be measured on silicon; it must
+    never be set on a production path.
+
+    ``rng`` selects the refill-randomness source:
+      * "threefry" (production, CPU and TPU): in-kernel counter-based
+        Threefry-2x32 keyed by the pass seed over (lane id, window
+        index) — unbiased (see `threefry2x32`) and identical across
+        backends.
+      * "hardware": `pltpu.prng_random_bits` (TPU only; the interpreter
+        stubs it to zeros). Faster boundary, but its deep-tail sampling
+        is measurably biased — kept for perf experiments.
+      * "bits": stream pre-generated words from an input buffer — lets
+        tests drive the kernel with exact known randomness.
     """
     detect = cycle_detection and fractal.cycle_detect
     use_cull = fractal.use_cull
     fold_abs = fractal.fold_abs
+    n_windows = steps_per_flush // inner_unroll
 
     def kernel(*refs):
-        if use_prng:
+        if rng != "bits":
             (seed_ref,
              _cr_i, _ci_i, _zr_i, _zi_i, _sr_i, _si_i, _it_i, _sv_i,
              _dead_i,
@@ -153,10 +215,22 @@ def _make_kernel(
              emit_c_ref, emit_it_ref, stats_ref,
              pend_cr, pend_ci, pend_it, counters) = refs
         chunk = pl.program_id(0)
-        if use_prng:
+        if rng == "hardware":
             # Distinct, reproducible random stream per (pass, chunk); the
-            # pass and device folds are already mixed into the seed scalar.
-            pltpu.prng_seed(seed_ref[0], chunk)
+            # pass and device folds are already mixed into the seed
+            # scalar. The chunk index is scrambled through a splitmix32
+            # finalizer before seeding (feeding small consecutive
+            # integers straight into prng_seed measurably correlates the
+            # streams), though even scrambled streams keep the hardware
+            # generator's deep-tail bias — see PERF_NOTES.md "PRNG
+            # stream separation".
+            u = seed_ref[0].astype(jnp.uint32) + chunk.astype(
+                jnp.uint32
+            ) * jnp.uint32(0x9E3779B9)
+            u = (u ^ (u >> jnp.uint32(16))) * jnp.uint32(0x21F0AAAD)
+            u = (u ^ (u >> jnp.uint32(15))) * jnp.uint32(0x735A2D97)
+            u = u ^ (u >> jnp.uint32(15))
+            pltpu.prng_seed(u)
 
         @pl.when(chunk == 0)
         def _init_scratch():
@@ -167,6 +241,17 @@ def _make_kernel(
 
         min_i = jnp.int32(min_it)
         max_i = jnp.int32(max_it)
+        if rng == "threefry":
+            # Threefry counter words: global lane id (loop-invariant,
+            # hoisted) and global window index (chunk * windows + widx).
+            shape = cr_ref.shape
+            lane_iota = (
+                jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+                * jnp.uint32(shape[1])
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+            )
+            tf_k0 = seed_ref[0].astype(jnp.uint32)
+            tf_k1 = seed_ref[1].astype(jnp.uint32)
 
         def step(widx, s):
             """One window of `inner_unroll` orbit updates followed by one
@@ -180,26 +265,72 @@ def _make_kernel(
 
             # --- inner window: U orbit updates (cudabrot.cu:327-336) ---
             azr, azi = zr, zi
-            esc_mask = jnp.zeros(azr.shape, bool)
-            cyc_mask = jnp.zeros(azr.shape, bool)
-            needed = jnp.zeros_like(it)  # escape index when esc_mask set
-            for k in range(inner_unroll):
-                if fold_abs:
-                    azr = jnp.abs(azr)
-                    azi = jnp.abs(azi)
-                nzr = azr * azr - azi * azi + cr
-                nzi = 2.0 * azr * azi + ci
-                azr, azi = nzr, nzi
-                hit = (azr * azr + azi * azi) > 4.0
-                newly = hit & ~esc_mask & ~cyc_mask
-                # iterations_needed is the 0-based escape loop index
-                # (cudabrot.cu:336): it + k.
-                needed = jnp.where(newly, it + k, needed)
-                esc_mask = esc_mask | newly
+            if thin_tracking:
+                # Thin tracking: escape (|z|^2 > 4) is a point of no
+                # return for this dynamics — for |c| <= 2 crossing |z| > 2
+                # forces monotone growth (|z^2+c| >= |z|^2-2 > |z|), and
+                # for |c| > 2 the orbit starts at z = c with |z| >= |c|
+                # and grows from step one — so the per-step mask chain
+                # (newly/esc_mask/needed selects, ~6 VPU ops) collapses
+                # to one survival counter: nesc = number of not-yet-
+                # escaped steps, recovered at the boundary as the 0-based
+                # escape index it + nesc (cudabrot.cu:336 semantics).
+                # The test is written `<= 4` so the NaNs an escaped lane
+                # coasts into (inf*inf - inf*inf) keep counting as
+                # escaped. Squares are carried across steps: each step's
+                # magnitude test feeds the next step's z update.
+                nesc = jnp.zeros_like(it)
+                r2 = azr * azr
+                i2 = azi * azi
+                for _ in range(inner_unroll):
+                    nzr = r2 - i2 + cr
+                    if fold_abs:
+                        # |azr|*|azi| == |azr*azi| (abs is sign-only and
+                        # the squares are sign-invariant) — one abs
+                        # instead of two. The restructured expression
+                        # tree can FMA-contract differently than the
+                        # step-tracking form, so trajectories may drift
+                        # in the low bits (statistically immaterial).
+                        nzi = 2.0 * jnp.abs(azr * azi) + ci
+                    else:
+                        nzi = 2.0 * azr * azi + ci
+                    azr, azi = nzr, nzi
+                    r2 = azr * azr
+                    i2 = azi * azi
+                    nesc = nesc + (r2 + i2 <= 4.0).astype(jnp.int32)
+                esc_mask = nesc < jnp.int32(inner_unroll)
+                needed = it + nesc
                 if detect:
-                    cyc_mask = cyc_mask | (
-                        (azr == sr) & (azi == si) & ~esc_mask
-                    )
+                    # Cycle check at the window boundary only. Sound:
+                    # `it` is always a multiple of U (refills happen at
+                    # boundaries), so Brent save points land on boundary
+                    # indices and a period-p cycle repeats its saved
+                    # point at a boundary within U*p/gcd(U,p) steps —
+                    # a bounded extra delay for 5 fewer ops per step.
+                    cyc_mask = (azr == sr) & (azi == si) & ~esc_mask
+                else:
+                    cyc_mask = jnp.zeros(azr.shape, bool)
+            else:
+                esc_mask = jnp.zeros(azr.shape, bool)
+                cyc_mask = jnp.zeros(azr.shape, bool)
+                needed = jnp.zeros_like(it)  # escape index when esc_mask set
+                for k in range(inner_unroll):
+                    if fold_abs:
+                        azr = jnp.abs(azr)
+                        azi = jnp.abs(azi)
+                    nzr = azr * azr - azi * azi + cr
+                    nzi = 2.0 * azr * azi + ci
+                    azr, azi = nzr, nzi
+                    hit = (azr * azr + azi * azi) > 4.0
+                    newly = hit & ~esc_mask & ~cyc_mask
+                    # iterations_needed is the 0-based escape loop index
+                    # (cudabrot.cu:336): it + k.
+                    needed = jnp.where(newly, it + k, needed)
+                    esc_mask = esc_mask | newly
+                    if detect:
+                        cyc_mask = cyc_mask | (
+                            (azr == sr) & (azi == si) & ~esc_mask
+                        )
 
             it_new = it + inner_unroll
 
@@ -210,12 +341,15 @@ def _make_kernel(
             # Window overshoot can carry a lane past max_i before its
             # escape is observed; the explicit needed < max_i keeps the
             # reference's band semantics exact (cudabrot.cu:407-408).
-            in_band = (
-                esc_mask & ~deadb & (needed >= min_i) & (needed < max_i)
-            )
-            p_cr = jnp.where(in_band, cr, p_cr)
-            p_ci = jnp.where(in_band, ci, p_ci)
-            p_it = jnp.where(in_band, needed, p_it)
+            if "emit" in _ablate:
+                in_band = esc_mask & ~deadb
+            else:
+                in_band = (
+                    esc_mask & ~deadb & (needed >= min_i) & (needed < max_i)
+                )
+                p_cr = jnp.where(in_band, cr, p_cr)
+                p_ci = jnp.where(in_band, ci, p_ci)
+                p_it = jnp.where(in_band, needed, p_it)
 
             # --- Brent checkpoint (window-boundary schedule: any fixed
             # past-transient checkpoint works, doubling gaps bound the
@@ -229,7 +363,21 @@ def _make_kernel(
                 sr2, si2, sv2 = sr, si, sv
 
             # --- refill finished lanes with fresh samples ---
-            if use_prng:
+            if "prng" in _ablate:
+                # Varying (not constant-foldable) stand-in bits so the
+                # downstream domain/cull arithmetic still executes.
+                rb_r = pltpu.bitcast(it_new, jnp.uint32)
+                rb_i = rb_r ^ jnp.uint32(0x9E3779B9)
+            elif rng == "threefry":
+                rb_r, rb_i = threefry2x32(
+                    tf_k0,
+                    tf_k1,
+                    lane_iota,
+                    (chunk * jnp.int32(n_windows) + widx).astype(
+                        jnp.uint32
+                    ),
+                )
+            elif rng == "hardware":
                 rb_r = pltpu.bitcast(
                     pltpu.prng_random_bits((cr.shape[0], cr.shape[1])),
                     jnp.uint32,
@@ -243,7 +391,7 @@ def _make_kernel(
                 rb_i = bits_ref[0, widx, 1]
             ncr = _u32_to_domain(rb_r, -2.0, 4.0)
             nci = _u32_to_domain(rb_i, -2.0, 4.0)
-            if use_cull:
+            if use_cull and "cull" not in _ablate:
                 # cudabrot.cu:284-298 closed-form interior tests.
                 imag_sq = nci * nci
                 q = (ncr - 0.25)
@@ -255,30 +403,36 @@ def _make_kernel(
             else:
                 ncull = jnp.zeros_like(esc_mask)
 
-            cr = jnp.where(fin, ncr, cr)
-            ci = jnp.where(fin, nci, ci)
-            # z starts at c, not 0 (cudabrot.cu:323-324).
-            zr = jnp.where(fin, ncr, azr)
-            zi = jnp.where(fin, nci, azi)
-            it = jnp.where(fin, 0, it_new)
-            sr = jnp.where(fin, jnp.float32(_BIG), sr2)
-            si = jnp.where(fin, jnp.float32(_BIG), si2)
-            sv = jnp.where(fin, jnp.int32(_SAVE0), sv2)
-            dead = jnp.where(fin, ncull.astype(jnp.int32), dead)
+            if "refill" in _ablate:
+                zr, zi = azr, azi
+                it = it_new
+            else:
+                cr = jnp.where(fin, ncr, cr)
+                ci = jnp.where(fin, nci, ci)
+                # z starts at c, not 0 (cudabrot.cu:323-324).
+                zr = jnp.where(fin, ncr, azr)
+                zi = jnp.where(fin, nci, azi)
+                it = jnp.where(fin, 0, it_new)
+                sr = jnp.where(fin, jnp.float32(_BIG), sr2)
+                si = jnp.where(fin, jnp.float32(_BIG), si2)
+                sv = jnp.where(fin, jnp.int32(_SAVE0), sv2)
+                dead = jnp.where(fin, ncull.astype(jnp.int32), dead)
 
-            one = jnp.int32(1)
-            zero = jnp.int32(0)
-            unroll = jnp.int32(inner_unroll)
-            n_drawn = n_drawn + jnp.where(fin, one, zero)
-            n_cull = n_cull + jnp.where(fin & ncull, one, zero)
-            n_band = n_band + jnp.where(in_band, one, zero)
-            n_cyc = n_cyc + jnp.where(cyc_mask & ~deadb, one, zero)
-            # Wasted lane-steps: a dead (culled) lane burns the whole
-            # window; an escaped lane coasts from its escape to the edge.
-            n_waste = n_waste + jnp.where(deadb, unroll, zero)
-            n_waste = n_waste + jnp.where(
-                esc_mask & ~deadb, it_new - needed - 1, zero
-            )
+            if "stats" not in _ablate:
+                one = jnp.int32(1)
+                zero = jnp.int32(0)
+                unroll = jnp.int32(inner_unroll)
+                n_drawn = n_drawn + jnp.where(fin, one, zero)
+                n_cull = n_cull + jnp.where(fin & ncull, one, zero)
+                n_band = n_band + jnp.where(in_band, one, zero)
+                n_cyc = n_cyc + jnp.where(cyc_mask & ~deadb, one, zero)
+                # Wasted lane-steps: a dead (culled) lane burns the whole
+                # window; an escaped lane coasts from its escape to the
+                # edge.
+                n_waste = n_waste + jnp.where(deadb, unroll, zero)
+                n_waste = n_waste + jnp.where(
+                    esc_mask & ~deadb, it_new - needed - 1, zero
+                )
             return (cr, ci, zr, zi, sr, si, it, sv, dead,
                     p_cr, p_ci, p_it, n_drawn, n_cull, n_band, n_cyc,
                     n_waste)
@@ -336,7 +490,8 @@ class ClassifyResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "fractal", "min_it", "max_it", "steps_per_pass", "steps_per_flush",
-        "cycle_detection", "interpret", "inner_unroll",
+        "cycle_detection", "interpret", "inner_unroll", "thin_tracking",
+        "rng", "_ablate",
     ),
     donate_argnums=(0,),
 )
@@ -353,13 +508,25 @@ def classify_pass(
     cycle_detection: bool = True,
     interpret: bool = False,
     inner_unroll: int = 1,
+    thin_tracking: bool = False,
+    rng: str | None = None,
+    _ablate: tuple = (),
 ) -> ClassifyResult:
     """Run one persistent-sampler classify pass of `steps_per_pass` lane
     steps, emitting in-band (c, iterations) candidates for replay.
 
-    ``bits`` supplies pre-generated refill randomness (required off-TPU,
-    where the interpreter stubs the hardware PRNG); omit it on TPU to use
-    the in-kernel PRNG.
+    ``seed`` is either a uint32 scalar (a second key word is derived) or
+    a (2,) uint32 array — the Threefry key / hardware-PRNG seed, already
+    folded with the pass index and device ordinal.
+
+    ``rng`` selects the refill-randomness source (see _make_kernel);
+    None resolves to "bits" when ``bits`` is given, else "threefry" —
+    the production default on both CPU and TPU.
+
+    ``thin_tracking`` replaces the per-step escape mask chain with a
+    survival counter and moves Brent cycle checks to window boundaries
+    (see _make_kernel) — semantically equivalent modulo cycle-detection
+    latency, with a materially shorter inner instruction stream.
     """
     if steps_per_pass % steps_per_flush != 0:
         raise ValueError("steps_per_pass must be a multiple of steps_per_flush")
@@ -369,7 +536,12 @@ def classify_pass(
     windows = steps_per_flush // inner_unroll
     lane_rows = state.cr.shape[0]
     shape = (lane_rows, 128)
-    use_prng = bits is None
+    if rng is None:
+        rng = "bits" if bits is not None else "threefry"
+    if rng not in ("threefry", "hardware", "bits"):
+        raise ValueError(f"Unknown rng mode: {rng}")
+    if (rng == "bits") != (bits is not None):
+        raise ValueError("bits must be supplied iff rng == 'bits'")
 
     kernel = _make_kernel(
         fractal,
@@ -377,8 +549,10 @@ def classify_pass(
         max_it=max_it,
         steps_per_flush=steps_per_flush,
         cycle_detection=cycle_detection,
-        use_prng=use_prng,
+        rng=rng,
         inner_unroll=inner_unroll,
+        thin_tracking=thin_tracking,
+        _ablate=_ablate,
     )
 
     f32 = jnp.float32
@@ -396,9 +570,19 @@ def classify_pass(
         jax.ShapeDtypeStruct(shape, i32),  # dead
     ]
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # seed (1,)
-    inputs = [seed.reshape((1,)).astype(jnp.int32)]
-    if not use_prng:
+    seed = jnp.asarray(seed)
+    if seed.ndim == 0:
+        seed_arr = jnp.stack(
+            [
+                seed.astype(jnp.uint32),
+                seed.astype(jnp.uint32) ^ jnp.uint32(0x3C6EF372),
+            ]
+        )
+    else:
+        seed_arr = seed.reshape((2,)).astype(jnp.uint32)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # seed (2,)
+    inputs = [seed_arr.astype(jnp.int32)]
+    if rng == "bits":
         if bits.shape != (chunks, windows, 2, lane_rows, 128):
             raise ValueError(f"bits has wrong shape {bits.shape}")
         in_specs.append(

@@ -100,9 +100,12 @@ def test_interleaved_matches_sequential_bitwise(tmp_path, monkeypatch):
         "-w", "20", "-h", "20",
         "--engine", "oracle",
         "--passes", "2",
-        "--band", "blue:40:4:1.0:1",
-        "--band", "lime:60:10:1.0:1",
-        "--band", "red:90:30:1.0:1",
+        # Large time boxes: --passes must be the only stop condition, or
+        # a slow run (loaded machine) trips the 1s box after one pass in
+        # one mode but not the other and the bitwise assert flakes.
+        "--band", "blue:40:4:1.0:600",
+        "--band", "lime:60:10:1.0:600",
+        "--band", "red:90:30:1.0:600",
         "--keep-bands",
     ]
     rc = color.main(args + ["-o", str(tmp_path / "seq.png")])

@@ -86,12 +86,13 @@ def test_config_is_hashable_static_arg():
     assert cfg.replace(gamma=2.0) != cfg
 
 
-def test_steps_times_lanes_overflow_rejected():
-    """User-set per-pass lane-step counts must fit uint32 (kernel stat
-    counters); the auto-tuner guarantees this, user values are validated."""
-    with pytest.raises(ConfigError):
-        EngineOptions(lane_rows=128, steps_per_pass=1 << 18).validate()
+def test_steps_overflow_rejected():
+    """Per-LANE step counts must fit int32 (kernel per-lane counters).
+    Cross-lane per-pass totals have no uint32 ceiling anymore: they
+    accumulate as exact u64 pairs (counters.u64_sum_i32), which is what
+    allows dispatch-amortizing long passes."""
     with pytest.raises(ConfigError):
         EngineOptions(steps_per_pass=1 << 31).validate()
-    # Just under the bound is fine.
-    EngineOptions(lane_rows=64, steps_per_pass=(1 << 18) - 64).validate()
+    # Large per-pass lane-step products are now legal.
+    EngineOptions(lane_rows=128, steps_per_pass=1 << 18).validate()
+    EngineOptions(lane_rows=64, steps_per_pass=(1 << 31) - 1).validate()

@@ -233,8 +233,9 @@ def test_tuning_rounds_replay_capacity_to_block_multiple():
 
 
 def test_tuning_auto_steps_respect_lane_step_budget():
-    """With huge lane counts the auto pass length must shrink so per-pass
-    lane-steps stay below 2^32."""
+    """With huge lane counts the auto pass length must shrink so passes
+    stay interruptible (per-pass lane-steps <= 2^34; per-pass stat totals
+    are exact u64 pairs, so there is no uint32 correctness ceiling)."""
     from cudabrot_tpu.engines.pallas_engine import Tuning
 
     cfg = RenderConfig(
@@ -244,5 +245,90 @@ def test_tuning_auto_steps_respect_lane_step_budget():
         options=EngineOptions(engine="pallas", lane_rows=4096),
     )
     t = Tuning(cfg)
-    assert t.steps_per_pass * 4096 * 128 < (1 << 32)
+    assert t.steps_per_pass * 4096 * 128 <= (1 << 34)
     assert t.steps_per_pass % t.steps_per_flush == 0
+    # Windowed bands scale the pass cap with U (equal-wall-time passes).
+    t_small = Tuning(cfg.replace(options=EngineOptions(
+        engine="pallas", lane_rows=64)))
+    assert t_small.inner_unroll > 1
+    assert t_small.steps_per_pass <= (1 << 18) * t_small.inner_unroll
+
+
+def test_thin_vs_step_tracking_equivalence():
+    """Thin (boundary) escape tracking must match per-step tracking
+    statistically at every window size: same trajectories modulo FMA
+    contraction, same band semantics, cycle detection merely delayed to a
+    window boundary (bounded by U*p/gcd — see pallas_kernels)."""
+    canvas = Canvas(width=32, height=32)
+    band = IterationBand(max_escape_iterations=400,
+                         min_escape_iterations=10)
+    results = {}
+    for mode in ("step", "thin"):
+        for unroll in (1, 4):
+            cfg = _cfg(
+                canvas=canvas,
+                band=band,
+                options=EngineOptions(
+                    engine="pallas", lane_rows=8, steps_per_pass=512,
+                    steps_per_flush=32, replay_capacity=1 << 14,
+                    replay_chunk=64, inner_unroll=unroll,
+                    escape_tracking=mode,
+                ),
+            )
+            results[(mode, unroll)] = _run(PallasEngine(cfg), 6)
+    for unroll in (1, 4):
+        h_s, s_s = results[("step", unroll)]
+        h_t, s_t = results[("thin", unroll)]
+        # Counter-level agreement: same sampling dynamics.
+        assert abs(s_t["samples"] / s_s["samples"] - 1) < 0.03
+        assert abs(s_t["in_band"] / s_s["in_band"] - 1) < 0.05
+        assert s_t["cycles_detected"] > 0
+        # Distribution-level agreement.
+        a = h_s.astype(np.float64) / h_s.sum()
+        b = h_t.astype(np.float64) / h_t.sum()
+        corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+        assert corr > 0.98, (unroll, corr)
+        # Waste accounting must stay exact in both modes.
+        lane_steps = 6 * 512 * 8 * 128
+        assert (
+            s_t["classify_iters"] + s_t["wasted_steps"] == lane_steps
+        )
+        assert (
+            s_s["classify_iters"] + s_s["wasted_steps"] == lane_steps
+        )
+
+
+def test_threefry2x32_matches_jax():
+    """The in-kernel refill PRNG must be bit-exact with JAX's base
+    Threefry-2x32: same key/counter convention, same rotation and
+    injection schedule — so the kernel's randomness quality is exactly
+    jax.random's, on both backends."""
+    from jax._src import prng as jprng
+
+    from cudabrot_tpu.ops.pallas_kernels import threefry2x32
+
+    k0 = jnp.uint32(0xDEADBEEF)
+    k1 = jnp.uint32(0x12345678)
+    x0 = jnp.arange(4096, dtype=jnp.uint32)
+    x1 = jnp.arange(4096, 8192, dtype=jnp.uint32)
+    mine = threefry2x32(k0, k1, x0, x1)
+    ref = jprng.threefry_2x32(
+        jnp.stack([k0, k1]), jnp.concatenate([x0, x1])
+    )
+    np.testing.assert_array_equal(np.asarray(mine[0]), np.asarray(ref[:4096]))
+    np.testing.assert_array_equal(np.asarray(mine[1]), np.asarray(ref[4096:]))
+
+
+def test_cpu_stats_exact_u64_pairs():
+    """Per-pass stat accumulation must stay exact when per-pass totals
+    are large (u64 pair summation, no uint32 wrap)."""
+    from cudabrot_tpu.utils import counters as ctr
+
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 2**31 - 1, size=8192, dtype=np.int64)
+    got = ctr.u64_value(ctr.u64_sum_i32(jnp.asarray(v.astype(np.int32))))
+    assert got == int(v.sum())
+    big = ctr.u64_add_pair(
+        ctr.u64_pair((1 << 40) + 7), ctr.u64_pair((1 << 33) + 9)
+    )
+    assert ctr.u64_value(big) == (1 << 40) + 7 + (1 << 33) + 9
