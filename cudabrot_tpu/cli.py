@@ -75,8 +75,10 @@ memory or "crop" the output, but won't otherwise speed up rendering:
              include in the output image. Defaults to 2.0.
 
 TPU-native extensions:
-  --fractal <name>: buddhabrot (default) or burning-ship (the
-             reference's compile-time RENDER_BURNING_SHIP switch).
+  --fractal <name>: buddhabrot (default), burning-ship (the
+             reference's compile-time RENDER_BURNING_SHIP switch), or
+             anti-buddhabrot (orbits of NON-escaping samples; -c is
+             ignored).
   --engine <name>: auto (default), pallas, or oracle.
   --scatter <name>: histogram accumulation backend: auto (default),
              sort, or xla.
@@ -268,7 +270,15 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
             _validate_canvas()
             i += 2
         elif arg == "--fractal":
-            vals["fractal"] = _parse_str(argv, i, "Missing fractal name.")
+            name = _parse_str(argv, i, "Missing fractal name.")
+            from cudabrot_tpu.models.fractals import FRACTALS
+
+            if name not in FRACTALS:
+                raise CliError(
+                    f"Unknown fractal: {name} (available: "
+                    f"{', '.join(sorted(FRACTALS))})"
+                )
+            vals["fractal"] = name
             i += 2
         elif arg == "--engine":
             opt["engine"] = _parse_str(argv, i, "Missing engine name.")

@@ -86,9 +86,23 @@ class Tuning:
     def __init__(self, cfg: RenderConfig, interpret: bool = False):
         self._interpret = interpret
         o = cfg.options
-        rate = band_emission_rate(
-            cfg.band.min_escape_iterations, cfg.band.max_escape_iterations
-        )
+        fr = fractals.get_fractal(cfg.fractal)
+        if fr.emit == "interior":
+            # Anti-Buddhabrot: every non-escaping sample emits. Interior
+            # fraction of the 4x4 domain is the M-set area (~1.506/16 ~
+            # 0.094, plus slow escapers at finite caps) -> ~0.10 per
+            # draw; per executed lane-step divide by the mean sample
+            # cost. Lands in the emission-heavy regime (U=1, short flush
+            # windows, capacity-capped thinning).
+            mean_cost = 3.2 + 1.1 * float(
+                np.log(max(cfg.band.max_escape_iterations, 100) / 100.0)
+            )
+            rate = 0.10 / mean_cost
+        else:
+            rate = band_emission_rate(
+                cfg.band.min_escape_iterations,
+                cfg.band.max_escape_iterations,
+            )
         lanes = o.lane_rows * 128
         # Flush window: aim for ~0.25 expected emissions per lane per
         # window (~12% pending-overwrite loss at the high end). The upper

@@ -33,6 +33,14 @@ class FractalMap:
     #: cycle detection sound (true for the Mandelbrot map's hyperbolic
     #: interior; disabled for burning ship where we have no such guarantee).
     cycle_detect: bool
+    #: Which samples are rendered: "escape" replays orbits of in-band
+    #: escaping samples (the Buddhabrot, cudabrot.cu:407-412); "interior"
+    #: replays orbits of samples that do NOT escape within the iteration
+    #: cap (the anti-Buddhabrot — no reference equivalent). Interior
+    #: samples are those proven periodic by Brent detection plus those
+    #: reaching the cap; each replays max_escape_iterations orbit points.
+    #: The -c cutoff has no meaning in interior mode and is ignored.
+    emit: str = "escape"
 
 
 def step(fractal: FractalMap, zr, zi, cr, ci):
@@ -82,6 +90,13 @@ FRACTALS: dict[str, FractalMap] = {
     ),
     "burning-ship": FractalMap(
         name="burning-ship", fold_abs=True, use_cull=False, cycle_detect=False
+    ),
+    # The interior complement: culls stay OFF so cardioid/bulb samples
+    # (guaranteed interior — the brightest structures) are iterated,
+    # cycle-detected, and rendered instead of skipped.
+    "anti-buddhabrot": FractalMap(
+        name="anti-buddhabrot", fold_abs=False, use_cull=False,
+        cycle_detect=True, emit="interior",
     ),
 }
 

@@ -141,7 +141,14 @@ def render_pass(hist, key, cfg: RenderConfig):
     # changes nothing but wasted work — mask them out of classification by
     # treating them as already-escaped-at--1.
     iters, escaped = classify(fractal, cr, ci, max_it)
-    in_band = escaped & ~culled & (iters >= min_it)
+    if fractal.emit == "interior":
+        # Anti-Buddhabrot: render the samples that do NOT escape within
+        # the cap; classify leaves their iters at max_it, so the replay
+        # bound (s <= iters over max_it steps) records exactly max_it
+        # orbit points per sample. The min cutoff is ignored.
+        in_band = ~escaped & ~culled
+    else:
+        in_band = escaped & ~culled & (iters >= min_it)
 
     hist_flat = replay_into(
         hist.reshape(-1), fractal, canvas, cr, ci, iters, in_band, max_it
@@ -153,9 +160,12 @@ def render_pass(hist, key, cfg: RenderConfig):
         classify_iters=jnp.sum(
             jnp.where(culled, 0, jnp.where(escaped, iters + 1, max_it))
         ).astype(jnp.uint32),
-        orbit_points=jnp.sum(jnp.where(in_band, iters + 1, 0)).astype(
-            jnp.uint32
-        ),
+        # Points recorded per emission: iters + 1 for escapers, exactly
+        # max_it for interior samples (the replay loop runs max_it steps
+        # and s <= iters is then always true).
+        orbit_points=jnp.sum(
+            jnp.where(in_band, jnp.minimum(iters + 1, max_it), 0)
+        ).astype(jnp.uint32),
     )
     return hist_flat.reshape(canvas.shape), stats
 

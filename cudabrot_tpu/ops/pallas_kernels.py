@@ -194,6 +194,7 @@ def _make_kernel(
     detect = cycle_detection and fractal.cycle_detect
     use_cull = fractal.use_cull
     fold_abs = fractal.fold_abs
+    emit_interior = fractal.emit == "interior"
     n_windows = steps_per_flush // inner_unroll
 
     def kernel(*refs):
@@ -343,6 +344,18 @@ def _make_kernel(
             # reference's band semantics exact (cudabrot.cu:407-408).
             if "emit" in _ablate:
                 in_band = esc_mask & ~deadb
+            elif emit_interior:
+                # Anti-Buddhabrot: the signal is samples that finish
+                # WITHOUT escaping — proven periodic (Brent) or at the
+                # iteration cap. Each replays the full cap: needed is
+                # max_it - 1, so the replay engines record exactly
+                # max_it orbit points (the same s <= iters bound the
+                # escape mode uses). The min cutoff is meaningless here
+                # and ignored (models/fractals.FractalMap.emit).
+                in_band = (cyc_mask | maxed) & ~esc_mask & ~deadb
+                p_cr = jnp.where(in_band, cr, p_cr)
+                p_ci = jnp.where(in_band, ci, p_ci)
+                p_it = jnp.where(in_band, max_i - 1, p_it)
             else:
                 in_band = (
                     esc_mask & ~deadb & (needed >= min_i) & (needed < max_i)

@@ -158,3 +158,15 @@ def test_image_save_failure_is_nonfatal(tmp_path):
     assert ckpt.exists()
     assert any("Failed saving image" in ln for ln in lines)
     assert not any("Done!" in ln for ln in lines)
+
+
+def test_unknown_fractal_is_clean_cli_error(capsys):
+    """--fractal with an unknown name must print a clean error (no
+    traceback), like every other invalid-argument path."""
+    from cudabrot_tpu import cli
+
+    rc = cli.main(["--fractal", "mandelbox", "-t", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0  # parity: argument errors print usage and exit 0
+    assert "Unknown fractal" in out
+    assert "Usage:" in out

@@ -7,9 +7,18 @@ from tests import reference_impl as ref
 
 
 def test_registry_contents():
-    assert set(fractals.FRACTALS) == {"buddhabrot", "burning-ship"}
+    assert set(fractals.FRACTALS) == {
+        "buddhabrot", "burning-ship", "anti-buddhabrot"
+    }
     assert fractals.get_fractal("buddhabrot").use_cull
     assert not fractals.get_fractal("burning-ship").use_cull
+    anti = fractals.get_fractal("anti-buddhabrot")
+    # Interior mode must iterate (not cull) the guaranteed-interior
+    # cardioid/bulb samples — they are the signal — and prove interiors
+    # early via cycle detection.
+    assert anti.emit == "interior"
+    assert not anti.use_cull
+    assert anti.cycle_detect
     with pytest.raises(ValueError):
         fractals.get_fractal("mandelbox")
 

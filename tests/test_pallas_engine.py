@@ -332,3 +332,45 @@ def test_cpu_stats_exact_u64_pairs():
         ctr.u64_pair((1 << 40) + 7), ctr.u64_pair((1 << 33) + 9)
     )
     assert ctr.u64_value(big) == (1 << 40) + 7 + (1 << 33) + 9
+
+
+def test_anti_buddhabrot_statistical_equivalence_with_oracle():
+    """Interior-emission mode (anti-Buddhabrot): both engines must agree
+    on the interior fraction, record exactly max_it points per emission,
+    and produce the same distribution."""
+    canvas = Canvas(width=48, height=48)
+    band = IterationBand(max_escape_iterations=80, min_escape_iterations=0)
+
+    pcfg = _cfg(
+        canvas=canvas, band=band, fractal="anti-buddhabrot",
+        options=EngineOptions(
+            engine="pallas", lane_rows=8, steps_per_pass=512,
+            steps_per_flush=16, replay_capacity=1 << 14, replay_chunk=64,
+        ),
+    )
+    ph, pstats = _run(PallasEngine(pcfg), 6)
+
+    ocfg = RenderConfig(
+        canvas=canvas, band=band, fractal="anti-buddhabrot",
+        options=EngineOptions(engine="oracle",
+                              oracle_samples_per_pass=1 << 14),
+    )
+    oh, ostats = _run(OracleEngine(ocfg), 6)
+
+    # Exactly max_it orbit points per interior emission, in both engines.
+    assert ostats["orbit_points"] == ostats["in_band"] * 80
+    assert pstats["orbit_points"] == pstats["emitted"] * 80
+    # Interior fraction ~ M-set area share of the 4x4 domain (~0.094)
+    # plus slow escapers at the finite cap.
+    for st in (pstats, ostats):
+        frac = st["in_band"] / st["samples"]
+        assert 0.08 < frac < 0.12, frac
+    # Brent detection must be proving interiors early (not just maxing).
+    assert pstats["cycles_detected"] > 0
+    # Interior orbits are bounded, so every replayed point lands on a
+    # [-2,2]^2-covering canvas.
+    assert ph.sum() == pstats["orbit_points"]
+    a = oh.astype(np.float64) / oh.sum()
+    b = ph.astype(np.float64) / ph.sum()
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.98, corr

@@ -61,6 +61,10 @@ def main() -> int:
     render("burning_ship", base + [
         "--fractal", "burning-ship", "-m", "1000", "-c", "20", "-g", "1.8",
     ] + t(15))
+    # Anti-Buddhabrot (interior orbits — no reference equivalent)
+    render("anti_buddhabrot", base + [
+        "--fractal", "anti-buddhabrot", "-m", "500", "-g", "2.0",
+    ] + t(15))
 
     # RGB color composite (README.md:177-184)
     print("=== color_rgb")
