@@ -32,13 +32,14 @@ class OracleEngine:
         self.steps_per_pass = (
             cfg.options.oracle_samples_per_pass * cfg.band.max_escape_iterations
         )
-        # Per-pass stat counters are uint32 (ops/oracle.py); the per-pass
-        # iteration count is bounded by samples * max_it.
-        if self.steps_per_pass >= (1 << 32):
+        # Per-pass iteration/point totals are exact u64 pairs
+        # (counters.u64_sum_i32), whose byte-split partial sums are exact
+        # up to 2^24 elements — bound the batch size, not the product.
+        if cfg.options.oracle_samples_per_pass > (1 << 24):
             raise ConfigError(
-                "oracle_samples_per_pass * max_escape_iterations must be "
-                "below 2^32 (per-pass stat counters are uint32); lower "
-                "oracle_samples_per_pass or use the pallas engine"
+                "oracle_samples_per_pass must be at most 2^24 "
+                "(per-pass stat summation bound); lower it or use the "
+                "pallas engine"
             )
         #: Worst-case bound, not an exact count: samples that escape (or
         #: are culled) early execute fewer steps. The driver's progress
@@ -62,15 +63,16 @@ class OracleEngine:
         hist, stats = oracle.render_pass(state["hist"], key, cfg)
         state = dict(state)
         state["hist"] = hist
+        zero = jnp.uint32(0)
         per_pass = {
-            "samples": stats.samples,
-            "culled": stats.culled,
-            "in_band": stats.in_band,
+            "samples": (stats.samples, zero),
+            "culled": (stats.culled, zero),
+            "in_band": (stats.in_band, zero),
             "iters": stats.classify_iters,
             "points": stats.orbit_points,
         }
         for k in STAT_KEYS:
-            state[k] = counters.u64_add(state[k], per_pass[k])
+            state[k] = counters.u64_add_pair(state[k], per_pass[k])
         return state
 
     def memory_estimate(self) -> tuple[int, int]:

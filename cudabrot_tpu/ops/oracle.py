@@ -35,17 +35,20 @@ import jax.numpy as jnp
 from cudabrot_tpu.config import RenderConfig, SAMPLE_DOMAIN
 from cudabrot_tpu.models import fractals
 from cudabrot_tpu.ops import binning
+from cudabrot_tpu.utils import counters
 
 
 class PassStats(NamedTuple):
-    """Per-pass device-side counters (all int64-safe via float accumulation
-    happens host-side; these are per-pass uint32-scale values)."""
+    """Per-pass device-side counters. Sample counts are uint32 scalars
+    (bounded by the batch size); the iteration/point totals are exact
+    (lo, hi) uint32 pairs (counters.u64_sum_i32) so a single pass may
+    execute more than 2^32 iterations."""
 
     samples: jnp.ndarray
     culled: jnp.ndarray
     in_band: jnp.ndarray
-    classify_iters: jnp.ndarray  # sum of per-sample escape-time work
-    orbit_points: jnp.ndarray  # points scattered (incl. off-canvas)
+    classify_iters: tuple  # (lo, hi) sum of per-sample escape-time work
+    orbit_points: tuple  # (lo, hi) points scattered (incl. off-canvas)
 
 
 def draw_samples(key, n: int, dtype):
@@ -157,15 +160,15 @@ def render_pass(hist, key, cfg: RenderConfig):
         samples=jnp.uint32(n),
         culled=jnp.sum(culled).astype(jnp.uint32),
         in_band=jnp.sum(in_band).astype(jnp.uint32),
-        classify_iters=jnp.sum(
+        classify_iters=counters.u64_sum_i32(
             jnp.where(culled, 0, jnp.where(escaped, iters + 1, max_it))
-        ).astype(jnp.uint32),
+        ),
         # Points recorded per emission: iters + 1 for escapers, exactly
         # max_it for interior samples (the replay loop runs max_it steps
         # and s <= iters is then always true).
-        orbit_points=jnp.sum(
+        orbit_points=counters.u64_sum_i32(
             jnp.where(in_band, jnp.minimum(iters + 1, max_it), 0)
-        ).astype(jnp.uint32),
+        ),
     )
     return hist_flat.reshape(canvas.shape), stats
 
