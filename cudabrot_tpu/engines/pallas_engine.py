@@ -202,6 +202,29 @@ class Tuning:
             0.25, 1.0 - (self.inner_unroll - 1) / (2.0 * lifetime_w)
         )
         expected = self.steps_per_pass * lanes * rate * useful_frac
+        self.expected_emissions = expected
+        # Modeled classify seconds per pass (tracking_ab.py fit) and
+        # expected orbit points per pass — inputs to the big-canvas
+        # hybrid-share solve (auto_device_share).
+        if self.thin_tracking:
+            c_i, c_b = (
+                (1.7e-12, 3.9e-11)
+                if o.refill_rng == "hardware"
+                else (2.3e-12, 5.0e-11)
+            )
+        else:
+            c_i, c_b = 7.2e-12, 3.7e-11
+        self.classify_seconds = (
+            self.steps_per_pass * lanes * (c_i + c_b / self.inner_unroll)
+        )
+        if fr.emit == "interior":
+            mean_len = float(cfg.band.max_escape_iterations)
+        else:
+            mi = max(cfg.band.min_escape_iterations, 2)
+            ma = max(cfg.band.max_escape_iterations, mi + 1)
+            # E[len | in band] for the ~1/t^2 escape-time tail.
+            mean_len = (mi * ma / (ma - mi)) * float(np.log(ma / mi))
+        self.expected_points = expected * mean_len
         self.replay_capacity = (
             o.replay_capacity
             if o.replay_capacity > 0
@@ -226,6 +249,41 @@ class Tuning:
         self.replay_chunk = o.replay_chunk
         self.min_it = cfg.band.min_escape_iterations
         self.max_it = cfg.band.max_escape_iterations
+
+    def auto_device_share(self, hist_bytes: int) -> float:
+        """Point-mass share the device should replay (hybrid mode).
+
+        Small canvases: 0 — the AVX host replay (~7.6e8 pts/s/core on an
+        LLC-resident histogram) beats the XLA scatter path ~7x, and
+        in-step device replay only slows the classify stream
+        (benchmarks/hybrid_ab.py: share 0.15 measured -27%).
+
+        Big canvases (histogram >> LLC): the host accumulator becomes
+        DRAM-latency bound — measured 7.3e7 pts/s at 1.2 GB
+        (20000x15000) — while the device idles ~95% of the pass and its
+        scatter rate (~1.1e8 slots/s, HBM-latency bound) does not
+        degrade with canvas size. Balance the two pipelines:
+        classify + s*P/dev = (1-s)*P/host.
+        """
+        if hist_bytes < (256 << 20):
+            return 0.0
+        # Effective rates measured at the 20000x15000 production canvas:
+        # host 7.3e7 pts/s (DRAM-bound accumulator); device 3.9e7 pts/s
+        # END-TO-END through the blocked replay (raw XLA scatter still
+        # does ~1e8 ids/s at 300M bins — the difference is chunk-loop
+        # dispatch overhead and masked-sentinel waste on 1024-lane
+        # blocks). The first share=0.59 attempt used the raw scatter
+        # number and measured SLOWER than host-only; the balanced share
+        # with effective rates is ~0.34.
+        host_rate, dev_rate = 7.3e7, 3.9e7
+        p = self.expected_points
+        if p <= 0:
+            return 0.0
+        t_host_all = p / host_rate
+        s = (t_host_all - self.classify_seconds) / (
+            p / dev_rate + t_host_all
+        )
+        return float(np.clip(s, 0.0, 0.9))
 
     def split_threshold(self, point_share: float) -> int:
         """Orbit-length cutoff below which the device replays (hybrid
@@ -368,17 +426,24 @@ class PallasEngine:
                 burning_ship=self.fractal.fold_abs,
                 dtype=np.dtype(o.hist_dtype),
             )
-            # Auto share is 0: route ALL replay to the host. Measured on
-            # v5e + AVX-512 host (benchmarks/phase_breakdown.py): device
-            # XLA scatter sustains ~1.1e8 slots/s on silicon that
-            # classifies at 2.8e10 lane-steps/s — every device-second
-            # spent scattering forfeits ~250x more useful iterations than
-            # it contributes — while the native host replay absorbs the
-            # full point mass at ~7.6e8 pts/s concurrently with the next
-            # classify pass. A positive replay_device_share remains
-            # honored for experimentation and for hosts slower than the
-            # emission stream.
-            share = max(o.replay_device_share, 0.0)
+            # Auto share: 0 on LLC-resident canvases — the native host
+            # replay (~7.6e8 pts/s/core) beats device XLA scatter
+            # (~1.1e8 slots/s) ~7x and runs concurrently with classify —
+            # but positive on big canvases, where the host accumulator
+            # goes DRAM-latency bound and the otherwise-idle device
+            # takes the balancing short-orbit share (see
+            # Tuning.auto_device_share; measured rationale in
+            # PERF_NOTES.md). Explicit replay_device_share overrides.
+            if o.replay_device_share >= 0:
+                share = o.replay_device_share
+            elif o.hist_dtype == "uint64":
+                # The device prefix accumulates in uint32; u64 renders
+                # stay host-only (also enforced below).
+                share = 0.0
+            else:
+                share = self.tuning.auto_device_share(
+                    cfg.canvas.histogram_nbytes
+                )
             self.split_threshold = self.tuning.split_threshold(share)
             if o.hist_dtype == "uint64" and self.split_threshold > 0:
                 from cudabrot_tpu.config import ConfigError
@@ -699,6 +764,15 @@ class PallasEngine:
             # host worker's tally covers the rest.
             out["orbit_points"] = out["orbit_points"] + self._worker.points
             out["on_canvas_points"] = self._worker.hits
+            # Worker critical-path split: fetch covers payload
+            # materialization + decode (it exposed the oversized-payload
+            # wall, PERF_NOTES.md); replay is the native engine time.
+            out["replay_fetch_seconds"] = round(
+                self._worker.fetch_seconds, 3
+            )
+            out["replay_busy_seconds"] = round(
+                self._worker.replay_seconds, 3
+            )
             out["replay"] = (
                 "hybrid" if self.split_threshold > 0 else "host"
             )

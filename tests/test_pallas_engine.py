@@ -374,3 +374,23 @@ def test_anti_buddhabrot_statistical_equivalence_with_oracle():
     b = ph.astype(np.float64) / ph.sum()
     corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
     assert corr > 0.98, corr
+
+
+def test_auto_device_share_big_canvas_only():
+    """Hybrid replay auto-share: zero on LLC-resident canvases (host
+    replay wins 7x), positive and balanced on DRAM-bound production
+    canvases where the device otherwise idles."""
+    from cudabrot_tpu.engines.pallas_engine import Tuning
+
+    band = IterationBand(max_escape_iterations=8000,
+                         min_escape_iterations=1000)
+    small = Tuning(RenderConfig(canvas=Canvas(width=1000, height=1000),
+                                band=band))
+    assert small.auto_device_share(1000 * 1000 * 4) == 0.0
+    big = Tuning(RenderConfig(canvas=Canvas(width=20000, height=15000),
+                              band=band))
+    s = big.auto_device_share(20000 * 15000 * 4)
+    assert 0.2 < s < 0.9, s
+    # The share maps to an orbit-length threshold inside the band.
+    thr = big.split_threshold(s)
+    assert 1000 < thr < 8000
