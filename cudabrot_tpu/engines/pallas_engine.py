@@ -233,7 +233,10 @@ class Tuning:
         # Replay block: lanes processed together; blocks with no active
         # lanes are skipped entirely. 1024 keeps blocks length-homogeneous
         # after the descending sort (low masked-sentinel waste in the
-        # scatter stream) while staying wide enough for the VPU.
+        # scatter stream) while staying wide enough for the VPU. (4096
+        # blocks were A/B'd for the big-canvas hybrid regime: identical
+        # throughput — the device replay's gap to raw scatter is not
+        # block-width dispatch overhead.)
         self.replay_block = min(1024, self.replay_capacity)
         # _blocked_replay processes whole blocks only: a capacity that is
         # not a block multiple would silently drop the tail lanes — and
