@@ -54,6 +54,22 @@ class HostReplayWorker:
         #: replaying (diagnostics; surfaced via engine stats).
         self.fetch_seconds = 0.0
         self.replay_seconds = 0.0
+        # Two-stage pipeline on multi-core hosts: fetch (device->host
+        # materialization + decode) and replay run on separate threads so
+        # fetch(p+1) overlaps replay(p). copy_to_host_async does not
+        # reliably prefetch through every transport (measured: this
+        # environment's tunnel pays the full transfer inside np.asarray),
+        # so on a single thread the stages serialize — at the
+        # emission-heavy default band that cost ~45% of the pass wall.
+        # The transfer is CPU-bound on tunneled transports, though, so on
+        # a ONE-core host the split only adds contention (measured -13%)
+        # — both stages then share a single worker thread.
+        import os
+
+        self._pipelined = (os.cpu_count() or 1) > 1
+        self._fetch_pool = (
+            cf.ThreadPoolExecutor(max_workers=1) if self._pipelined else None
+        )
         self._pool = cf.ThreadPoolExecutor(max_workers=1)
         self._pending: collections.deque[cf.Future] = collections.deque()
 
@@ -68,9 +84,21 @@ class HostReplayWorker:
         n_valid list)."""
         while len(self._pending) >= self.max_queue:
             self._pending.popleft().result()
-        self._pending.append(self._pool.submit(self._job, n_valid, payload))
+        if self._pipelined:
+            fetched = self._fetch_pool.submit(self._fetch, n_valid, payload)
+            self._pending.append(self._pool.submit(self._replay, fetched))
+        else:
+            self._pending.append(
+                self._pool.submit(self._job, n_valid, payload)
+            )
 
     def _job(self, n_valid, payload) -> None:
+        """Single-thread path: fetch and replay chained on one worker."""
+        done: cf.Future = cf.Future()
+        done.set_result(self._fetch(n_valid, payload))
+        self._replay(done)
+
+    def _fetch(self, n_valid, payload):
         # Materializing the device values blocks until the pass producing
         # them has finished — by then the engine has already dispatched
         # the next pass, so the device keeps working while we replay. The
@@ -85,7 +113,8 @@ class HostReplayWorker:
         else:
             n = int(np.asarray(n_valid).sum())
         if n <= 0:
-            return
+            self.fetch_seconds += time.perf_counter() - t0
+            return None
         if isinstance(payload, (list, tuple)):
             # Per-shard payloads from a multi-process engine: fold each
             # shard's device axis and stack them — (sum_d, C, K).
@@ -116,8 +145,15 @@ class HostReplayWorker:
             cr = batch[0]
             ci = batch[1]
             iters = batch[2].astype(np.int32)
+        self.fetch_seconds += time.perf_counter() - t0
+        return cr, ci, iters
+
+    def _replay(self, fetched: cf.Future) -> None:
+        decoded = fetched.result()
+        if decoded is None:
+            return
+        cr, ci, iters = decoded
         t1 = time.perf_counter()
-        self.fetch_seconds += t1 - t0
         cv = self.canvas
         hits, points = native.replay_scatter(
             cr,
@@ -160,4 +196,6 @@ class HostReplayWorker:
 
     def close(self) -> None:
         self.drain()
+        if self._fetch_pool is not None:
+            self._fetch_pool.shutdown(wait=True)
         self._pool.shutdown(wait=True)
