@@ -397,8 +397,8 @@ class PallasEngine:
         self.lanes = o.lane_rows * 128
         self.steps_per_pass = self.tuning.steps_per_pass * self.lanes
         self.replay_capacity = self.tuning.replay_capacity
-        self.scatter_backend = (
-            o.scatter if o.scatter != "auto" else "xla"
+        self.scatter_backend = binning.select_scatter_backend(
+            o.scatter, cfg.canvas, self.replay_capacity
         )
         # Refill RNG: in-kernel Threefry by default (unbiased, backend-
         # independent). The hardware PRNG is TPU-only — the interpreter

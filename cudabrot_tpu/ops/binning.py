@@ -121,7 +121,17 @@ def select_scatter_backend(name: str, canvas: Canvas, batch_points: int) -> str:
     The sort backend remains selectable for experimentation and for
     backends where gather is vectorized.
     """
-    del canvas, batch_points  # kept for API stability
+    del batch_points  # kept for API stability
+    if name == "sort" and canvas.num_pixels > (1 << 24):
+        # scatter_sorted does O(num_bins) searchsorted work per flush —
+        # at production canvases (3e8 bins) that faulted the device
+        # outright (measured). Refuse instead of crashing mid-render.
+        from cudabrot_tpu.config import ConfigError
+
+        raise ConfigError(
+            "the sort scatter backend is O(num_bins) per flush and not "
+            "usable above 2^24 pixels; use --scatter xla"
+        )
     if name != "auto":
         return name
     return "xla"

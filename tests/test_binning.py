@@ -88,7 +88,16 @@ def test_backend_selection():
     assert binning.select_scatter_backend("auto", small, 1 << 20) == "xla"
     assert binning.select_scatter_backend("auto", big, 1 << 16) == "xla"
     assert binning.select_scatter_backend("xla", small, 1) == "xla"
-    assert binning.select_scatter_backend("sort", big, 1) == "sort"
+    assert binning.select_scatter_backend("sort", small, 1) == "sort"
+    # scatter_sorted is O(num_bins) per flush: selecting it on a
+    # production canvas faulted the device outright (measured), so it
+    # must be refused up front.
+    import pytest
+
+    from cudabrot_tpu.config import ConfigError
+
+    with pytest.raises(ConfigError):
+        binning.select_scatter_backend("sort", big, 1)
 
 
 def test_sharded_bin_ids_partition_the_canvas():
