@@ -149,8 +149,11 @@ class EngineOptions:
     #: Capacity of the compacted replay batch (lanes in the replay phase);
     #: 0 = auto-size from the iteration band.
     replay_capacity: int = 0
-    #: Replay steps executed per scatter flush.
-    replay_chunk: int = 256
+    #: Replay steps executed per scatter flush; 0 = auto (256 on
+    #: LLC-resident canvases — low chunk-tail sentinel waste; 1024 on
+    #: big canvases, where scatter-call overhead dominates the device
+    #: replay and bigger calls measured +41% — benchmarks/PERF_NOTES.md).
+    replay_chunk: int = 0
     #: Classify-kernel inner window: orbit updates between boundary
     #: (refill/emission) passes. 0 = auto. Larger windows shorten the
     #: instruction stream but let finished lanes coast to the window edge.

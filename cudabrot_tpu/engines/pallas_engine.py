@@ -249,7 +249,16 @@ class Tuning:
                 (self.replay_capacity // self.replay_block + 1)
                 * self.replay_block
             )
-        self.replay_chunk = o.replay_chunk
+        if o.replay_chunk > 0:
+            self.replay_chunk = o.replay_chunk
+        elif cfg.canvas.histogram_nbytes >= (256 << 20):
+            # Big canvases: device replay is scatter-call-overhead bound;
+            # 1024-step chunks measured 5.6e7 vs 3.96e7 pts/s at 256
+            # (plateau at 2048; the extra chunk-tail sentinels cost less
+            # than the calls they save).
+            self.replay_chunk = 1024
+        else:
+            self.replay_chunk = 256
         self.min_it = cfg.band.min_escape_iterations
         self.max_it = cfg.band.max_escape_iterations
 
@@ -271,14 +280,14 @@ class Tuning:
         if hist_bytes < (256 << 20):
             return 0.0
         # Effective rates measured at the 20000x15000 production canvas:
-        # host 7.3e7 pts/s (DRAM-bound accumulator); device 3.9e7 pts/s
-        # END-TO-END through the blocked replay (raw XLA scatter still
-        # does ~1e8 ids/s at 300M bins — the difference is chunk-loop
-        # dispatch overhead and masked-sentinel waste on 1024-lane
-        # blocks). The first share=0.59 attempt used the raw scatter
-        # number and measured SLOWER than host-only; the balanced share
-        # with effective rates is ~0.34.
-        host_rate, dev_rate = 7.3e7, 3.9e7
+        # host 7.3e7 pts/s (DRAM-bound accumulator); device 5.6e7 pts/s
+        # END-TO-END through the blocked replay with 1024-step chunks
+        # (raw XLA scatter does ~1e8 ids/s at 300M bins; the gap is
+        # scatter-call overhead + chunk-tail sentinels — measured sweep
+        # in PERF_NOTES.md). An early share=0.59 attempt sized from the
+        # RAW scatter rate measured SLOWER than host-only: always size
+        # from end-to-end rates.
+        host_rate, dev_rate = 7.3e7, 5.6e7
         p = self.expected_points
         if p <= 0:
             return 0.0
