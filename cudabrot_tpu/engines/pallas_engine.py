@@ -54,6 +54,29 @@ def _pow2(x: float) -> int:
     return 1 << max(0, int(np.ceil(np.log2(max(x, 1.0)))))
 
 
+def _mean_lifetime(max_it: int) -> float:
+    """Mean classify steps per sample at iteration cap ``max_it``
+    (measured fit: 3.1 at m=100, 11.2 at m=20000, 12.6 at m=60000 —
+    non-culled interior points pay the Brent detection latency, which
+    grows logarithmically with the cap)."""
+    return 3.2 + 1.1 * float(np.log(max(max_it, 100) / 100.0))
+
+
+def _step_cost(thin: bool, refill_rng: str) -> tuple[float, float]:
+    """(c_inner, c_boundary) seconds per lane-step for the classify
+    kernel — the single source for every cost-model consumer (window
+    selection, pass sizing, hybrid-share solve). Fit from measured raw
+    rates on v5e (benchmarks/tracking_ab.py): step tracking 2.8e10/
+    6.7e10/9.5e10 lane-steps/s at U=1/4/8; thin + threefry (production
+    default) 6.6e10/1.16e11/1.84e11 at U=4/8/16; thin + hardware PRNG
+    8.8e10/1.54e11/2.36e11."""
+    if not thin:
+        return 7.2e-12, 3.7e-11
+    if refill_rng == "hardware":
+        return 1.7e-12, 3.9e-11
+    return 2.3e-12, 5.0e-11
+
+
 def band_emission_rate(min_it: int, max_it: int) -> float:
     """Expected in-band emissions per *useful* lane-step.
 
@@ -70,23 +93,18 @@ def band_emission_rate(min_it: int, max_it: int) -> float:
     """
     frac = 0.22 * (1.0 / max(min_it, 2) - 1.0 / max(max_it, 4))
     frac = max(frac, 1e-7)
-    mean_cost = 3.2 + 1.1 * float(np.log(max(max_it, 100) / 100.0))
-    return frac / mean_cost
+    return frac / _mean_lifetime(max_it)
 
 
 class Tuning:
-    """Resolved per-band engine geometry.
+    """Resolved per-band engine geometry (backend-independent: CPU and
+    TPU must tune identically so the Threefry counter schedule — and
+    therefore the sample stream — reproduces across backends)."""
 
-    ``interpret`` caps the flush window at 4096: in interpreter mode the
-    refill randomness streams from a pre-generated bits array of shape
-    (chunks, flush/U, 2, R, 128), which at the large emission-light-band
-    windows would allocate gigabytes on CPU for no benefit.
-    """
-
-    def __init__(self, cfg: RenderConfig, interpret: bool = False):
-        self._interpret = interpret
+    def __init__(self, cfg: RenderConfig):
         o = cfg.options
         fr = fractals.get_fractal(cfg.fractal)
+        lifetime = _mean_lifetime(cfg.band.max_escape_iterations)
         if fr.emit == "interior":
             # Anti-Buddhabrot: every non-escaping sample emits. Interior
             # fraction of the 4x4 domain is the M-set area (~1.506/16 ~
@@ -94,10 +112,7 @@ class Tuning:
             # draw; per executed lane-step divide by the mean sample
             # cost. Lands in the emission-heavy regime (U=1, short flush
             # windows, capacity-capped thinning).
-            mean_cost = 3.2 + 1.1 * float(
-                np.log(max(cfg.band.max_escape_iterations, 100) / 100.0)
-            )
-            rate = 0.10 / mean_cost
+            rate = 0.10 / lifetime
         else:
             rate = band_emission_rate(
                 cfg.band.min_escape_iterations,
@@ -113,8 +128,11 @@ class Tuning:
         # finishes, negligible overwrite loss at any window size) take a
         # 16x larger cap so the buffer stays small; emission-heavy bands
         # keep the tight cap, where the window target is the binding
-        # constraint anyway and overwrite loss costs real points.
-        flush_cap = 4096 if (rate > 1e-5 or interpret) else 65536
+        # constraint anyway and overwrite loss costs real points. The cap
+        # is deliberately backend-independent: tuning (and therefore the
+        # Threefry counter schedule) must resolve identically on CPU and
+        # TPU so runs reproduce across backends.
+        flush_cap = 4096 if rate > 1e-5 else 65536
         self.steps_per_flush = (
             o.steps_per_flush
             if o.steps_per_flush > 0
@@ -134,30 +152,16 @@ class Tuning:
             self.inner_unroll = 1
         else:
             # Maximize modeled useful throughput: per-lane-step cost is
-            # c_inner + c_boundary/U, and the coast waste is (U-1)/(2L).
-            # Constants fit from measured raw rates on v5e
-            # (benchmarks/tracking_ab.py): step tracking 2.8e10/6.7e10/
-            # 9.5e10 lane-steps/s at U=1/4/8 -> c_i=7.2e-12 s,
-            # c_b=3.7e-11 s; thin tracking + threefry refill (the
-            # production default) 6.6e10/1.16e11/1.84e11 at U=4/8/16 ->
-            # c_i=2.3e-12 s, c_b=5.0e-11 s. (With the hardware PRNG thin
-            # reaches 1.54e11/2.36e11 at U=8/16 — c_b=3.9e-11 — but its
-            # deep-tail bias rules it out as a default; see
-            # config.EngineOptions.refill_rng.) With practical lifetimes
-            # L <~ 13 the score peaks at U=8; 16/32 stay in the candidate
-            # set for hypothetical very-long-lived bands.
-            lifetime = 3.2 + 1.1 * float(
-                np.log(max(cfg.band.max_escape_iterations, 100) / 100.0)
+            # c_inner + c_boundary/U (_step_cost), and the coast waste is
+            # (U-1)/(2L). The hardware PRNG's deep-tail bias rules it out
+            # as a default (config.EngineOptions.refill_rng); with
+            # practical lifetimes L <~ 13 the score peaks at U=8; 16/32
+            # stay in the candidate set for hypothetical very-long-lived
+            # bands.
+            c_i, c_b = _step_cost(self.thin_tracking, o.refill_rng)
+            candidates = (
+                (1, 2, 4, 8, 16, 32) if self.thin_tracking else (1, 2, 4, 8)
             )
-            if self.thin_tracking:
-                if o.refill_rng == "hardware":
-                    c_i, c_b = 1.7e-12, 3.9e-11
-                else:
-                    c_i, c_b = 2.3e-12, 5.0e-11
-                candidates = (1, 2, 4, 8, 16, 32)
-            else:
-                c_i, c_b = 7.2e-12, 3.7e-11
-                candidates = (1, 2, 4, 8)
 
             def score(u: int) -> float:
                 useful = max(0.0, 1.0 - (u - 1) / (2.0 * lifetime))
@@ -182,9 +186,14 @@ class Tuning:
                 np.clip(self.steps_per_flush * 256, 4096, max(cap, 4096))
             )
         if self.steps_per_pass % self.steps_per_flush != 0:
-            self.steps_per_pass = (
-                (self.steps_per_pass // self.steps_per_flush + 1)
-                * self.steps_per_flush
+            # Round DOWN to a flush multiple (never below one window):
+            # rounding up could push an auto pass past the 2^34
+            # SIGINT-responsiveness budget, or a validated user value
+            # past the int32 per-lane-counter bound.
+            self.steps_per_pass = max(
+                (self.steps_per_pass // self.steps_per_flush)
+                * self.steps_per_flush,
+                self.steps_per_flush,
             )
         # Expected emissions per pass: the rate model counts per useful
         # lane-step, so discount the window-coast waste a U>1 window pays
@@ -195,25 +204,15 @@ class Tuning:
         # pass, and the fetch sits on the host worker's critical path
         # when the band is replay-bound (measured: a 4x-oversized
         # headline payload cost ~25% of the pass wall).
-        lifetime_w = 3.2 + 1.1 * float(
-            np.log(max(cfg.band.max_escape_iterations, 100) / 100.0)
-        )
         useful_frac = max(
-            0.25, 1.0 - (self.inner_unroll - 1) / (2.0 * lifetime_w)
+            0.25, 1.0 - (self.inner_unroll - 1) / (2.0 * lifetime)
         )
         expected = self.steps_per_pass * lanes * rate * useful_frac
         self.expected_emissions = expected
-        # Modeled classify seconds per pass (tracking_ab.py fit) and
-        # expected orbit points per pass — inputs to the big-canvas
-        # hybrid-share solve (auto_device_share).
-        if self.thin_tracking:
-            c_i, c_b = (
-                (1.7e-12, 3.9e-11)
-                if o.refill_rng == "hardware"
-                else (2.3e-12, 5.0e-11)
-            )
-        else:
-            c_i, c_b = 7.2e-12, 3.7e-11
+        # Modeled classify seconds per pass (_step_cost) and expected
+        # orbit points per pass — inputs to the big-canvas hybrid-share
+        # solve (auto_device_share).
+        c_i, c_b = _step_cost(self.thin_tracking, o.refill_rng)
         self.classify_seconds = (
             self.steps_per_pass * lanes * (c_i + c_b / self.inner_unroll)
         )
@@ -401,7 +400,7 @@ class PallasEngine:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
-        self.tuning = Tuning(cfg, interpret=interpret)
+        self.tuning = Tuning(cfg)
         self.lane_rows = o.lane_rows
         self.lanes = o.lane_rows * 128
         self.steps_per_pass = self.tuning.steps_per_pass * self.lanes

@@ -346,13 +346,19 @@ def _make_kernel(
                 in_band = esc_mask & ~deadb
             elif emit_interior:
                 # Anti-Buddhabrot: the signal is samples that finish
-                # WITHOUT escaping — proven periodic (Brent) or at the
-                # iteration cap. Each replays the full cap: needed is
+                # WITHOUT escaping within the cap — proven periodic
+                # (Brent) or at the iteration cap. A lane whose escape is
+                # first observed at an overshoot index >= max_it (window
+                # carried it past the cap before the boundary) survived
+                # every capped iteration and IS interior — the same
+                # overshoot the escape mode's explicit `needed < max_i`
+                # handles. Each emission replays the full cap: needed is
                 # max_it - 1, so the replay engines record exactly
                 # max_it orbit points (the same s <= iters bound the
                 # escape mode uses). The min cutoff is meaningless here
                 # and ignored (models/fractals.FractalMap.emit).
-                in_band = (cyc_mask | maxed) & ~esc_mask & ~deadb
+                esc_in_cap = esc_mask & (needed < max_i)
+                in_band = (cyc_mask | maxed) & ~esc_in_cap & ~deadb
                 p_cr = jnp.where(in_band, cr, p_cr)
                 p_ci = jnp.where(in_band, ci, p_ci)
                 p_it = jnp.where(in_band, max_i - 1, p_it)

@@ -260,13 +260,34 @@ class DataParallelHostReplayEngine(DataParallelEngine):
         return state
 
     def histogram(self, state) -> np.ndarray:
-        # Device histogram replicas provably stay zero (host replay, no
-        # device prefix); the worker accumulator is the histogram. In
-        # multi-process runs each process holds a partial accumulator;
-        # merge them with one allgather (collective — every process must
-        # call this, mirroring DataParallelEngine.histogram).
+        # The worker accumulator holds the host-replayed mass. With a
+        # hybrid split (split_threshold > 0 — the big-canvas auto share)
+        # each device's histogram also carries its device-replayed
+        # short-orbit mass and must be folded in; in pure host mode the
+        # device replicas provably stay zero and the (potentially
+        # multi-GB) fetch is skipped. In multi-process runs each process
+        # holds a partial accumulator (worker + its addressable device
+        # shards); merge with one allgather (collective — every process
+        # must call this, mirroring DataParallelEngine.histogram).
         self.inner._worker.drain()
         local = self.inner._worker.hist
+        if self.inner.split_threshold > 0:
+            if jax.process_count() > 1:
+                shards = [
+                    np.asarray(s, dtype=np.uint32)
+                    for s in self._local_shards(state["hist"])
+                ]
+            else:
+                shards = [
+                    np.asarray(jax.device_get(state["hist"]), np.uint32)
+                ]
+            dev = np.zeros(local.shape, np.uint32)
+            for s in shards:
+                # Per-device replicas are stacked on a leading axis.
+                dev += s.reshape((-1,) + local.shape).sum(
+                    axis=0, dtype=np.uint32
+                )
+            local = local + dev
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 

@@ -216,3 +216,51 @@ def test_dp_host_replay_resume_preserves_mass():
     jax.block_until_ready(state)
     hist = eng.histogram(state)
     assert hist.min() >= 5
+
+
+def test_dp_host_replay_hybrid_share_mass_conserved():
+    """With a forced device-replay share, the multi-device host-replay
+    engine must fold the device-replayed short-orbit mass into the
+    final histogram (it previously returned only the worker accumulator,
+    silently dropping the device share)."""
+    from cudabrot_tpu.io import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native replay library unavailable")
+    from cudabrot_tpu.engines.pallas_engine import PallasEngine
+    from cudabrot_tpu.parallel.data_parallel import (
+        DataParallelHostReplayEngine,
+    )
+
+    def run(share):
+        cfg = RenderConfig(
+            canvas=Canvas(width=32, height=32),
+            band=IterationBand(max_escape_iterations=60,
+                               min_escape_iterations=5),
+            options=EngineOptions(
+                engine="pallas", lane_rows=8, steps_per_pass=256,
+                steps_per_flush=16, replay_capacity=1 << 12,
+                replay_chunk=32, num_devices=4,
+                replay_device_share=share,
+            ),
+        )
+        eng = DataParallelHostReplayEngine(
+            cfg, PallasEngine(cfg, replay_mode="host")
+        )
+        state = eng.init_state(None)
+        for p in range(4):
+            state = eng.run_pass(state, p)
+        jax.block_until_ready(state)
+        return eng.histogram(state), eng.stats(state)
+
+    h0, s0 = run(0.0)
+    h1, s1 = run(0.5)
+    assert s1["replay"] == "host"
+    # Same seed -> identical emission stream; the split only reassigns
+    # which backend replays each orbit, so total mass must agree (modulo
+    # f32 binning drift between the two replay implementations).
+    assert h1.sum() > 0 and h0.sum() > 0
+    ratio = h1.sum() / h0.sum()
+    assert 0.98 < ratio < 1.02, ratio
