@@ -48,6 +48,10 @@ CASES = {
     # Burning-ship fold (no cull, no cycle detection).
     "burning_ship": dict(width=96, height=96, max_it=200, min_it=20,
                          replay="device", fractal="burning-ship"),
+    # Interior-emission mode (anti-Buddhabrot): cycle-detected + maxed
+    # lanes emit, each replaying exactly max_it points.
+    "anti_buddhabrot": dict(width=96, height=96, max_it=150, min_it=0,
+                            replay="host", fractal="anti-buddhabrot"),
 }
 PASSES = 3
 
