@@ -278,6 +278,15 @@ class Tuning:
         """
         if hist_bytes < (256 << 20):
             return 0.0
+        if self.expected_emissions < 4 * self.replay_block:
+            # Deep bands emit few, very LONG orbits: the device replay
+            # would run tens-of-thousands-step chunk scans over a single
+            # partially-filled block — per-substep cost on a ~1000-lane
+            # width swamps the scatter it saves (measured at the hires
+            # fine band: hybrid 1.40e10 vs host-only ~1.7e10 it/s). The
+            # hybrid only pays when emissions fill blocks (shallow and
+            # medium bands: many short orbits, wide utilization).
+            return 0.0
         # Effective rates measured at the 20000x15000 production canvas:
         # host 7.3e7 pts/s (DRAM-bound accumulator); device 5.6e7 pts/s
         # END-TO-END through the blocked replay with 1024-step chunks
