@@ -80,8 +80,8 @@ TPU-native extensions:
              anti-buddhabrot (orbits of NON-escaping samples; -c is
              ignored).
   --engine <name>: auto (default), pallas, or oracle.
-  --scatter <name>: histogram accumulation backend: auto (default),
-             sort, or xla.
+  --scatter <name>: histogram accumulation backend: auto (default)
+             or xla.
   --precision <p>: float32 (default) or float64.
   --hist-dtype <d>: uint32 (default) or uint64 — 64-bit histogram bins
              for extreme-duration renders (host replay only).

@@ -177,8 +177,9 @@ class EngineOptions:
     #: for bitwise escape-count parity experiments with the reference,
     #: which always iterates interior points to the cap (cudabrot.cu:338).
     cycle_detection: bool = True
-    #: Histogram scatter backend: "xla" (scatter-add), "sort"
-    #: (sort + searchsorted dense counts), or "auto".
+    #: Histogram scatter backend: "xla" (scatter-add) or "auto". (A
+    #: sort+searchsorted backend was measured dead and removed; see
+    #: ops/binning.py.)
     scatter: str = "auto"
     #: Orbit replay execution: "device" (on-accelerator, multi-chip
     #: capable), "host" (native C++ engine overlapped with classification
@@ -213,8 +214,16 @@ class EngineOptions:
     def validate(self) -> None:
         if self.engine not in ("auto", "oracle", "pallas"):
             raise ConfigError(f"Unknown engine: {self.engine}")
-        if self.scatter not in ("auto", "xla", "sort"):
-            raise ConfigError(f"Unknown scatter backend: {self.scatter}")
+        if self.scatter not in ("auto", "xla"):
+            hint = (
+                " (the sort backend was removed: measured slower than "
+                "scatter-add everywhere on TPU; see ops/binning.py)"
+                if self.scatter == "sort"
+                else ""
+            )
+            raise ConfigError(
+                f"Unknown scatter backend: {self.scatter}{hint}"
+            )
         if self.replay not in ("auto", "device", "host"):
             raise ConfigError(f"Unknown replay mode: {self.replay}")
         if self.histogram_sharding not in ("replicated", "rows"):
@@ -241,6 +250,10 @@ class EngineOptions:
             raise ConfigError(
                 "lane_rows must be positive and replay_capacity non-negative"
             )
+        if self.lane_rows > (1 << 17):
+            # lanes = rows * 128 must stay <= 2^24 so the byte-plane
+            # per-pass stat sums (counters.u64_sum_i32) cannot wrap.
+            raise ConfigError("lane_rows must be at most 131072 (2^24 lanes)")
         # Per-lane counter invariant: the kernel tracks per-lane steps in
         # int32 (per-PASS totals are exact u64 pairs, counters.u64_sum_i32,
         # so no cross-lane ceiling applies).

@@ -59,6 +59,10 @@ def make_engine(cfg: RenderConfig) -> Engine:
         # would lie. This is process-global and must precede tracing.
         jax.config.update("jax_enable_x64", True)
 
+    # Whether the multi-device path streams emissions to the native host
+    # accumulator. Bound unconditionally: it is read below for every engine
+    # choice, not just pallas.
+    dp_host = False
     if choice == "oracle":
         from cudabrot_tpu.engines.oracle_engine import OracleEngine
 

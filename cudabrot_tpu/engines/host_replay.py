@@ -66,7 +66,14 @@ class HostReplayWorker:
         # — both stages then share a single worker thread.
         import os
 
-        self._pipelined = (os.cpu_count() or 1) > 1
+        # sched_getaffinity sees cgroup/affinity limits (a container pinned
+        # to one core would otherwise enable the split and pay the measured
+        # ~13% contention penalty); cpu_count is the portable fallback.
+        try:
+            cores = len(os.sched_getaffinity(0))
+        except (AttributeError, OSError):
+            cores = os.cpu_count() or 1
+        self._pipelined = cores > 1
         self._fetch_pool = (
             cf.ThreadPoolExecutor(max_workers=1) if self._pipelined else None
         )

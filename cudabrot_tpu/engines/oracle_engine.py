@@ -12,7 +12,7 @@ from cudabrot_tpu.config import ConfigError, RenderConfig
 from cudabrot_tpu.ops import oracle
 from cudabrot_tpu.utils import counters
 
-STAT_KEYS = ("samples", "culled", "in_band", "iters", "points")
+STAT_KEYS = ("samples", "culled", "in_band", "iters", "points", "wasted")
 
 
 class OracleEngine:
@@ -70,6 +70,7 @@ class OracleEngine:
             "in_band": (stats.in_band, zero),
             "iters": stats.classify_iters,
             "points": stats.orbit_points,
+            "wasted": stats.wasted_steps,
         }
         for k in STAT_KEYS:
             state[k] = counters.u64_add_pair(state[k], per_pass[k])
@@ -107,4 +108,5 @@ class OracleEngine:
             "in_band": vals["in_band"],
             "classify_iters": vals["iters"],
             "orbit_points": vals["points"],
+            "wasted_steps": vals["wasted"],
         }

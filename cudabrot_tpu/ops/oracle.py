@@ -47,8 +47,9 @@ class PassStats(NamedTuple):
     samples: jnp.ndarray
     culled: jnp.ndarray
     in_band: jnp.ndarray
-    classify_iters: tuple  # (lo, hi) sum of per-sample escape-time work
+    classify_iters: tuple  # (lo, hi) sum of per-sample useful escape-time work
     orbit_points: tuple  # (lo, hi) points scattered (incl. off-canvas)
+    wasted_steps: tuple  # (lo, hi) executed-but-useless lockstep work
 
 
 def draw_samples(key, n: int, dtype):
@@ -63,8 +64,11 @@ def draw_samples(key, n: int, dtype):
 def classify(fractal: fractals.FractalMap, cr, ci, max_iterations: int):
     """Escape-time classification (IterateMandelbrot, cudabrot.cu:319-340).
 
-    Returns (iters, escaped): iters is the 0-based escape index for escaped
-    lanes and max_iterations for non-escaping lanes.
+    Returns (iters, escaped, trip): iters is the 0-based escape index for
+    escaped lanes and max_iterations for non-escaping lanes; trip is the
+    number of lockstep loop iterations actually executed (every lane,
+    escaped-and-frozen or not, occupies a vector slot for all of them —
+    the quantity comparable to the pallas engine's lane-steps).
     """
     n = cr.shape
     max_it = jnp.int32(max_iterations)
@@ -91,8 +95,8 @@ def classify(fractal: fractals.FractalMap, cr, ci, max_iterations: int):
         jnp.full(n, max_it, dtype=jnp.int32),
         jnp.zeros(n, dtype=bool),
     )
-    _, _, _, iters, esc = jax.lax.while_loop(cond, body, init)
-    return iters, esc
+    trip, _, _, iters, esc = jax.lax.while_loop(cond, body, init)
+    return iters, esc, trip
 
 
 def replay_into(
@@ -143,7 +147,7 @@ def render_pass(hist, key, cfg: RenderConfig):
     # culled points are mathematically non-escaping so classifying them too
     # changes nothing but wasted work — mask them out of classification by
     # treating them as already-escaped-at--1.
-    iters, escaped = classify(fractal, cr, ci, max_it)
+    iters, escaped, trip = classify(fractal, cr, ci, max_it)
     if fractal.emit == "interior":
         # Anti-Buddhabrot: render the samples that do NOT escape within
         # the cap; classify leaves their iters at max_it, so the replay
@@ -156,13 +160,20 @@ def render_pass(hist, key, cfg: RenderConfig):
     hist_flat = replay_into(
         hist.reshape(-1), fractal, canvas, cr, ci, iters, in_band, max_it
     )
+    # Useful classify work per lane (same meaning as the pallas engine's
+    # "iters" stat): the escape-time steps the algorithm needed. Culled
+    # lanes contribute zero useful work; everything else the lockstep
+    # while_loop executed on them (trip steps each — they never escape, so
+    # they pin the loop at max_it) is accounted as wasted_steps, exactly
+    # like the pallas kernel's culled-draw/coast waste. This keeps
+    # classify_iters + wasted_steps == executed lane-steps across engines.
+    useful = jnp.where(culled, 0, jnp.where(escaped, iters + 1, max_it))
     stats = PassStats(
         samples=jnp.uint32(n),
         culled=jnp.sum(culled).astype(jnp.uint32),
         in_band=jnp.sum(in_band).astype(jnp.uint32),
-        classify_iters=counters.u64_sum_i32(
-            jnp.where(culled, 0, jnp.where(escaped, iters + 1, max_it))
-        ),
+        classify_iters=counters.u64_sum_i32(useful),
+        wasted_steps=counters.u64_sum_i32(trip - useful),
         # Points recorded per emission: iters + 1 for escapers, exactly
         # max_it for interior samples (the replay loop runs max_it steps
         # and s <= iters is then always true).

@@ -34,7 +34,7 @@ class DataParallelEngine:
         self.cfg = cfg
         self.inner = inner
         self.name = f"dp({inner.name})"
-        self.mesh = make_mesh(cfg.options.num_devices)
+        self.mesh = make_mesh(cfg.options.num_devices, cfg.device_index)
         self.num_devices = self.mesh.devices.size
         self.steps_per_pass = inner.steps_per_pass * self.num_devices
 
@@ -190,7 +190,7 @@ class DataParallelHostReplayEngine(DataParallelEngine):
         self.cfg = cfg
         self.inner = inner
         self.name = f"dp-host({inner.name})"
-        self.mesh = make_mesh(cfg.options.num_devices)
+        self.mesh = make_mesh(cfg.options.num_devices, cfg.device_index)
         self.num_devices = self.mesh.devices.size
         self.steps_per_pass = inner.steps_per_pass * self.num_devices
 
@@ -313,5 +313,8 @@ class DataParallelHostReplayEngine(DataParallelEngine):
             hits = int(tallies[:, 1].sum())
         out["orbit_points"] = out.get("orbit_points", 0) + points
         out["on_canvas_points"] = hits
-        out["replay"] = "host"
+        out["replay"] = (
+            "hybrid" if self.inner.split_threshold > 0
+            else "host"
+        )
         return out

@@ -45,7 +45,7 @@ class ShardedHistogramEngine:
         self.cfg = cfg
         self.inner = inner
         self.name = "sharded(pallas)"
-        self.mesh = make_mesh(cfg.options.num_devices)
+        self.mesh = make_mesh(cfg.options.num_devices, cfg.device_index)
         self.num_devices = int(self.mesh.devices.size)
         self.steps_per_pass = inner.steps_per_pass * self.num_devices
         h = cfg.canvas.height

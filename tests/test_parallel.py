@@ -40,6 +40,19 @@ def test_make_mesh():
         make_mesh(16)
 
 
+def test_make_mesh_base_device():
+    # -d N --devices M selects devices N..N+M-1 (the multi-device
+    # generalization of cudabrot.cu:155's single-device -d).
+    all_devs = jax.devices()
+    mesh = make_mesh(2, base=1)
+    assert list(mesh.devices.flat) == all_devs[1:3]
+    assert make_mesh(None, base=6).devices.size == 2
+    with pytest.raises(ValueError):
+        make_mesh(4, base=6)  # only 2 devices remain past base 6
+    with pytest.raises(ValueError):
+        make_mesh(1, base=8)
+
+
 def test_dp_engine_selected():
     eng = engines.make_engine(_cfg(4))
     assert isinstance(eng, DataParallelEngine)
@@ -257,7 +270,8 @@ def test_dp_host_replay_hybrid_share_mass_conserved():
 
     h0, s0 = run(0.0)
     h1, s1 = run(0.5)
-    assert s1["replay"] == "host"
+    assert s0["replay"] == "host"
+    assert s1["replay"] == "hybrid"
     # Same seed -> identical emission stream; the split only reassigns
     # which backend replays each orbit, so total mass must agree (modulo
     # f32 binning drift between the two replay implementations).
