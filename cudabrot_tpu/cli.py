@@ -100,6 +100,9 @@ TPU-native extensions:
   --replay <mode>: orbit replay execution: auto (default), host
              (native C++ engine overlapped with classification), or
              device.
+  --replay-threads <n>: threads for the native host replay engine
+             (per-thread private histograms, deterministic merge).
+             Defaults to one per available core.
   --hist-sharding <mode>: multi-device histogram layout: replicated
              (default) or rows (row-sharded across the mesh; canvas
              memory and scatter throughput scale with devices).
@@ -326,6 +329,9 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
             i += 2
         elif arg == "--replay":
             opt["replay"] = _parse_str(argv, i, "Missing replay mode.")
+            i += 2
+        elif arg == "--replay-threads":
+            opt["replay_threads"] = _parse_int(argv, i)
             i += 2
         elif arg == "--hist-sharding":
             opt["histogram_sharding"] = _parse_str(

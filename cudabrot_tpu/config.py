@@ -191,6 +191,10 @@ class EngineOptions:
     #: since the batch is length-sorted). Negative = auto (tuned so both
     #: sides finish together).
     replay_device_share: float = -1.0
+    #: Threads for the native host replay engine (per-thread private
+    #: histograms merged serially, csrc/tpubrot_native.cpp). 0 = auto
+    #: (one thread per available core, cgroup/affinity-aware).
+    replay_threads: int = 0
     #: Iteration arithmetic dtype ("float32" or "float64"; float64 is
     #: software-emulated and slow on TPU — reference iterates in hardware
     #: double, cudabrot.cu:321).
@@ -246,6 +250,8 @@ class EngineOptions:
             raise ConfigError(
                 "steps_per_pass must be a multiple of steps_per_flush"
             )
+        if self.replay_threads < 0:
+            raise ConfigError("replay_threads must be non-negative (0=auto)")
         if self.lane_rows <= 0 or self.replay_capacity < 0:
             raise ConfigError(
                 "lane_rows must be positive and replay_capacity non-negative"

@@ -43,7 +43,6 @@ class HostReplayWorker:
             )
         self.canvas = canvas
         self.burning_ship = burning_ship
-        self.num_threads = num_threads
         self.max_queue = max_queue
         # uint64 bins for extreme-duration renders (EngineOptions
         # .hist_dtype); the native engine has entry points for both.
@@ -73,6 +72,12 @@ class HostReplayWorker:
             cores = len(os.sched_getaffinity(0))
         except (AttributeError, OSError):
             cores = os.cpu_count() or 1
+        # Resolve auto (0) threads here rather than in the native library:
+        # its hardware_concurrency() fallback ignores cgroup/affinity
+        # limits, this count doesn't. Real v5e hosts have ~100 cores; the
+        # native engine splits the batch across per-thread private
+        # histograms and merges serially (csrc/tpubrot_native.cpp).
+        self.num_threads = num_threads if num_threads > 0 else cores
         self._pipelined = cores > 1
         self._fetch_pool = (
             cf.ThreadPoolExecutor(max_workers=1) if self._pipelined else None

@@ -450,6 +450,7 @@ class PallasEngine:
             self._worker = HostReplayWorker(
                 cfg.canvas,
                 burning_ship=self.fractal.fold_abs,
+                num_threads=o.replay_threads,
                 dtype=np.dtype(o.hist_dtype),
             )
             # Auto share: 0 on LLC-resident canvases — the native host

@@ -93,6 +93,7 @@ def test_extension_flags():
             "--png",
             "--stats-json", "s.json",
             "--devices", "2",
+            "--replay-threads", "4",
         ]
     )
     assert cfg.fractal == "burning-ship"
@@ -102,6 +103,7 @@ def test_extension_flags():
     assert cfg.max_passes == 3
     assert cfg.checkpoint_interval == 10
     assert cfg.options.num_devices == 2
+    assert cfg.options.replay_threads == 4
     assert extras.save_png
     assert extras.stats_json == "s.json"
 

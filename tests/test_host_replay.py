@@ -228,3 +228,88 @@ def test_host_mode_uses_packed_payload_and_matches():
     jax.block_until_ready(dstate)
     dh = dng.histogram(dstate)
     assert abs(int(hh.sum()) - int(dh.sum())) <= 0.01 * dh.sum()
+
+
+@pytest.mark.parametrize("num_threads", [2, 4])
+@pytest.mark.parametrize("dtype", [np.uint32, np.uint64])
+def test_multithread_replay_bitwise_equals_single_thread(num_threads, dtype):
+    """Forced multi-thread native replay (per-thread private histograms +
+    serial merge, csrc/tpubrot_native.cpp ReplayScatterImpl) must be
+    bitwise identical to the 1-thread result. The native engine only
+    splits when every thread gets >= 1024 samples, so the batch must be
+    large enough for the chunk-split logic to actually engage."""
+    canvas = Canvas(width=64, height=48, min_real=-2.0, max_real=2.0,
+                    min_imag=-1.5, max_imag=1.5)
+    # ~20k uniform draws yield >> 1024*num_threads in-band samples at a
+    # permissive band; tile them to be safe on any seed.
+    cr, ci, iters = _band_samples(20000, 120, 1, seed=11)
+    reps = -(-(1024 * num_threads * 2) // max(len(cr), 1))
+    cr = np.tile(cr, reps)
+    ci = np.tile(ci, reps)
+    iters = np.tile(iters, reps)
+    assert len(cr) >= 1024 * num_threads
+
+    def run(threads):
+        hist = np.zeros(canvas.shape, dtype)
+        hits, points = native.replay_scatter(
+            cr, ci, iters, hist,
+            width=canvas.width, height=canvas.height,
+            min_real=canvas.min_real, min_imag=canvas.min_imag,
+            delta_real=canvas.delta_real, delta_imag=canvas.delta_imag,
+            num_threads=threads,
+        )
+        return hist, hits, points
+
+    h1, hits1, pts1 = run(1)
+    hn, hitsn, ptsn = run(num_threads)
+    np.testing.assert_array_equal(h1, hn)
+    assert (hits1, pts1) == (hitsn, ptsn)
+    assert pts1 == int((iters.astype(np.int64) + 1).sum())
+
+
+def test_multithread_replay_burning_ship_bitwise():
+    """The burning-ship fold goes through a separate template instantiation
+    of the threaded path; cover its merge too."""
+    canvas = Canvas(width=32, height=32)
+    rng = np.random.default_rng(5)
+    n = 6000
+    cr = rng.uniform(-2, 2, n)
+    ci = rng.uniform(-2, 2, n)
+    iters = np.array(
+        [ref.classify_scalar(a, b, 60, burning_ship=True)
+         for a, b in zip(cr, ci)], np.int32)
+    mask = (iters < 60) & (iters >= 1)
+    cr, ci, iters = cr[mask], ci[mask], iters[mask]
+    reps = -(-4096 // max(len(cr), 1))
+    cr, ci, iters = np.tile(cr, reps), np.tile(ci, reps), np.tile(iters, reps)
+
+    def run(threads):
+        hist = np.zeros(canvas.shape, np.uint32)
+        native.replay_scatter(
+            cr, ci, iters, hist,
+            width=canvas.width, height=canvas.height,
+            min_real=canvas.min_real, min_imag=canvas.min_imag,
+            delta_real=canvas.delta_real, delta_imag=canvas.delta_imag,
+            burning_ship=True, num_threads=threads,
+        )
+        return hist
+
+    np.testing.assert_array_equal(run(1), run(2))
+
+
+def test_worker_resolves_auto_threads_affinity_aware():
+    import os
+
+    from cudabrot_tpu.engines.host_replay import HostReplayWorker
+
+    try:
+        cores = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        cores = os.cpu_count() or 1
+    w = HostReplayWorker(Canvas(width=8, height=8), burning_ship=False)
+    assert w.num_threads == cores
+    w.close()
+    w4 = HostReplayWorker(Canvas(width=8, height=8), burning_ship=False,
+                          num_threads=4)
+    assert w4.num_threads == 4
+    w4.close()
