@@ -103,6 +103,10 @@ TPU-native extensions:
   --replay-threads <n>: threads for the native host replay engine
              (per-thread private histograms, deterministic merge).
              Defaults to one per available core.
+  --calibration <file>: machine-constant calibration JSON written by
+             tools/calibrate.py; feeds the kernel cost model and the
+             hybrid replay-share solver (also honored via the
+             CUDABROT_TPU_CALIBRATION env var).
   --hist-sharding <mode>: multi-device histogram layout: replicated
              (default) or rows (row-sharded across the mesh; canvas
              memory and scatter throughput scale with devices).
@@ -160,6 +164,7 @@ def _parse_str(argv: list[str], i: int, missing_msg: str) -> str:
 class CliExtras:
     save_png: bool = False
     stats_json: str | None = None
+    calibration: str | None = None
 
 
 def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
@@ -333,6 +338,11 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
         elif arg == "--replay-threads":
             opt["replay_threads"] = _parse_int(argv, i)
             i += 2
+        elif arg == "--calibration":
+            extras.calibration = _parse_str(
+                argv, i, "Missing calibration file name."
+            )
+            i += 2
         elif arg == "--hist-sharding":
             opt["histogram_sharding"] = _parse_str(
                 argv, i, "Missing sharding mode."
@@ -391,6 +401,16 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
 def run(cfg: RenderConfig, extras: CliExtras, log=print) -> int:
     """Render + tone-map + save (the main() sequence, cudabrot.cu:762-791)."""
     from cudabrot_tpu.parallel import distributed
+
+    from cudabrot_tpu.utils import calibration as _calibration
+
+    # Calibration must be installed before engines are built (the
+    # constants feed trace-time tuning).
+    try:
+        _calibration.activate(extras.calibration)
+    except (OSError, ValueError, TypeError) as e:
+        log(f"Invalid calibration file: {e}")
+        return 1
 
     # Must precede any backend-initializing call (multi-slice launches,
     # see parallel/distributed.py). Single-process runs are untouched.

@@ -99,6 +99,49 @@ def _write_preview(cfg: RenderConfig, hist: np.ndarray) -> None:
         raise
 
 
+def _warn_calibration_drift(cfg: RenderConfig, engine, log) -> None:
+    """One-line warning when a measured rate deviates >=2x from the cost
+    model feeding the tuner (utils.calibration). The cleanly observable
+    model input is the native host replay rate — it directly sizes the
+    big-canvas hybrid device share, where a misfit measured -27%
+    (benchmarks/PERF_NOTES.md). Classify-time drift is not separable
+    here: the pass wall overlaps device classify with host replay and
+    transfer by design."""
+    from cudabrot_tpu.utils import calibration
+
+    worker = getattr(engine, "_worker", None) or getattr(
+        getattr(engine, "inner", None), "_worker", None
+    )
+    if worker is None:
+        return
+    # Need enough work for a stable rate estimate.
+    if worker.points < 1_000_000 or worker.replay_seconds < 0.5:
+        return
+    cal = calibration.active()
+    hist_bytes = cfg.canvas.histogram_nbytes
+    if hist_bytes < (256 << 20):
+        # Sub-DRAM canvases never get a hybrid device share, so a rate
+        # misfit there has no tuning consequence — and the LLC-regime
+        # rate legitimately varies ~3x with orbit length (per-orbit
+        # setup amortization), which would make a fixed threshold noisy.
+        return
+    # host_replay_dram_rate is the worker's *effective* rate as
+    # configured (tools/calibrate.py measures with the same auto thread
+    # count the worker resolves), so no per-thread scaling here.
+    expected = cal.host_replay_dram_rate
+    observed = worker.points / worker.replay_seconds
+    ratio = observed / expected
+    if 0.5 < ratio < 2.0:
+        return
+    log(
+        f"Calibration drift: host replay measured {observed:.2e} pts/s vs "
+        f"the model's {expected:.2e} (DRAM regime, x{ratio:.2f}). "
+        "Auto-tuned replay shares may be mis-sized on this machine — run "
+        "tools/calibrate.py and pass --calibration (or set "
+        "CUDABROT_TPU_CALIBRATION)."
+    )
+
+
 def run_render(
     cfg: RenderConfig,
     engine: engines.Engine | None = None,
@@ -237,6 +280,7 @@ def run_render(
     elapsed = time.monotonic() - start
     hist = engine.histogram(state)
     log(f"{passes} Buddhabrot passes took {elapsed:f} seconds.")
+    _warn_calibration_drift(cfg, engine, log)
 
     if cfg.inprogress_file and primary:
         log(f"Saving in-progress buffer to {cfg.inprogress_file}.")

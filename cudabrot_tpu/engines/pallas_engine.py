@@ -42,7 +42,7 @@ from cudabrot_tpu.config import RenderConfig
 from cudabrot_tpu.models import fractals
 from cudabrot_tpu.ops import binning
 from cudabrot_tpu.ops import pallas_kernels as pk
-from cudabrot_tpu.utils import counters
+from cudabrot_tpu.utils import calibration, counters
 
 STAT_KEYS = (
     "samples", "culled", "in_band", "emitted", "replay_dropped",
@@ -65,16 +65,13 @@ def _mean_lifetime(max_it: int) -> float:
 def _step_cost(thin: bool, refill_rng: str) -> tuple[float, float]:
     """(c_inner, c_boundary) seconds per lane-step for the classify
     kernel — the single source for every cost-model consumer (window
-    selection, pass sizing, hybrid-share solve). Fit from measured raw
-    rates on v5e (benchmarks/tracking_ab.py): step tracking 2.8e10/
-    6.7e10/9.5e10 lane-steps/s at U=1/4/8; thin + threefry (production
-    default) 6.6e10/1.16e11/1.84e11 at U=4/8/16; thin + hardware PRNG
-    8.8e10/1.54e11/2.36e11."""
-    if not thin:
-        return 7.2e-12, 3.7e-11
-    if refill_rng == "hardware":
-        return 1.7e-12, 3.9e-11
-    return 2.3e-12, 5.0e-11
+    selection, pass sizing, hybrid-share solve). Defaults fit from
+    measured raw rates on v5e (benchmarks/tracking_ab.py): step tracking
+    2.8e10/6.7e10/9.5e10 lane-steps/s at U=1/4/8; thin + threefry
+    (production default) 6.6e10/1.16e11/1.84e11 at U=4/8/16; thin +
+    hardware PRNG 8.8e10/1.54e11/2.36e11. On other hosts/chips run
+    tools/calibrate.py and pass --calibration (utils.calibration)."""
+    return calibration.active().step_cost(thin, refill_rng)
 
 
 def band_emission_rate(min_it: int, max_it: int) -> float:
@@ -300,8 +297,11 @@ class Tuning:
         # scatter-call overhead + chunk-tail sentinels — measured sweep
         # in PERF_NOTES.md). An early share=0.59 attempt sized from the
         # RAW scatter rate measured SLOWER than host-only: always size
-        # from end-to-end rates.
-        host_rate, dev_rate = 7.3e7, 5.6e7
+        # from end-to-end rates. Overridable per machine via
+        # tools/calibrate.py (utils.calibration).
+        cal = calibration.active()
+        host_rate = cal.host_replay_dram_rate
+        dev_rate = cal.device_replay_rate
         p = self.expected_points
         if p <= 0:
             return 0.0
