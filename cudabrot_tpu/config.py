@@ -146,6 +146,10 @@ class EngineOptions:
     steps_per_flush: int = 0
     #: Samples per pass for the oracle engine.
     oracle_samples_per_pass: int = 1 << 16
+    #: Oracle replay-batch capacity (in-band samples compacted before the
+    #: bounded replay loop, mirroring the reference's two-pass structure);
+    #: 0 = auto from the escape-time tail model with 16x headroom.
+    oracle_replay_capacity: int = 0
     #: Capacity of the compacted replay batch (lanes in the replay phase);
     #: 0 = auto-size from the iteration band.
     replay_capacity: int = 0
@@ -252,6 +256,10 @@ class EngineOptions:
             )
         if self.replay_threads < 0:
             raise ConfigError("replay_threads must be non-negative (0=auto)")
+        if self.oracle_replay_capacity < 0:
+            raise ConfigError(
+                "oracle_replay_capacity must be non-negative (0=auto)"
+            )
         if self.lane_rows <= 0 or self.replay_capacity < 0:
             raise ConfigError(
                 "lane_rows must be positive and replay_capacity non-negative"

@@ -12,7 +12,9 @@ from cudabrot_tpu.config import ConfigError, RenderConfig
 from cudabrot_tpu.ops import oracle
 from cudabrot_tpu.utils import counters
 
-STAT_KEYS = ("samples", "culled", "in_band", "iters", "points", "wasted")
+STAT_KEYS = (
+    "samples", "culled", "in_band", "iters", "points", "wasted", "dropped",
+)
 
 
 class OracleEngine:
@@ -71,6 +73,7 @@ class OracleEngine:
             "iters": stats.classify_iters,
             "points": stats.orbit_points,
             "wasted": stats.wasted_steps,
+            "dropped": (stats.replay_dropped, zero),
         }
         for k in STAT_KEYS:
             state[k] = counters.u64_add_pair(state[k], per_pass[k])
@@ -109,4 +112,5 @@ class OracleEngine:
             "classify_iters": vals["iters"],
             "orbit_points": vals["points"],
             "wasted_steps": vals["wasted"],
+            "replay_dropped": vals["dropped"],
         }

@@ -342,6 +342,11 @@ def _blocked_replay(
     descending-length sorted, so each block's lanes are length-homogeneous
     and the per-block chunk loop is bounded by the block's own maximum;
     blocks with no active lanes cost one reduction and a skipped loop.
+
+    Replays exactly the classified s <= iters window even when the
+    replay trajectory escapes earlier (see ops/oracle.replay_into's
+    docstring for why this conscious deviation from record-then-break
+    is kept — measured in PERF_NOTES.md "record-then-break replay").
     """
     k = cr.shape[0]
     nblocks = k // block

@@ -50,6 +50,7 @@ class PassStats(NamedTuple):
     classify_iters: tuple  # (lo, hi) sum of per-sample useful escape-time work
     orbit_points: tuple  # (lo, hi) points scattered (incl. off-canvas)
     wasted_steps: tuple  # (lo, hi) executed-but-useless lockstep work
+    replay_dropped: jnp.ndarray  # in-band samples beyond replay capacity
 
 
 def draw_samples(key, n: int, dtype):
@@ -112,7 +113,21 @@ def replay_into(
     """Replay recorded-band orbits and accumulate their points
     (IterateAndRecord, cudabrot.cu:347-365, with the unbounded while(1)
     replaced by the statically-bounded s <= iters loop the caller's
-    escape-time guarantee implies)."""
+    escape-time guarantee implies).
+
+    Known conscious deviation from the reference's record-then-break
+    (cudabrot.cu:360-363): classify and replay are separately compiled
+    programs, so on long chaotic orbits their f32 trajectories
+    decorrelate and the replay path may escape before the classified
+    index; the subsequent points are recorded (the few with
+    2 < |z| <= 2*sqrt(2) still land in the square canvas's corners)
+    rather than broken out of. A record-then-break variant was built and
+    MEASURED: statistically invisible (null-calibrated chi2/TV, corner
+    mass is off-attractor and dim) but -10% end-to-end at the headline
+    band in the native engine, because the churn was already time-free
+    (length-sorted group-max-bound loops; off-canvas increments already
+    skipped). See PERF_NOTES.md "record-then-break replay".
+    """
 
     def body(s, carry):
         hist_flat, zr, zi = carry
@@ -129,6 +144,29 @@ def replay_into(
         0, max_iterations, body, (hist_flat, cr, ci)
     )
     return hist_flat
+
+
+def _replay_capacity(cfg: RenderConfig, n: int) -> int:
+    """Static replay-batch size. Auto sizes from the ~C/t escape-time
+    tail model (C = 0.22, see pallas_engine.band_emission_rate) with 16x
+    headroom, so overflow drops are vanishingly rare; emission-heavy
+    bands (interior mode, shallow bands) resolve to n (no compaction —
+    there is nothing to skip)."""
+    opt = cfg.options.oracle_replay_capacity
+    if opt > 0:
+        return min(opt, n)
+    if cfg.fractal and getattr(
+        fractals.get_fractal(cfg.fractal), "emit", "escape"
+    ) == "interior":
+        return n
+    import math
+
+    mi = max(cfg.band.min_escape_iterations, 2)
+    ma = max(cfg.band.max_escape_iterations, 4)
+    frac = max(0.22 * (1.0 / mi - 1.0 / ma), 1e-7)
+    expected = n * frac
+    cap = 1 << max(10, math.ceil(math.log2(max(expected * 16, 1.0))))
+    return min(cap, n)
 
 
 def render_pass(hist, key, cfg: RenderConfig):
@@ -157,8 +195,30 @@ def render_pass(hist, key, cfg: RenderConfig):
     else:
         in_band = escaped & ~culled & (iters >= min_it)
 
+    # Compact in-band samples to a small static batch before replay — the
+    # reference's own two-pass structure (only band-passing samples reach
+    # IterateAndRecord, cudabrot.cu:407-412). Without this the replay
+    # fori_loop scatters all n lanes for every one of max_it trips; at
+    # deep bands (in-band fraction ~1e-4) that is ~n/capacity x wasted
+    # scatter work — measured 57 s/pass at n=2^18, m=20000 vs ~2 s
+    # compacted. A stable argsort keeps replay order deterministic;
+    # overflow beyond capacity is dropped and counted (replay_dropped),
+    # exactly like the pallas engine's emission capacity.
+    capacity = _replay_capacity(cfg, n)
+    if capacity >= n:
+        sel_cr, sel_ci, sel_it, sel_rec = cr, ci, iters, in_band
+        dropped = jnp.uint32(0)
+    else:
+        order = jnp.argsort(~in_band, stable=True)[:capacity]
+        sel_cr = cr[order]
+        sel_ci = ci[order]
+        sel_it = iters[order]
+        sel_rec = in_band[order]
+        n_band = jnp.sum(in_band, dtype=jnp.uint32)
+        dropped = n_band - jnp.minimum(n_band, jnp.uint32(capacity))
     hist_flat = replay_into(
-        hist.reshape(-1), fractal, canvas, cr, ci, iters, in_band, max_it
+        hist.reshape(-1), fractal, canvas, sel_cr, sel_ci, sel_it,
+        sel_rec, max_it
     )
     # Useful classify work per lane (same meaning as the pallas engine's
     # "iters" stat): the escape-time steps the algorithm needed. Culled
@@ -176,10 +236,12 @@ def render_pass(hist, key, cfg: RenderConfig):
         wasted_steps=counters.u64_sum_i32(trip - useful),
         # Points recorded per emission: iters + 1 for escapers, exactly
         # max_it for interior samples (the replay loop runs max_it steps
-        # and s <= iters is then always true).
+        # and s <= iters is then always true). Counted over the REPLAYED
+        # batch so capacity drops are excluded, like the pallas engine.
         orbit_points=counters.u64_sum_i32(
-            jnp.where(in_band, jnp.minimum(iters + 1, max_it), 0)
+            jnp.where(sel_rec, jnp.minimum(sel_it + 1, max_it), 0)
         ),
+        replay_dropped=dropped,
     )
     return hist_flat.reshape(canvas.shape), stats
 

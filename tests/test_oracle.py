@@ -136,3 +136,42 @@ def test_classify_iters_plus_wasted_equals_executed_lockstep_work():
     # points, which pin the lockstep loop at max_it trips.
     assert useful + wasted == 512 * 40
     assert useful > 0 and wasted > 0
+
+
+def test_compacted_replay_matches_full_replay():
+    """Deep-band oracle passes compact in-band samples before replay
+    (capacity < n); the histogram must equal the uncompacted result
+    exactly, and overflow must be counted, never silently lost."""
+    canvas = Canvas(width=64, height=64)
+    band = IterationBand(max_escape_iterations=3000,
+                         min_escape_iterations=50)
+
+    def run(capacity):
+        cfg = RenderConfig(
+            canvas=canvas, band=band,
+            options=EngineOptions(oracle_samples_per_pass=4096,
+                                  oracle_replay_capacity=capacity),
+        )
+        return oracle.render_pass(
+            jnp.zeros(canvas.shape, jnp.uint32), jax.random.key(11), cfg
+        )
+
+    h_auto, s_auto = run(0)      # auto: compacted (frac*16*n << n)
+    h_full, s_full = run(4096)   # capacity == n: no compaction
+    assert oracle._replay_capacity(
+        RenderConfig(canvas=canvas, band=band,
+                     options=EngineOptions(oracle_samples_per_pass=4096)),
+        4096,
+    ) < 4096
+    np.testing.assert_array_equal(np.asarray(h_auto), np.asarray(h_full))
+    assert int(s_auto.replay_dropped) == 0
+    from cudabrot_tpu.utils import counters as ctr
+    assert ctr.u64_value(jax.device_get(s_auto.orbit_points)) == \
+        ctr.u64_value(jax.device_get(s_full.orbit_points))
+
+    # Forced tiny capacity: drops are counted and mass shrinks.
+    h_tiny, s_tiny = run(1)
+    n_band = int(s_full.in_band)
+    assert n_band > 1
+    assert int(s_tiny.replay_dropped) == n_band - 1
+    assert np.asarray(h_tiny).sum() < np.asarray(h_full).sum()
