@@ -103,6 +103,14 @@ TPU-native extensions:
   --replay-threads <n>: threads for the native host replay engine
              (per-thread private histograms, deterministic merge).
              Defaults to one per available core.
+  --refill-rng <mode>: lane-refill random stream: threefry (default —
+             in-kernel Threefry-2x32, bit-exact with jax.random on
+             every backend), hardware_rw (TPU hardware generator
+             re-seeded every window; statistically indistinguishable
+             from threefry per benchmarks/prng_bias_probe.py and
+             ~25% faster at classify-bound bands), or hardware
+             (free-running hardware generator; deep-tail biased,
+             perf experiments only).
   --calibration <file>: machine-constant calibration JSON written by
              tools/calibrate.py; feeds the kernel cost model and the
              hybrid replay-share solver (also honored via the
@@ -337,6 +345,9 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
             i += 2
         elif arg == "--replay-threads":
             opt["replay_threads"] = _parse_int(argv, i)
+            i += 2
+        elif arg == "--refill-rng":
+            opt["refill_rng"] = _parse_str(argv, i, "Missing refill rng.")
             i += 2
         elif arg == "--calibration":
             extras.calibration = _parse_str(

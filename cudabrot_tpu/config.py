@@ -164,10 +164,13 @@ class EngineOptions:
     inner_unroll: int = 0
     #: Refill-randomness source for the classify kernel: "threefry"
     #: (in-kernel counter-based Threefry-2x32 — unbiased, identical on
-    #: CPU and TPU) or "hardware" (pltpu.prng_random_bits — a faster
-    #: window boundary, but its deep-iteration-tail sampling is
-    #: measurably biased; see benchmarks/PERF_NOTES.md "PRNG stream
-    #: separation"). Interpret mode always uses threefry.
+    #: CPU and TPU), "hardware_rw" (hardware generator re-seeded every
+    #: window from splitmix32(seed, global window index) — measured
+    #: statistically indistinguishable from threefry, ~19% faster at
+    #: classify-bound bands, TPU-only; PERF_NOTES.md "hardware_rw"), or
+    #: "hardware" (free-running pltpu.prng_random_bits — its deep-
+    #: iteration-tail sampling is measurably biased; see PERF_NOTES.md
+    #: "PRNG stream separation"). Interpret mode always uses threefry.
     refill_rng: str = "threefry"
     #: Classify-kernel escape bookkeeping: "step" tracks the escape index
     #: with per-step masks (and checks Brent cycles every step); "thin"
@@ -238,7 +241,7 @@ class EngineOptions:
             raise ConfigError(
                 f"Unknown histogram sharding: {self.histogram_sharding}"
             )
-        if self.refill_rng not in ("threefry", "hardware"):
+        if self.refill_rng not in ("threefry", "hardware", "hardware_rw"):
             raise ConfigError(f"Unknown refill rng: {self.refill_rng}")
         if self.escape_tracking not in ("auto", "step", "thin"):
             raise ConfigError(

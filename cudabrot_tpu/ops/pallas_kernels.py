@@ -188,6 +188,12 @@ def _make_kernel(
       * "hardware": `pltpu.prng_random_bits` (TPU only; the interpreter
         stubs it to zeros). Faster boundary, but its deep-tail sampling
         is measurably biased — kept for perf experiments.
+      * "hardware_rw": hardware generator RE-SEEDED EVERY WINDOW with a
+        splitmix32-scrambled (seed, global window index) — each stream
+        is exactly two draws long, so the long-stream correlations that
+        produced the measured -19%/+12% deep-tail bias never develop
+        (validated against the threefry ground truth,
+        benchmarks/prng_bias_probe.py). TPU only, like "hardware".
       * "bits": stream pre-generated words from an input buffer — lets
         tests drive the kernel with exact known randomness.
     """
@@ -387,6 +393,29 @@ def _make_kernel(
                 # downstream domain/cull arithmetic still executes.
                 rb_r = pltpu.bitcast(it_new, jnp.uint32)
                 rb_i = rb_r ^ jnp.uint32(0x9E3779B9)
+            elif rng == "hardware_rw":
+                # Fresh hardware stream per window: scramble the global
+                # window index through splitmix32 (scalar ops) and
+                # reseed, then take exactly two draws. Stream
+                # correlations cannot span windows.
+                gwin = (
+                    chunk * jnp.int32(n_windows) + widx
+                ).astype(jnp.uint32)
+                u = seed_ref[0].astype(jnp.uint32) + gwin * jnp.uint32(
+                    0x9E3779B9
+                )
+                u = (u ^ (u >> jnp.uint32(16))) * jnp.uint32(0x21F0AAAD)
+                u = (u ^ (u >> jnp.uint32(15))) * jnp.uint32(0x735A2D97)
+                u = u ^ (u >> jnp.uint32(15))
+                pltpu.prng_seed(u)
+                rb_r = pltpu.bitcast(
+                    pltpu.prng_random_bits((cr.shape[0], cr.shape[1])),
+                    jnp.uint32,
+                )
+                rb_i = pltpu.bitcast(
+                    pltpu.prng_random_bits((cr.shape[0], cr.shape[1])),
+                    jnp.uint32,
+                )
             elif rng == "threefry":
                 rb_r, rb_i = threefry2x32(
                     tf_k0,
@@ -557,7 +586,7 @@ def classify_pass(
     shape = (lane_rows, 128)
     if rng is None:
         rng = "bits" if bits is not None else "threefry"
-    if rng not in ("threefry", "hardware", "bits"):
+    if rng not in ("threefry", "hardware", "hardware_rw", "bits"):
         raise ValueError(f"Unknown rng mode: {rng}")
     if (rng == "bits") != (bits is not None):
         raise ValueError("bits must be supplied iff rng == 'bits'")

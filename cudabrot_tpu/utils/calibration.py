@@ -55,7 +55,9 @@ class Calibration:
     def step_cost(self, thin: bool, refill_rng: str) -> tuple[float, float]:
         if not thin:
             return tuple(self.step_cost_step)
-        if refill_rng == "hardware":
+        if refill_rng.startswith("hardware"):
+            # "hardware_rw" (per-window reseed) shares the hardware
+            # profile: the reseed is a handful of scalar ops per window.
             return tuple(self.step_cost_thin_hardware)
         return tuple(self.step_cost_thin_threefry)
 

@@ -96,3 +96,36 @@ def test_steps_overflow_rejected():
     # Large per-pass lane-step products are now legal.
     EngineOptions(lane_rows=128, steps_per_pass=1 << 18).validate()
     EngineOptions(lane_rows=64, steps_per_pass=(1 << 31) - 1).validate()
+
+
+def test_refill_rng_modes():
+    import pytest
+
+    from cudabrot_tpu.config import ConfigError, EngineOptions
+
+    for ok in ("threefry", "hardware", "hardware_rw"):
+        EngineOptions(refill_rng=ok).validate()
+    with pytest.raises(ConfigError):
+        EngineOptions(refill_rng="xorshift").validate()
+
+
+def test_interpret_mode_forces_threefry_refills():
+    """Hardware PRNG modes are TPU-only (the interpreter stubs the
+    generator to zeros); off-TPU the engine must resolve them to the
+    threefry stream so CPU runs stay meaningful."""
+    from cudabrot_tpu.config import Canvas, EngineOptions, IterationBand, RenderConfig
+    from cudabrot_tpu.engines.pallas_engine import PallasEngine
+
+    for mode in ("hardware", "hardware_rw"):
+        cfg = RenderConfig(
+            canvas=Canvas(width=16, height=16),
+            band=IterationBand(max_escape_iterations=40,
+                               min_escape_iterations=4),
+            options=EngineOptions(
+                engine="pallas", lane_rows=8, steps_per_pass=64,
+                steps_per_flush=16, replay_capacity=1 << 10,
+                replay_chunk=16, refill_rng=mode,
+            ),
+        )
+        eng = PallasEngine(cfg)  # interpret on CPU
+        assert eng.refill_rng == "threefry"
