@@ -158,6 +158,23 @@ def main() -> int:
         default["value"] / REFERENCE_DEFAULT_ITERS_PER_SEC, 4
     )
 
+    # Production fine band (m=60000/c=45000 — the reference's 12-hour
+    # color-recipe workload, generate_hires_color_image.sh): classify-
+    # bound, so it tracks kernel-side progress the (replay-bound)
+    # headline and (transfer-bound) default bands cannot see. Measured
+    # twice: production default refills (threefry) and the validated
+    # fast path (--refill-rng hardware_rw, PERF_NOTES "hardware_rw").
+    fine = {}
+    for mode in ("threefry", "hardware_rw"):
+        fine_cfg = RenderConfig(
+            canvas=Canvas(width=1000, height=1000),
+            band=IterationBand(max_escape_iterations=60000,
+                               min_escape_iterations=45000),
+            seconds_to_run=seconds,
+            options=EngineOptions(refill_rng=mode),
+        )
+        fine[mode] = measure(fine_cfg, max(seconds / 2, 3.0), n_segments=3)
+
     print(
         json.dumps(
             {
@@ -168,6 +185,7 @@ def main() -> int:
                 ),
                 "backend": jax.default_backend(),
                 "default_band": default,
+                "fine_band": fine,
             }
         )
     )
