@@ -62,6 +62,26 @@ def _mean_lifetime(max_it: int) -> float:
     return 3.2 + 1.1 * float(np.log(max(max_it, 100) / 100.0))
 
 
+def _window_useful_fraction(u: int, lifetime: float) -> float:
+    """Fraction of executed lane-steps that are useful (not window
+    coast) at inner window size ``u``.
+
+    Per draw, a sample with true lifetime T executes u*ceil((T+1)/u)
+    steps, so the executed total is u plus a tail term while the useful
+    total is the mean lifetime — a hyperbola in u, not the linear
+    1-(u-1)/(2L) this replaced. That linear form over-penalized large
+    windows (it modeled 0.26 useful at U=16/m=60000 where 0.46 was
+    measured) and mis-ranked the window score: measured useful/raw on
+    v5e at m=60000 is ~0.60/0.46/0.37 at U=8/16/32 (bench fine-band
+    useful rate over tracking_ab raw rate), fit by L'/(L'+u-1) with
+    L' = lifetime+4 (the heavy escape-time tail makes the effective
+    per-draw lifetime exceed the mean). Fixing the ranking moved the
+    fine band's auto window from 8 to 16: measured useful it/s
+    7.45e10 -> 9.19e10 (threefry), 8.77e10 -> 1.06e11 (hardware_rw)."""
+    lp = lifetime + 4.0
+    return lp / (lp + (u - 1.0))
+
+
 def _step_cost(thin: bool, refill_rng: str) -> tuple[float, float]:
     """(c_inner, c_boundary) seconds per lane-step for the classify
     kernel — the single source for every cost-model consumer (window
@@ -149,20 +169,18 @@ class Tuning:
             self.inner_unroll = 1
         else:
             # Maximize modeled useful throughput: per-lane-step cost is
-            # c_inner + c_boundary/U (_step_cost), and the coast waste is
-            # (U-1)/(2L). The hardware PRNG's deep-tail bias rules it out
-            # as a default (config.EngineOptions.refill_rng); with
-            # practical lifetimes L <~ 13 the score peaks at U=8; 16/32
-            # stay in the candidate set for hypothetical very-long-lived
-            # bands.
+            # c_inner + c_boundary/U (_step_cost), discounted by the
+            # measured-fit window-coast model (_window_useful_fraction).
+            # At classify-bound bands the score peaks at U=16 for both
+            # refill RNGs (U=32 measures within noise of 16 but costs
+            # larger buffers).
             c_i, c_b = _step_cost(self.thin_tracking, o.refill_rng)
             candidates = (
                 (1, 2, 4, 8, 16, 32) if self.thin_tracking else (1, 2, 4, 8)
             )
 
             def score(u: int) -> float:
-                useful = max(0.0, 1.0 - (u - 1) / (2.0 * lifetime))
-                return useful / (c_i + c_b / u)
+                return _window_useful_fraction(u, lifetime) / (c_i + c_b / u)
 
             self.inner_unroll = max(candidates, key=score)
         if self.steps_per_flush % self.inner_unroll != 0:
@@ -201,9 +219,7 @@ class Tuning:
         # pass, and the fetch sits on the host worker's critical path
         # when the band is replay-bound (measured: a 4x-oversized
         # headline payload cost ~25% of the pass wall).
-        useful_frac = max(
-            0.25, 1.0 - (self.inner_unroll - 1) / (2.0 * lifetime)
-        )
+        useful_frac = _window_useful_fraction(self.inner_unroll, lifetime)
         expected = self.steps_per_pass * lanes * rate * useful_frac
         self.expected_emissions = expected
         # Modeled classify seconds per pass (_step_cost) and expected
