@@ -9,7 +9,8 @@ cudabrot.cu:625-658), and the same lifecycle prints. Note `-h` is image
 like the reference rather than argparse.
 
 TPU-native extensions (all long-form, so no reference flag is shadowed):
-`--fractal`, `--engine`, `--scatter`, `--precision`, `--seed`, `--passes`,
+`--fractal`, `--sample-domain`, `--engine`, `--scatter`, `--precision`,
+`--seed`, `--passes`,
 `--devices`, `--checkpoint-interval`, `--png`, `--stats-json`,
 `--lane-rows`, `--steps-per-pass`, `--pipeline`. A `render-color`
 subcommand replaces the reference's out-of-process bash/ImageMagick color
@@ -79,6 +80,12 @@ TPU-native extensions:
              reference's compile-time RENDER_BURNING_SHIP switch), or
              anti-buddhabrot (orbits of NON-escaping samples; -c is
              ignored).
+  --sample-domain <minr,maxr,mini,maxi>: restrict the region samples
+             (c values) are drawn from (default: the full -2-2i to
+             2+2i domain, like the reference). Shrinking it refines
+             the sample grid proportionally (useful for deep crops)
+             — but note only orbits SEEDED inside the window are
+             rendered, so this is not a plain crop of the full image.
   --engine <name>: auto (default), pallas, or oracle.
   --scatter <name>: histogram accumulation backend: auto (default)
              or xla.
@@ -204,6 +211,7 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
         "preview_file": None,
         "progress_interval": 0.0,
         "profile_dir": None,
+        "sample_domain": None,
     }
     opt = {}
     extras = CliExtras()
@@ -296,6 +304,21 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
                 )
             vals["fractal"] = name
             i += 2
+        elif arg == "--sample-domain":
+            raw = _parse_str(argv, i, "Missing sample domain.")
+            parts = raw.split(",")
+            if len(parts) != 4:
+                raise CliError(
+                    f"Invalid sample domain (need minr,maxr,mini,maxi): "
+                    f"{raw}"
+                )
+            try:
+                vals["sample_domain"] = tuple(float(p) for p in parts)
+            except ValueError:
+                raise CliError(
+                    f"Invalid number given to argument {arg}: {raw}"
+                ) from None
+            i += 2
         elif arg == "--engine":
             opt["engine"] = _parse_str(argv, i, "Missing engine name.")
             i += 2
@@ -377,7 +400,14 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
             raise CliError(f"Invalid argument: {arg}")
 
     try:
+        from cudabrot_tpu.config import SAMPLE_DOMAIN
+
         cfg = RenderConfig(
+            sample_domain=(
+                vals["sample_domain"]
+                if vals["sample_domain"] is not None
+                else SAMPLE_DOMAIN
+            ),
             canvas=Canvas(
                 width=vals["w"],
                 height=vals["h"],

@@ -19,10 +19,12 @@ class ConfigError(ValueError):
     """Raised when a canvas/band/engine setting is invalid."""
 
 
-#: Samples are always drawn uniformly from this fixed region of the complex
+#: Samples are drawn uniformly from this fixed region of the complex
 #: plane regardless of the output canvas (reference behavior: cudabrot.cu:392-393
 #: and the PrintUsage note at cudabrot.cu:606-609). (min_real, max_real,
-#: min_imag, max_imag).
+#: min_imag, max_imag). A TPU extension (`RenderConfig.sample_domain`,
+#: CLI `--sample-domain`) lets a render restrict the sampled region — see
+#: that field's docstring for the semantics.
 SAMPLE_DOMAIN = (-2.0, 2.0, -2.0, 2.0)
 
 
@@ -290,6 +292,18 @@ class RenderConfig:
     #: The reference's compile-time RENDER_BURNING_SHIP switch
     #: (cudabrot.cu:15-17) is a runtime flag here.
     fractal: str = "buddhabrot"
+    #: Region of the complex plane samples (c values) are drawn from, as
+    #: (min_real, max_real, min_imag, max_imag). The reference always
+    #: samples the full SAMPLE_DOMAIN (cudabrot.cu:392-393); this TPU
+    #: extension restricts it. Two uses: (1) deep crops — the refill grid
+    #: has 2^24 distinct values per axis, so shrinking the domain shrinks
+    #: the sample pitch proportionally (full-domain pitch 2.4e-7 is only
+    #: ~40x finer than a 20000^2 canvas's pixels); (2) isolating which
+    #: seed points' orbits are rendered. NOTE this changes what is
+    #: rendered: only orbits whose seed c lies inside the window are
+    #: accumulated, so the image is NOT a crop of the full-domain render
+    #: (orbits seeded outside the window no longer contribute).
+    sample_domain: tuple = SAMPLE_DOMAIN
     #: Gamma-correction exponent; <= 0 disables gamma (cudabrot.cu:447).
     gamma: float = 1.0
     #: Wall-clock time box in seconds; negative = run until SIGINT
@@ -321,6 +335,17 @@ class RenderConfig:
     options: EngineOptions = dataclasses.field(default_factory=EngineOptions)
 
     def __post_init__(self) -> None:
+        # Normalize so the config stays hashable (tuple, not list) and
+        # usable as a static jit argument with a stable cache key
+        # (floats, not ints).
+        try:
+            dom = tuple(float(v) for v in self.sample_domain)
+        except (TypeError, ValueError):
+            raise ConfigError(
+                "sample_domain must be four numbers "
+                "(min_real, max_real, min_imag, max_imag)."
+            ) from None
+        object.__setattr__(self, "sample_domain", dom)
         self.validate()
 
     def validate(self) -> None:
@@ -329,6 +354,25 @@ class RenderConfig:
         self.options.validate()
         if self.gamma != self.gamma:  # NaN
             raise ConfigError("Gamma must be a number.")
+        dom = self.sample_domain
+        if len(dom) != 4:
+            raise ConfigError(
+                "sample_domain must be four numbers "
+                "(min_real, max_real, min_imag, max_imag)."
+            )
+        r0, r1, i0, i1 = dom
+        if not all(v == v and abs(v) != float("inf") for v in dom):
+            raise ConfigError("sample_domain values must be finite.")
+        if r1 <= r0:
+            raise ConfigError(
+                "Maximum sample-domain real value must be greater than "
+                "the minimum."
+            )
+        if i1 <= i0:
+            raise ConfigError(
+                "Maximum sample-domain imaginary value must be greater "
+                "than the minimum."
+            )
 
     def replace(self, **kwargs) -> "RenderConfig":
         return dataclasses.replace(self, **kwargs)

@@ -135,6 +135,20 @@ class Tuning:
                 cfg.band.min_escape_iterations,
                 cfg.band.max_escape_iterations,
             )
+        from cudabrot_tpu.config import SAMPLE_DOMAIN
+
+        if cfg.sample_domain != SAMPLE_DOMAIN:
+            # A restricted sample domain concentrates the in-band rate by
+            # at most the area ratio (the case where every in-band seed
+            # of the full 4x4 domain lies inside the window). Tune for
+            # that worst case: emission capacity overflow drops are
+            # biased toward short orbits, so under-sizing costs
+            # correctness-adjacent signal while over-sizing only costs
+            # payload bytes. Capped at one emission per useful lifetime
+            # (a draw can emit at most once).
+            r0, r1, i0, i1 = cfg.sample_domain
+            area = max((r1 - r0) * (i1 - i0), 1e-30)
+            rate = min(rate * 16.0 / area, 1.0 / lifetime)
         lanes = o.lane_rows * 128
         # Flush window: aim for ~0.25 expected emissions per lane per
         # window (~12% pending-overwrite loss at the high end). The upper
@@ -511,7 +525,16 @@ class PallasEngine:
             # which is the binding constraint at emission-heavy bands on
             # slow links (PERF_NOTES.md: this environment's tunnel runs
             # ~45 MB/s; the reference's default band saturates it).
-            self._packed_payload = cfg.band.max_escape_iterations <= 0xFFFF
+            # The packing is exact ONLY on the default domain's 2^-22
+            # grid — a custom sample domain's finer pitch would be
+            # quantized away by it, defeating the feature — so custom
+            # domains ride the 12-byte f32 payload.
+            from cudabrot_tpu.config import SAMPLE_DOMAIN
+
+            self._packed_payload = (
+                cfg.band.max_escape_iterations <= 0xFFFF
+                and cfg.sample_domain == SAMPLE_DOMAIN
+            )
 
             self._pass_fn = jax.jit(
                 functools.partial(self.host_pass, ordinal=jnp.uint32(0)),
@@ -585,6 +608,7 @@ class PallasEngine:
             inner_unroll=tn.inner_unroll,
             thin_tracking=tn.thin_tracking,
             rng=self.refill_rng,
+            sample_domain=cfg.sample_domain,
         )
 
         # --- compaction: one key sort packs valid entries first AND orders

@@ -49,6 +49,7 @@ def _metadata(cfg: RenderConfig, passes: int) -> dict:
         "max_escape_iterations": cfg.band.max_escape_iterations,
         "min_escape_iterations": cfg.band.min_escape_iterations,
         "fractal": cfg.fractal,
+        "sample_domain": list(cfg.sample_domain),
         "seed": cfg.seed,
         "passes": passes,
     }
@@ -122,6 +123,15 @@ def load(path: str, cfg: RenderConfig) -> tuple[np.ndarray, dict] | None:
                 f"The size of {path} doesn't match the expected size of "
                 f"{expected} bytes."
             )
+        from cudabrot_tpu.config import SAMPLE_DOMAIN
+
+        if tuple(cfg.sample_domain) != SAMPLE_DOMAIN:
+            # Reference raw dumps are always full-domain samples; folding
+            # them into a restricted-domain render would blend measures.
+            raise CheckpointError(
+                f"Checkpoint {path} is a reference raw dump (full sample "
+                f"domain); the render samples {list(cfg.sample_domain)}."
+            )
         hist = np.fromfile(path, dtype="<u4").reshape(canvas.shape)
         return hist, {"format_version": 0, "passes": 0}
 
@@ -152,6 +162,18 @@ def load(path: str, cfg: RenderConfig) -> tuple[np.ndarray, dict] | None:
         raise CheckpointError(
             f"Checkpoint {path} is for fractal {meta['fractal']!r}, "
             f"not {cfg.fractal!r}."
+        )
+    # Mixing sample domains silently blends two different sampling
+    # measures into one histogram — fatal, like a canvas mismatch.
+    # Checkpoints written before the field existed (and reference raw
+    # dumps) sampled the full domain.
+    from cudabrot_tpu.config import SAMPLE_DOMAIN
+
+    have_dom = tuple(meta.get("sample_domain", SAMPLE_DOMAIN))
+    if have_dom != tuple(cfg.sample_domain):
+        raise CheckpointError(
+            f"Checkpoint {path} was sampled over domain {list(have_dom)}, "
+            f"but the render samples {list(cfg.sample_domain)}."
         )
     crc = meta.get("crc32")
     if crc is not None and (zlib.crc32(hist.tobytes()) & 0xFFFFFFFF) != crc:

@@ -53,10 +53,12 @@ class PassStats(NamedTuple):
     replay_dropped: jnp.ndarray  # in-band samples beyond replay capacity
 
 
-def draw_samples(key, n: int, dtype):
-    """Uniform c over the fixed sample domain (cudabrot.cu:392-393)."""
+def draw_samples(key, n: int, dtype, domain=SAMPLE_DOMAIN):
+    """Uniform c over the sample domain (cudabrot.cu:392-393; the domain
+    is the fixed [-2,2]^2 unless the render restricts it via
+    RenderConfig.sample_domain)."""
     kr, ki = jax.random.split(key)
-    lo_r, hi_r, lo_i, hi_i = SAMPLE_DOMAIN
+    lo_r, hi_r, lo_i, hi_i = domain
     cr = jax.random.uniform(kr, (n,), dtype=dtype, minval=lo_r, maxval=hi_r)
     ci = jax.random.uniform(ki, (n,), dtype=dtype, minval=lo_i, maxval=hi_i)
     return cr, ci
@@ -164,6 +166,14 @@ def _replay_capacity(cfg: RenderConfig, n: int) -> int:
     mi = max(cfg.band.min_escape_iterations, 2)
     ma = max(cfg.band.max_escape_iterations, 4)
     frac = max(0.22 * (1.0 / mi - 1.0 / ma), 1e-7)
+    if cfg.sample_domain != SAMPLE_DOMAIN:
+        # A restricted sample domain concentrates the in-band rate by at
+        # most the area ratio (if every in-band seed of the full domain
+        # lay inside the window); size for that worst case — capacity is
+        # cheap here, a biased-short drop overflow is not.
+        r0, r1, i0, i1 = cfg.sample_domain
+        area = (r1 - r0) * (i1 - i0)
+        frac = min(frac * 16.0 / max(area, 1e-30), 1.0)
     expected = n * frac
     cap = 1 << max(10, math.ceil(math.log2(max(expected * 16, 1.0))))
     return min(cap, n)
@@ -179,7 +189,7 @@ def render_pass(hist, key, cfg: RenderConfig):
     max_it = cfg.band.max_escape_iterations
     min_it = cfg.band.min_escape_iterations
 
-    cr, ci = draw_samples(key, n, dtype)
+    cr, ci = draw_samples(key, n, dtype, cfg.sample_domain)
     culled = fractals.cull_mask(fractal, cr, ci)
     # The reference skips culled samples before iterating (cudabrot.cu:397-399);
     # culled points are mathematically non-escaping so classifying them too

@@ -171,6 +171,7 @@ def _make_kernel(
     rng: str,
     inner_unroll: int = 1,
     thin_tracking: bool = False,
+    sample_domain: tuple = (-2.0, 2.0, -2.0, 2.0),
     _ablate: tuple = (),
 ):
     """Build the classify kernel body for a static configuration.
@@ -437,8 +438,9 @@ def _make_kernel(
             else:
                 rb_r = bits_ref[0, widx, 0]
                 rb_i = bits_ref[0, widx, 1]
-            ncr = _u32_to_domain(rb_r, -2.0, 4.0)
-            nci = _u32_to_domain(rb_i, -2.0, 4.0)
+            dom_r0, dom_r1, dom_i0, dom_i1 = sample_domain
+            ncr = _u32_to_domain(rb_r, dom_r0, dom_r1 - dom_r0)
+            nci = _u32_to_domain(rb_i, dom_i0, dom_i1 - dom_i0)
             if use_cull and "cull" not in _ablate:
                 # cudabrot.cu:284-298 closed-form interior tests.
                 imag_sq = nci * nci
@@ -539,7 +541,7 @@ class ClassifyResult(NamedTuple):
     static_argnames=(
         "fractal", "min_it", "max_it", "steps_per_pass", "steps_per_flush",
         "cycle_detection", "interpret", "inner_unroll", "thin_tracking",
-        "rng", "_ablate",
+        "rng", "sample_domain", "_ablate",
     ),
     donate_argnums=(0,),
 )
@@ -558,6 +560,7 @@ def classify_pass(
     inner_unroll: int = 1,
     thin_tracking: bool = False,
     rng: str | None = None,
+    sample_domain: tuple = (-2.0, 2.0, -2.0, 2.0),
     _ablate: tuple = (),
 ) -> ClassifyResult:
     """Run one persistent-sampler classify pass of `steps_per_pass` lane
@@ -600,6 +603,7 @@ def classify_pass(
         rng=rng,
         inner_unroll=inner_unroll,
         thin_tracking=thin_tracking,
+        sample_domain=sample_domain,
         _ablate=_ablate,
     )
 
