@@ -130,6 +130,9 @@ TPU-native extensions:
   --lane-rows <n> / --steps-per-pass <n> / --pipeline <n>: engine tuning
              (analogs of the reference's block size/count/samples-per-
              thread constants).
+  --replay-capacity <n>: per-pass emission/replay batch capacity
+             (default: auto from the band model; raise it if the
+             driver warns about emission-capacity overflow drops).
 """
 
 
@@ -359,6 +362,13 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
             i += 2
         elif arg == "--steps-per-pass":
             opt["steps_per_pass"] = _parse_int(argv, i)
+            i += 2
+        elif arg == "--replay-capacity":
+            # One knob for both engines: the pallas compaction batch and
+            # the oracle's replay batch are the same concept.
+            cap = _parse_int(argv, i)
+            opt["replay_capacity"] = cap
+            opt["oracle_replay_capacity"] = cap
             i += 2
         elif arg == "--pipeline":
             opt["pipeline_depth"] = _parse_int(argv, i)

@@ -281,6 +281,21 @@ def run_render(
     hist = engine.histogram(state)
     log(f"{passes} Buddhabrot passes took {elapsed:f} seconds.")
     _warn_calibration_drift(cfg, engine, log)
+    stats = engine.stats(state)
+    dropped = int(stats.get("replay_dropped", 0))
+    in_band = int(stats.get("in_band", 0))
+    if dropped > 0.01 * max(in_band, 1):
+        # The pallas compaction keeps the LONGEST orbits when a pass
+        # overflows capacity, so heavy overflow biases the render against
+        # short in-band orbits — surface it instead of letting a skewed
+        # image pass silently (capacity auto-sizing carries 16x headroom;
+        # sustained overflow means the band/window defeated the model).
+        log(
+            f"Warning: {dropped} of {in_band} in-band samples overflowed "
+            "the emission capacity and were dropped (biased toward "
+            "keeping long orbits). Raise --replay-capacity or shrink "
+            "the --sample-domain window."
+        )
 
     if cfg.inprogress_file and primary:
         log(f"Saving in-progress buffer to {cfg.inprogress_file}.")
@@ -290,7 +305,7 @@ def run_render(
         histogram=hist,
         passes=passes,
         elapsed_seconds=elapsed,
-        stats=engine.stats(state),
+        stats=stats,
         engine_name=engine.name,
         interrupted=interrupted,
     )

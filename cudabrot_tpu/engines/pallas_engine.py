@@ -139,16 +139,19 @@ class Tuning:
 
         if cfg.sample_domain != SAMPLE_DOMAIN:
             # A restricted sample domain concentrates the in-band rate by
-            # at most the area ratio (the case where every in-band seed
-            # of the full 4x4 domain lies inside the window). Tune for
-            # that worst case: emission capacity overflow drops are
-            # biased toward short orbits, so under-sizing costs
-            # correctness-adjacent signal while over-sizing only costs
-            # payload bytes. Capped at one emission per useful lifetime
-            # (a draw can emit at most once).
+            # up to the area ratio — but tuning for that worst case was
+            # MEASURED ruinous: a seahorse-valley window (area ratio 494)
+            # collapsed the pass geometry to 8192-step passes with a
+            # 48x-oversized 6.3 MB payload each — 4.2e8 lane-steps/s,
+            # 0.6% of machine rate. Boost by at most 16x instead (on top
+            # of the capacity model's built-in 16x pow2/coast headroom =
+            # 256x margin over the full-domain rate); if a window defeats
+            # even that, the driver warns on the counted overflow drops
+            # and --replay-capacity overrides. Capped at one emission per
+            # useful lifetime (a draw can emit at most once).
             r0, r1, i0, i1 = cfg.sample_domain
             area = max((r1 - r0) * (i1 - i0), 1e-30)
-            rate = min(rate * 16.0 / area, 1.0 / lifetime)
+            rate = min(rate * min(16.0 / area, 16.0), 1.0 / lifetime)
         lanes = o.lane_rows * 128
         # Flush window: aim for ~0.25 expected emissions per lane per
         # window (~12% pending-overwrite loss at the high end). The upper

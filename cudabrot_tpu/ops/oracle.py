@@ -167,13 +167,15 @@ def _replay_capacity(cfg: RenderConfig, n: int) -> int:
     ma = max(cfg.band.max_escape_iterations, 4)
     frac = max(0.22 * (1.0 / mi - 1.0 / ma), 1e-7)
     if cfg.sample_domain != SAMPLE_DOMAIN:
-        # A restricted sample domain concentrates the in-band rate by at
-        # most the area ratio (if every in-band seed of the full domain
-        # lay inside the window); size for that worst case — capacity is
-        # cheap here, a biased-short drop overflow is not.
+        # A restricted sample domain concentrates the in-band rate by up
+        # to the area ratio; boost by at most 16x (matching the pallas
+        # Tuning policy — oracle replay work scales with capacity, so
+        # worst-case sizing is not free either). The oracle's overflow
+        # drop is lane-order based (unbiased) and counted; the driver
+        # warns if it becomes material.
         r0, r1, i0, i1 = cfg.sample_domain
         area = (r1 - r0) * (i1 - i0)
-        frac = min(frac * 16.0 / max(area, 1e-30), 1.0)
+        frac = min(frac * min(16.0 / max(area, 1e-30), 16.0), 1.0)
     expected = n * frac
     cap = 1 << max(10, math.ceil(math.log2(max(expected * 16, 1.0))))
     return min(cap, n)

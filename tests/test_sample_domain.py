@@ -236,3 +236,61 @@ def test_legacy_checkpoint_means_full_domain(tmp_path):
     np.testing.assert_array_equal(loaded, hist)
     with pytest.raises(checkpoint.CheckpointError, match="domain"):
         checkpoint.load(path, _cfg(sample_domain=DOMAIN))
+
+
+# --- tuning guardrails and overflow surfacing ----------------------------
+
+
+def test_tuning_boost_capped_at_16x():
+    """A tiny window must not collapse the pass geometry: the emission
+    model boosts by at most 16x, so a 0.01-area window tunes identically
+    to a 1.0-area window (both hit the cap). Measured rationale in
+    engines/pallas_engine.Tuning."""
+    from cudabrot_tpu.engines.pallas_engine import Tuning
+
+    band = IterationBand(max_escape_iterations=5000,
+                         min_escape_iterations=500)
+    tiny = Tuning(RenderConfig(
+        band=band, sample_domain=(-0.76, -0.66, 0.0, 0.1)))  # area 0.01
+    unit = Tuning(RenderConfig(
+        band=band, sample_domain=(-1.0, 0.0, 0.0, 1.0)))  # area 1.0
+    assert tiny.steps_per_flush == unit.steps_per_flush
+    assert tiny.steps_per_pass == unit.steps_per_pass
+    assert tiny.replay_capacity == unit.replay_capacity
+    # And the window still tunes tighter than the full domain.
+    full = Tuning(RenderConfig(band=band))
+    assert tiny.steps_per_flush <= full.steps_per_flush
+
+
+def test_cli_replay_capacity_flag():
+    cfg, _ = cli.parse_args(["--replay-capacity", "8192"])
+    assert cfg.options.replay_capacity == 8192
+    assert cfg.options.oracle_replay_capacity == 8192
+
+
+def test_overflow_drop_warning():
+    """Sustained emission-capacity overflow must be surfaced (the pallas
+    drop keeps the longest orbits, so silence would hide a biased
+    render)."""
+    from cudabrot_tpu import driver
+
+    cfg = RenderConfig(
+        canvas=Canvas(width=24, height=24),
+        band=IterationBand(max_escape_iterations=30,
+                           min_escape_iterations=0),
+        max_passes=3,
+        seconds_to_run=-1.0,
+        options=EngineOptions(
+            engine="pallas",
+            lane_rows=8,
+            steps_per_pass=256,
+            steps_per_flush=16,
+            replay_capacity=128,  # far below the emission-heavy band rate
+            replay_chunk=64,
+            replay="device",
+        ),
+    )
+    logs = []
+    res = driver.run_render(cfg, log=logs.append)
+    assert res.stats["replay_dropped"] > 0.01 * res.stats["in_band"]
+    assert any("overflowed the emission capacity" in s for s in logs), logs

@@ -57,6 +57,21 @@ def main() -> int:
         "--min-imag", "0.0", "--max-imag", "0.5",
         "-m", "2000", "-c", "100", "-g", "1.5",
     ] + t(20))
+    # Restricted sample window (--sample-domain, no reference
+    # equivalent): same seahorse-valley crop rendered as an A/B pair —
+    # full-domain sampling vs all sampling effort concentrated on
+    # locally-seeded orbits (measured 3.7x the on-canvas points at
+    # equal time; benchmarks/PERF_NOTES.md "Sample-domain windowing").
+    crop = [
+        "-w", "1200", "-h", "1200",
+        "--min-real", "-0.78", "--max-real", "-0.72",
+        "--min-imag", "0.07", "--max-imag", "0.13",
+        "-m", "5000", "-c", "500", "-g", "1.6",
+    ]
+    render("sample_domain_full", crop + t(90))
+    render("sample_domain_windowed", crop + [
+        "--sample-domain", "-0.84,-0.66,0.01,0.19",
+    ] + t(90))
     # Burning ship (the compile-time switch, cudabrot.cu:15-17)
     render("burning_ship", base + [
         "--fractal", "burning-ship", "-m", "1000", "-c", "20", "-g", "1.8",
