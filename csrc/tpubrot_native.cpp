@@ -117,6 +117,77 @@ uint64_t ReplayBlock(const float* cr, const float* ci, const int32_t* iters,
   return hits;
 }
 
+constexpr int kLanesF64 = 8;  // replay width for the double (deep-zoom) path
+
+// Double-precision replay block for extended-precision (deep-zoom)
+// renders: the device classifies orbits in df32 (hi+lo float32, ~2^-48
+// relative — cudabrot_tpu/ops/df32.py) and ships 24-bit sample-grid
+// indices; the host reconstructs c in f64 (a strict superset of df32)
+// and replays here entirely in hardware double, where canvas windows
+// narrower than f32's ~1e-4 quantization floor stay sub-pixel. Same
+// recording contract as ReplayBlock (orbits start at z = c and every
+// update through the classified escape index is recorded).
+template <bool kBurningShip, typename HistT>
+uint64_t ReplayBlockF64(const double* cr, const double* ci,
+                        const int32_t* iters, int count, const Canvas& cv,
+                        HistT* hist, uint64_t* points_total) {
+  double zr[kLanesF64], zi[kLanesF64];
+  int32_t limit[kLanesF64];
+  for (int l = 0; l < kLanesF64; ++l) {
+    const bool live = l < count;
+    zr[l] = live ? cr[l] : 0.0;
+    zi[l] = live ? ci[l] : 0.0;
+    limit[l] = live ? iters[l] : -1;
+  }
+  int32_t max_iter = -1;
+  for (int l = 0; l < count; ++l) {
+    if (limit[l] > max_iter) max_iter = limit[l];
+    if (limit[l] >= 0) *points_total += static_cast<uint64_t>(limit[l]) + 1;
+  }
+
+  const double min_r = cv.min_real;
+  const double min_i = cv.min_imag;
+  const double inv_dr = 1.0 / cv.delta_real;
+  const double inv_di = 1.0 / cv.delta_imag;
+
+  uint64_t hits = 0;
+  int32_t idx[kLanesF64];
+  for (int32_t s = 0; s <= max_iter; ++s) {
+#pragma GCC ivdep
+    for (int l = 0; l < kLanesF64; ++l) {
+      double r = zr[l], im = zi[l];
+      if (kBurningShip) {
+        r = r < 0 ? -r : r;
+        im = im < 0 ? -im : im;
+      }
+      const double cre = l < count ? cr[l] : 0.0;
+      const double cim = l < count ? ci[l] : 0.0;
+      const double nr = r * r - im * im + cre;
+      const double ni = 2.0 * r * im + cim;
+      const bool rec = s <= limit[l];
+      zr[l] = rec ? nr : zr[l];
+      zi[l] = rec ? ni : zi[l];
+      const bool in_lo = nr >= min_r && ni >= min_i;
+      const int32_t col = static_cast<int32_t>((nr - min_r) * inv_dr);
+      const int32_t row = static_cast<int32_t>((ni - min_i) * inv_di);
+      const bool ok =
+          rec && in_lo && row >= 0 && row < cv.h && col >= 0 && col < cv.w;
+      idx[l] = ok ? row * cv.w + col : -1;
+    }
+    for (int l = 0; l < kLanesF64; ++l) {
+      if (idx[l] >= 0) __builtin_prefetch(&hist[idx[l]], 1, 1);
+    }
+    for (int l = 0; l < kLanesF64; ++l) {
+      const int32_t b = idx[l];
+      if (b >= 0) {
+        ++hist[b];
+        ++hits;
+      }
+    }
+  }
+  return hits;
+}
+
 struct ThreadResult {
   uint64_t hits = 0;
   uint64_t points = 0;
@@ -305,9 +376,27 @@ void ReplayRange(const float* cr, const float* ci, const int32_t* iters,
 #endif
 }
 
-// Shared implementation for the uint32/uint64 histogram entry points.
-template <typename HistT>
-int64_t ReplayScatterImpl(const float* cr, const float* ci,
+// Double-precision range loop (deep-zoom replay). Scalar blocks only:
+// extended-precision bands are emission-light (few, long orbits), so the
+// f64 path has never been the bottleneck; an AVX-512 pd variant mirrors
+// ReplayBlockAvx if that changes.
+template <bool kBurningShip, typename HistT>
+void ReplayRange(const double* cr, const double* ci, const int32_t* iters,
+                 int64_t begin, int64_t end, const Canvas& cv, HistT* hist,
+                 ThreadResult* out) {
+  for (int64_t i = begin; i < end; i += kLanesF64) {
+    const int count =
+        static_cast<int>(end - i < kLanesF64 ? end - i : kLanesF64);
+    out->hits += ReplayBlockF64<kBurningShip>(cr + i, ci + i, iters + i,
+                                              count, cv, hist, &out->points);
+  }
+}
+
+// Shared implementation for the uint32/uint64 histogram entry points,
+// templated over the sample precision (float for the production f32
+// payloads, double for extended-precision deep-zoom replay).
+template <typename HistT, typename SampleT>
+int64_t ReplayScatterImpl(const SampleT* cr, const SampleT* ci,
                           const int32_t* iters, int64_t n, int32_t w,
                           int32_t h, double min_real, double min_imag,
                           double delta_real, double delta_imag, int32_t flags,
@@ -418,6 +507,34 @@ int64_t tpubrot_replay_scatter64(const float* cr, const float* ci,
                                  double delta_real, double delta_imag,
                                  int32_t flags, int32_t num_threads,
                                  uint64_t* hist, uint64_t* points_total) {
+  return ReplayScatterImpl(cr, ci, iters, n, w, h, min_real, min_imag,
+                           delta_real, delta_imag, flags, num_threads, hist,
+                           points_total);
+}
+
+// Double-precision sample variants for extended-precision (deep-zoom)
+// renders: identical semantics to tpubrot_replay_scatter with f64
+// samples and f64 iteration/binning arithmetic. The engine reconstructs
+// each c in f64 from the device's 24-bit sample-grid indices
+// (cudabrot_tpu/engines/host_replay.py grid decode).
+int64_t tpubrot_replay_scatter_f64(const double* cr, const double* ci,
+                                   const int32_t* iters, int64_t n, int32_t w,
+                                   int32_t h, double min_real, double min_imag,
+                                   double delta_real, double delta_imag,
+                                   int32_t flags, int32_t num_threads,
+                                   uint32_t* hist, uint64_t* points_total) {
+  return ReplayScatterImpl(cr, ci, iters, n, w, h, min_real, min_imag,
+                           delta_real, delta_imag, flags, num_threads, hist,
+                           points_total);
+}
+
+int64_t tpubrot_replay_scatter_f64_64(const double* cr, const double* ci,
+                                      const int32_t* iters, int64_t n,
+                                      int32_t w, int32_t h, double min_real,
+                                      double min_imag, double delta_real,
+                                      double delta_imag, int32_t flags,
+                                      int32_t num_threads, uint64_t* hist,
+                                      uint64_t* points_total) {
   return ReplayScatterImpl(cr, ci, iters, n, w, h, min_real, min_imag,
                            delta_real, delta_imag, flags, num_threads, hist,
                            points_total);

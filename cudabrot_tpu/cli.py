@@ -89,7 +89,11 @@ TPU-native extensions:
   --engine <name>: auto (default), pallas, or oracle.
   --scatter <name>: histogram accumulation backend: auto (default)
              or xla.
-  --precision <p>: float32 (default) or float64.
+  --precision <p>: float32 (default), float64 (oracle engine only),
+             or extended — double-float (~2^-48) TPU deep-zoom
+             arithmetic for canvases narrower than ~1e-4, where
+             float32 orbit points quantize coarser than a pixel.
+             Pair with --sample-domain set to the same window.
   --hist-dtype <d>: uint32 (default) or uint64 — 64-bit histogram bins
              for extreme-duration renders (host replay only).
   --seed <n>: RNG seed. Defaults to 1337.

@@ -204,9 +204,14 @@ class EngineOptions:
     #: histograms merged serially, csrc/tpubrot_native.cpp). 0 = auto
     #: (one thread per available core, cgroup/affinity-aware).
     replay_threads: int = 0
-    #: Iteration arithmetic dtype ("float32" or "float64"; float64 is
-    #: software-emulated and slow on TPU — reference iterates in hardware
-    #: double, cudabrot.cu:321).
+    #: Iteration arithmetic: "float32" (production default — statistically
+    #: equivalent to the reference's hardware double at full-set scales,
+    #: benchmarks/precision_study.md), "float64" (oracle engine only;
+    #: exact double like cudabrot.cu:321), or "extended" (double-float
+    #: hi+lo f32 pairs, ~2^-48 relative — the TPU deep-zoom mode for
+    #: canvases narrower than ~1e-4, where f32 orbit points quantize
+    #: coarser than a pixel; ops/df32.py. On the oracle engine
+    #: "extended" runs as float64, its strict superset).
     precision: str = "float32"
     #: Number of devices to data-parallelize over (None = all local
     #: devices; default 1 device, matching the reference's single-GPU
@@ -249,8 +254,15 @@ class EngineOptions:
             raise ConfigError(
                 f"Unknown escape tracking mode: {self.escape_tracking}"
             )
-        if self.precision not in ("float32", "float64"):
+        if self.precision not in ("float32", "float64", "extended"):
             raise ConfigError(f"Unknown precision: {self.precision}")
+        if self.precision == "extended" and self.escape_tracking == "step":
+            raise ConfigError(
+                "extended precision supports thin escape tracking only "
+                "(the per-step mask chain would double the boundary cost "
+                "of an already ~9x heavier df32 inner step; the thin "
+                "soundness argument is precision-independent)"
+            )
         if self.hist_dtype not in ("uint32", "uint64"):
             raise ConfigError(f"Unknown histogram dtype: {self.hist_dtype}")
         if self.steps_per_flush > 0 and (

@@ -58,6 +58,11 @@ def make_engine(cfg: RenderConfig) -> Engine:
         # Without x64, jax silently demotes f64 arrays to f32 — the flag
         # would lie. This is process-global and must precede tracing.
         jax.config.update("jax_enable_x64", True)
+    elif cfg.options.precision == "extended" and choice == "oracle":
+        # The oracle runs extended (df32, ~2^-48) as float64, its strict
+        # superset — it exists to be the deep-zoom ground truth the
+        # pallas df32 engine is validated against (tests/test_extended).
+        jax.config.update("jax_enable_x64", True)
 
     # Whether the multi-device path streams emissions to the native host
     # accumulator. Bound unconditionally: it is read below for every engine
@@ -82,6 +87,12 @@ def make_engine(cfg: RenderConfig) -> Engine:
             and cfg.options.histogram_sharding == "replicated"
             and cfg.options.replay in ("auto", "host")
             and native.available()
+            # Extended payloads need the f64 native replay entry points;
+            # without them multi-device extended runs device replay.
+            and (
+                cfg.options.precision != "extended"
+                or native.supports_f64()
+            )
         )
         if n > 1 and not dp_host:
             inner = PallasEngine(cfg, replay_mode="device")

@@ -36,7 +36,14 @@ class HostReplayWorker:
         num_threads: int = 0,
         max_queue: int = 3,
         dtype=np.uint32,
+        grid_decode: tuple | None = None,
     ):
+        #: Extended-precision (deep-zoom) payload decode parameters
+        #: (center_r64, center_i64, step_r32, step_i32): payload rows
+        #: carry 24-bit sample-window grid indices instead of f32 c
+        #: values, reconstructed here in f64 and replayed through the
+        #: native double path (csrc ReplayBlockF64). None = f32 mode.
+        self.grid_decode = grid_decode
         if not native.available():
             raise RuntimeError(
                 "native replay library unavailable (build with `make -C csrc`)"
@@ -152,6 +159,21 @@ class HostReplayWorker:
             ci = k_i * np.float32(2.384185791015625e-07) - np.float32(2.0)
             enc = (w0 >> 24) | ((w1 >> 24) << 8)
             iters = enc.astype(np.int32) - 1
+        elif self.grid_decode is not None:
+            # Extended-precision payload: rows are 24-bit sample-window
+            # grid indices (exact in f32). Reconstruct the f32 window
+            # offset exactly as the classify kernel computed it (one f32
+            # rounding — pallas_kernels_ext._make_kernel_ext), then add
+            # it to the f64 window center: agrees with the kernel's df32
+            # c to ~2^-48, the documented replay contract.
+            c_r64, c_i64, step_r, step_i = self.grid_decode
+            batch = batch.astype(np.float32, copy=False)
+            two23 = np.float32(8388608.0)
+            off_r = (batch[0] - two23) * np.float32(step_r)
+            off_i = (batch[1] - two23) * np.float32(step_i)
+            cr = c_r64 + off_r.astype(np.float64)
+            ci = c_i64 + off_i.astype(np.float64)
+            iters = batch[2].astype(np.int32)
         else:
             batch = batch.astype(np.float32, copy=False)
             cr = batch[0]
@@ -167,7 +189,12 @@ class HostReplayWorker:
         cr, ci, iters = decoded
         t1 = time.perf_counter()
         cv = self.canvas
-        hits, points = native.replay_scatter(
+        replay = (
+            native.replay_scatter_f64
+            if cr.dtype == np.float64
+            else native.replay_scatter
+        )
+        hits, points = replay(
             cr,
             ci,
             iters,

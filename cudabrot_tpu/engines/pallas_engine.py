@@ -40,14 +40,25 @@ import numpy as np
 
 from cudabrot_tpu.config import RenderConfig
 from cudabrot_tpu.models import fractals
-from cudabrot_tpu.ops import binning
+from cudabrot_tpu.ops import binning, df32
 from cudabrot_tpu.ops import pallas_kernels as pk
+from cudabrot_tpu.ops import pallas_kernels_ext as pke
 from cudabrot_tpu.utils import calibration, counters
 
 STAT_KEYS = (
     "samples", "culled", "in_band", "emitted", "replay_dropped",
     "iters", "points", "cycles", "wasted",
 )
+
+#: Measured-estimate cost multiplier of one extended-precision (df32)
+#: inner step relative to the f32 thin step (~10 VPU ops vs ~90:
+#: 2 df sqr + 1 df mul + 3 df adds + sealing — ops/df32.py). Feeds the
+#: window/pass-geometry model only; refine with tools/calibrate.py
+#: measurements on silicon if the model drifts.
+EXTENDED_STEP_FACTOR = 9.0
+#: Extended boundary factor: 15 refill selects (vs 9) plus the df32
+#: center-add per refill.
+EXTENDED_BOUNDARY_FACTOR = 1.5
 
 
 def _pow2(x: float) -> int:
@@ -180,6 +191,10 @@ class Tuning:
         # for exact-parity experiments (per-step cycle checks,
         # first-crossing indices).
         self.thin_tracking = o.escape_tracking != "step"
+        #: Extended (df32) deep-zoom iteration: ~9x heavier inner steps
+        #: (EXTENDED_STEP_FACTOR) shift the window/pass geometry; always
+        #: thin tracking (enforced by EngineOptions.validate).
+        self.extended = o.precision == "extended"
         if o.inner_unroll > 0:
             self.inner_unroll = o.inner_unroll
         elif rate > 1e-4:  # emission-heavy: transfer-bound, waste hurts
@@ -192,6 +207,9 @@ class Tuning:
             # refill RNGs (U=32 measures within noise of 16 but costs
             # larger buffers).
             c_i, c_b = _step_cost(self.thin_tracking, o.refill_rng)
+            if self.extended:
+                c_i *= EXTENDED_STEP_FACTOR
+                c_b *= EXTENDED_BOUNDARY_FACTOR
             candidates = (
                 (1, 2, 4, 8, 16, 32) if self.thin_tracking else (1, 2, 4, 8)
             )
@@ -213,7 +231,11 @@ class Tuning:
         if o.steps_per_pass > 0:
             self.steps_per_pass = o.steps_per_pass
         else:
-            cap = min((1 << 18) * self.inner_unroll, (1 << 34) // lanes)
+            # Extended steps run ~9x slower; shrink the per-dispatch step
+            # budget so pass wall time (and SIGINT latency) stays in the
+            # same ~100 ms band as the f32 kernel.
+            per_u = (1 << 15) if self.extended else (1 << 18)
+            cap = min(per_u * self.inner_unroll, (1 << 34) // lanes)
             self.steps_per_pass = int(
                 np.clip(self.steps_per_flush * 256, 4096, max(cap, 4096))
             )
@@ -243,6 +265,9 @@ class Tuning:
         # orbit points per pass — inputs to the big-canvas hybrid-share
         # solve (auto_device_share).
         c_i, c_b = _step_cost(self.thin_tracking, o.refill_rng)
+        if self.extended:
+            c_i *= EXTENDED_STEP_FACTOR
+            c_b *= EXTENDED_BOUNDARY_FACTOR
         self.classify_seconds = (
             self.steps_per_pass * lanes * (c_i + c_b / self.inner_unroll)
         )
@@ -312,7 +337,10 @@ class Tuning:
         degrade with canvas size. Balance the two pipelines:
         classify + s*P/dev = (1-s)*P/host.
         """
-        if self.interior or hist_bytes < (256 << 20):
+        if self.interior or self.extended or hist_bytes < (256 << 20):
+            # Extended renders stay unsplit: the hybrid rate model is
+            # calibrated for the f32 replay engines, and deep-zoom bands
+            # are emission-light anyway.
             return 0.0
         if self.expected_emissions < 4 * self.replay_block:
             # Deep bands emit few, very LONG orbits: the device replay
@@ -425,6 +453,99 @@ def _blocked_replay(
     return jax.lax.fori_loop(0, nblocks, outer_body, hist_flat)
 
 
+def _blocked_replay_ext(
+    hist_flat,
+    kr,
+    ki,
+    iters,
+    *,
+    fractal: fractals.FractalMap,
+    canvas,
+    chunk: int,
+    block: int,
+    backend: str,
+    dfc,
+    step_r: float,
+    step_i: float,
+):
+    """Extended-precision (df32) blocked replay for deep-zoom renders.
+
+    Same structure as _blocked_replay (descending-length-sorted batch,
+    per-block chunk loop with early exits), but emissions arrive as
+    24-bit *grid indices* (kr, ki) on the sample window rather than f32
+    c values: c is reconstructed in df32 exactly as the classify kernel
+    drew it (pallas_kernels_ext._make_kernel_ext), orbits iterate via
+    df32.complex_sqr_add, and points bin through the df-aware
+    points_to_bin_ids_df — positions stay accurate to ~2^-48 absolute,
+    sub-pixel at canvas widths plain f32 quantizes into bands.
+
+    ``dfc`` is the (9,) f32 runtime-constant vector carried in engine
+    state: [c0rh, c0rl, c0ih, c0il, mrh, mrl, mih, mil, 0.0] — the df32
+    sample-window center, the df32 canvas minimum, and the runtime zero
+    that seals df32 products (ops/df32.py module docstring: these must
+    be runtime-opaque or XLA folds the error-free transformations in
+    excess precision). ``step_r``/``step_i`` are the f32 grid pitches
+    (compile-time: they only feed sealed products).
+    """
+    k = kr.shape[0]
+    nblocks = k // block
+    rtz = dfc[8]
+    mr = (dfc[4], dfc[5])
+    mi = (dfc[6], dfc[7])
+
+    def outer_body(b, hist):
+        off = b * block
+        bkr = jax.lax.dynamic_slice(kr, (off,), (block,))
+        bki = jax.lax.dynamic_slice(ki, (off,), (block,))
+        bit = jax.lax.dynamic_slice(iters, (off,), (block,))
+        bva = bit >= 0
+        bmax = jnp.max(bit)
+        # c = center (+) (k - 2^23) * step, the classify kernel's own
+        # sample reconstruction (bit-identical df32 value).
+        off_r = (bkr - jnp.float32(pke._TWO23)) * jnp.float32(step_r) + rtz
+        off_i = (bki - jnp.float32(pke._TWO23)) * jnp.float32(step_i) + rtz
+        crh, crl = df32.add_f(dfc[0], dfc[1], off_r)
+        cih, cil = df32.add_f(dfc[2], dfc[3], off_i)
+
+        def inner_cond(c):
+            base = c[0]
+            return base <= bmax
+
+        def inner_body(c):
+            base, zr, zrl, zi, zil, hist = c
+
+            def substep(s_c, _):
+                zr, zrl, zi, zil, s = s_c
+                nzr, nzrl, nzi, nzil, _ = df32.complex_sqr_add(
+                    zr, zrl, zi, zil, crh, crl, cih, cil, rtz,
+                    fold_abs=fractal.fold_abs,
+                )
+                rec = bva & (s <= bit)
+                ids = binning.points_to_bin_ids_df(
+                    canvas, nzr, nzrl, nzi, nzil, rec, mr, mi
+                )
+                zr = jnp.where(rec, nzr, zr)
+                zrl = jnp.where(rec, nzrl, zrl)
+                zi = jnp.where(rec, nzi, zi)
+                zil = jnp.where(rec, nzil, zil)
+                return (zr, zrl, zi, zil, s + 1), ids
+
+            (zr, zrl, zi, zil, _), ids = jax.lax.scan(
+                substep, (zr, zrl, zi, zil, base), None, length=chunk
+            )
+            hist = binning.scatter_ids(hist, ids, backend)
+            return (base + chunk, zr, zrl, zi, zil, hist)
+
+        # Orbits start at z = c (cudabrot.cu:323-324) — df32 copy.
+        _, _, _, _, _, hist = jax.lax.while_loop(
+            inner_cond, inner_body,
+            (jnp.int32(0), crh, crl, cih, cil, hist),
+        )
+        return hist
+
+    return jax.lax.fori_loop(0, nblocks, outer_body, hist_flat)
+
+
 class PallasEngine:
     """Persistent-sampler Pallas engine (runs in interpreter mode off-TPU,
     making the identical code path testable on CPU)."""
@@ -454,6 +575,13 @@ class PallasEngine:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
         self.tuning = Tuning(cfg)
+        self.extended = self.tuning.extended
+        if self.extended:
+            # Grid/window constants shared by the classify kernel and
+            # every replay path (ops/pallas_kernels_ext.grid_params).
+            c0r, c0i, step_r, step_i = pke.grid_params(cfg.sample_domain)
+            self._df_center = (c0r, c0i)
+            self._df_step = (step_r, step_i)
         self.lane_rows = o.lane_rows
         self.lanes = o.lane_rows * 128
         self.steps_per_pass = self.tuning.steps_per_pass * self.lanes
@@ -473,6 +601,25 @@ class PallasEngine:
             from cudabrot_tpu.io import native
 
             mode = "host" if native.available() else "device"
+        if self.extended and mode == "host":
+            from cudabrot_tpu.io import native
+
+            # Extended emissions are window-grid indices whose c
+            # reconstruction needs the f64 native replay entry points;
+            # fall back to the df32 device replay when the native
+            # library predates them (deep-zoom bands are emission-light,
+            # so the device path costs little here).
+            if not native.available() or not native.supports_f64():
+                mode = "device"
+        if self.extended and o.replay_device_share > 0:
+            from cudabrot_tpu.config import ConfigError
+
+            raise ConfigError(
+                "--replay-device-share does not apply to extended-"
+                "precision renders (deep-zoom bands are emission-light; "
+                "the hybrid split's rate model covers the f32 engines "
+                "only)."
+            )
         self.replay_mode = mode
         self._worker = None
         if o.hist_dtype == "uint64" and mode != "host":
@@ -485,11 +632,24 @@ class PallasEngine:
         if mode == "host":
             from cudabrot_tpu.engines.host_replay import HostReplayWorker
 
+            grid_decode = None
+            if self.extended:
+                # Extended payloads carry sample-window grid indices;
+                # hand the worker the f64 decode constants (the exact
+                # f64 value of the df32 window center, so host c agrees
+                # with the kernel's df32 c to the renormalization error).
+                grid_decode = (
+                    df32.to_float64(*self._df_center[0]),
+                    df32.to_float64(*self._df_center[1]),
+                    self._df_step[0],
+                    self._df_step[1],
+                )
             self._worker = HostReplayWorker(
                 cfg.canvas,
                 burning_ship=self.fractal.fold_abs,
                 num_threads=o.replay_threads,
                 dtype=np.dtype(o.hist_dtype),
+                grid_decode=grid_decode,
             )
             # Auto share: 0 on LLC-resident canvases — the native host
             # replay (~7.6e8 pts/s/core) beats device XLA scatter
@@ -534,9 +694,14 @@ class PallasEngine:
             # domains ride the 12-byte f32 payload.
             from cudabrot_tpu.config import SAMPLE_DOMAIN
 
+            # Extended payloads always ride the 3-row f32 layout: the
+            # rows carry 24-bit grid indices (exact in f32) that the
+            # worker's grid decode consumes; the packed-u32 encoding is
+            # specific to the default domain's 2^-22 c quantization.
             self._packed_payload = (
                 cfg.band.max_escape_iterations <= 0xFFFF
                 and cfg.sample_domain == SAMPLE_DOMAIN
+                and not self.extended
             )
 
             self._pass_fn = jax.jit(
@@ -596,23 +761,39 @@ class PallasEngine:
         # CPU (interpret) and TPU runs draw identical refill samples.
         seed = jax.random.bits(key, (2,), jnp.uint32)
 
-        lane_state = pk.LaneState(*state["lanes"])
-        result = pk.classify_pass(
-            lane_state,
-            seed,
-            None,
-            fractal=self.fractal,
-            min_it=cfg.band.min_escape_iterations,
-            max_it=cfg.band.max_escape_iterations,
-            steps_per_pass=tn.steps_per_pass,
-            steps_per_flush=tn.steps_per_flush,
-            cycle_detection=o.cycle_detection,
-            interpret=self.interpret,
-            inner_unroll=tn.inner_unroll,
-            thin_tracking=tn.thin_tracking,
-            rng=self.refill_rng,
-            sample_domain=cfg.sample_domain,
-        )
+        if self.extended:
+            result = pke.classify_pass_ext(
+                pke.ExtLaneState(*state["lanes"]),
+                seed,
+                None,
+                fractal=self.fractal,
+                min_it=cfg.band.min_escape_iterations,
+                max_it=cfg.band.max_escape_iterations,
+                steps_per_pass=tn.steps_per_pass,
+                steps_per_flush=tn.steps_per_flush,
+                cycle_detection=o.cycle_detection,
+                interpret=self.interpret,
+                inner_unroll=tn.inner_unroll,
+                rng=self.refill_rng,
+                sample_domain=cfg.sample_domain,
+            )
+        else:
+            result = pk.classify_pass(
+                pk.LaneState(*state["lanes"]),
+                seed,
+                None,
+                fractal=self.fractal,
+                min_it=cfg.band.min_escape_iterations,
+                max_it=cfg.band.max_escape_iterations,
+                steps_per_pass=tn.steps_per_pass,
+                steps_per_flush=tn.steps_per_flush,
+                cycle_detection=o.cycle_detection,
+                interpret=self.interpret,
+                inner_unroll=tn.inner_unroll,
+                thin_tracking=tn.thin_tracking,
+                rng=self.refill_rng,
+                sample_domain=cfg.sample_domain,
+            )
 
         # --- compaction: one key sort packs valid entries first AND orders
         # them by descending orbit length for the blocked replay ---
@@ -702,17 +883,36 @@ class PallasEngine:
         new_state, (cr_c, ci_c, it_c) = self._classify_and_compact(
             state, pass_index, ordinal
         )
-        hist_flat = _blocked_replay(
-            new_state["hist"].reshape(-1),
-            cr_c,
-            ci_c,
-            it_c,
-            fractal=self.fractal,
-            canvas=cfg.canvas,
-            chunk=tn.replay_chunk,
-            block=tn.replay_block,
-            backend=self.scatter_backend,
-        )
+        if self.extended:
+            # Compacted emissions carry the 24-bit window grid indices;
+            # the df32 replay reconstructs c exactly as the kernel drew
+            # it and keeps orbit positions sub-pixel at deep-zoom widths.
+            hist_flat = _blocked_replay_ext(
+                new_state["hist"].reshape(-1),
+                cr_c,
+                ci_c,
+                it_c,
+                fractal=self.fractal,
+                canvas=cfg.canvas,
+                chunk=tn.replay_chunk,
+                block=tn.replay_block,
+                backend=self.scatter_backend,
+                dfc=new_state["dfc"],
+                step_r=self._df_step[0],
+                step_i=self._df_step[1],
+            )
+        else:
+            hist_flat = _blocked_replay(
+                new_state["hist"].reshape(-1),
+                cr_c,
+                ci_c,
+                it_c,
+                fractal=self.fractal,
+                canvas=cfg.canvas,
+                chunk=tn.replay_chunk,
+                block=tn.replay_block,
+                backend=self.scatter_backend,
+            )
         new_state = dict(new_state)
         new_state["hist"] = hist_flat.reshape(cfg.canvas.shape)
         points = jnp.sum(jnp.where(it_c >= 0, it_c + 1, 0)).astype(jnp.uint32)
@@ -736,10 +936,31 @@ class PallasEngine:
                 if hist0 is None
                 else jnp.asarray(hist0, jnp.uint32)
             )
-        state = {
-            "hist": hist,
-            "lanes": tuple(pk.init_lane_state(self.lane_rows)),
-        }
+        if self.extended:
+            state = {
+                "hist": hist,
+                "lanes": tuple(pke.init_ext_lane_state(self.lane_rows)),
+                # Runtime-constant df32 vector for the device replay:
+                # sample-window center, canvas minimum, and the sealing
+                # zero. Carried in state (a traced jit argument) so XLA
+                # cannot constant-fold the error-free transformations —
+                # see ops/df32.py's module docstring.
+                "dfc": jnp.asarray(
+                    [
+                        self._df_center[0][0], self._df_center[0][1],
+                        self._df_center[1][0], self._df_center[1][1],
+                        *df32.from_float(self.cfg.canvas.min_real),
+                        *df32.from_float(self.cfg.canvas.min_imag),
+                        0.0,
+                    ],
+                    jnp.float32,
+                ),
+            }
+        else:
+            state = {
+                "hist": hist,
+                "lanes": tuple(pk.init_lane_state(self.lane_rows)),
+            }
         for k in STAT_KEYS:
             state[k] = counters.u64_zero()
         return state
@@ -750,7 +971,8 @@ class PallasEngine:
         cv = self.cfg.canvas
         tn = self.tuning
         hist = cv.num_pixels * 4
-        lanes = self.lanes * 9 * 4  # persistent lane state arrays
+        # Persistent lane state arrays (15 in the df32 deep-zoom mode).
+        lanes = self.lanes * (15 if self.extended else 9) * 4
         chunks = tn.steps_per_pass // tn.steps_per_flush
         emission = chunks * self.lanes * 12
         payload_bytes = 8 if getattr(self, "_packed_payload", False) else 12

@@ -88,6 +88,23 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_uint64),  # points_total out
             ]
         )
+        # Double-precision sample entry points (extended-precision
+        # deep-zoom replay). Guarded: a stale prebuilt library without
+        # them must still load — engines probe via supports_f64().
+        if hasattr(lib, "tpubrot_replay_scatter_f64"):
+            lib.tpubrot_replay_scatter_f64.restype = ctypes.c_int64
+            lib.tpubrot_replay_scatter_f64.argtypes = [
+                ctypes.POINTER(ctypes.c_double),  # cr
+                ctypes.POINTER(ctypes.c_double),  # ci
+            ] + lib.tpubrot_replay_scatter.argtypes[2:]
+            lib.tpubrot_replay_scatter_f64_64.restype = ctypes.c_int64
+            lib.tpubrot_replay_scatter_f64_64.argtypes = (
+                lib.tpubrot_replay_scatter_f64.argtypes[:-2]
+                + [
+                    ctypes.POINTER(ctypes.c_uint64),  # hist (64-bit bins)
+                    ctypes.POINTER(ctypes.c_uint64),  # points_total out
+                ]
+            )
         lib.tpubrot_write_pgm16.restype = ctypes.c_int32
         lib.tpubrot_write_pgm16.argtypes = [
             ctypes.c_char_p,
@@ -109,6 +126,14 @@ def _load() -> ctypes.CDLL | None:
 
 def available() -> bool:
     return _load() is not None
+
+
+def supports_f64() -> bool:
+    """Whether the loaded library has the double-precision replay entry
+    points (extended-precision deep-zoom renders need them; engines fall
+    back to the df32 device replay otherwise)."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "tpubrot_replay_scatter_f64")
 
 
 def replay_scatter(
@@ -171,6 +196,61 @@ def replay_scatter(
         1 if burning_ship else 0,
         num_threads,
         hist.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.byref(points),
+    )
+    return int(hits), int(points.value)
+
+
+def replay_scatter_f64(
+    cr: np.ndarray,
+    ci: np.ndarray,
+    iters: np.ndarray,
+    hist: np.ndarray,
+    *,
+    width: int,
+    height: int,
+    min_real: float,
+    min_imag: float,
+    delta_real: float,
+    delta_imag: float,
+    burning_ship: bool = False,
+    num_threads: int = 0,
+) -> tuple[int, int]:
+    """Double-precision replay_scatter for extended-precision deep-zoom
+    renders: ``cr``/``ci`` are float64 sample values (reconstructed from
+    the device's 24-bit sample-grid indices) and the orbit iteration and
+    binning run entirely in hardware double. Same histogram/return
+    contract as replay_scatter; callers gate on supports_f64()."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "tpubrot_replay_scatter_f64"):
+        raise RuntimeError("native f64 replay unavailable")
+    cr = np.ascontiguousarray(cr, np.float64)
+    ci = np.ascontiguousarray(ci, np.float64)
+    iters = np.ascontiguousarray(iters, np.int32)
+    assert hist.dtype in (np.uint32, np.uint64) and hist.flags.c_contiguous
+    points = ctypes.c_uint64(0)
+    fn = (
+        lib.tpubrot_replay_scatter_f64_64
+        if hist.dtype == np.uint64
+        else lib.tpubrot_replay_scatter_f64
+    )
+    ptr_t = (
+        ctypes.c_uint64 if hist.dtype == np.uint64 else ctypes.c_uint32
+    )
+    hits = fn(
+        cr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ci.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        iters.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(cr),
+        width,
+        height,
+        min_real,
+        min_imag,
+        delta_real,
+        delta_imag,
+        1 if burning_ship else 0,
+        num_threads,
+        hist.ctypes.data_as(ctypes.POINTER(ptr_t)),
         ctypes.byref(points),
     )
     return int(hits), int(points.value)

@@ -83,6 +83,41 @@ def points_to_bin_ids(canvas: Canvas, re, im, valid):
     return jnp.where(ok, flat, canvas.num_pixels)
 
 
+def points_to_bin_ids_df(canvas: Canvas, reh, rel, imh, iml, valid, mr, mi):
+    """Extended-precision variant of points_to_bin_ids for df32 orbit
+    points: the offset from the canvas minimum is computed in df32 (hi
+    accurate to ~2^-48 absolute), then quantized in f32 — the offset's
+    magnitude is at most the canvas span, so f32's 2^-24 relative
+    resolution stays sub-pixel for canvases up to 2^24 px on a side.
+
+    ``mr``/``mi`` are (hi, lo) RUNTIME scalars of canvas.min_real /
+    min_imag — passing them as compile-time literals would let the
+    compiler fold the df32 subtraction chain in excess precision
+    (ops/df32.py module docstring). Multiplies by the inverse pitch
+    (like the native AVX path) rather than dividing; the difference is
+    sub-statistical at bin edges.
+    """
+    from cudabrot_tpu.ops import df32
+
+    dxh, _ = df32.add(reh, rel, -mr[0], -mr[1])
+    dyh, _ = df32.add(imh, iml, -mi[0], -mi[1])
+    inv_dr = jnp.float32(1.0 / canvas.delta_real)
+    inv_di = jnp.float32(1.0 / canvas.delta_imag)
+    # Low-bound guard before truncation (cudabrot.cu:305-308 semantics).
+    ok = valid & (dxh >= 0.0) & (dyh >= 0.0)
+    col = (dxh * inv_dr).astype(jnp.int32)
+    row = (dyh * inv_di).astype(jnp.int32)
+    ok = (
+        ok
+        & (row >= 0)
+        & (row < canvas.height)
+        & (col >= 0)
+        & (col < canvas.width)
+    )
+    flat = row * canvas.width + col
+    return jnp.where(ok, flat, canvas.num_pixels)
+
+
 def scatter_xla(hist_flat, ids):
     """Scatter-add ones at ``ids`` (sentinel ids dropped by 'drop' mode)."""
     ones = jnp.ones(ids.shape, dtype=hist_flat.dtype)

@@ -186,7 +186,14 @@ def render_pass(hist, key, cfg: RenderConfig):
     DrawBuddhabrot launch, cudabrot.cu:485-486)."""
     fractal = fractals.get_fractal(cfg.fractal)
     n = cfg.options.oracle_samples_per_pass
-    dtype = jnp.dtype(cfg.options.precision)
+    # "extended" (the pallas engine's df32 deep-zoom mode, ~2^-48) runs
+    # as float64 here — its strict superset; the oracle is the ground
+    # truth the df32 engine validates against (tests/test_extended.py).
+    dtype = jnp.dtype(
+        "float64"
+        if cfg.options.precision == "extended"
+        else cfg.options.precision
+    )
     canvas = cfg.canvas
     max_it = cfg.band.max_escape_iterations
     min_it = cfg.band.min_escape_iterations
