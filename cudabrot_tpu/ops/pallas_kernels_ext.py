@@ -145,7 +145,7 @@ def _make_kernel_ext(
 
     def kernel(*refs):
         if rng != "bits":
-            (seed_ref,
+            (seed_ref, cref,
              *_ins,
              kr_ref, ki_ref, crh_ref, crl_ref, cih_ref, cil_ref,
              zr_ref, zrl_ref, zi_ref, zil_ref, sr_ref, si_ref,
@@ -154,7 +154,7 @@ def _make_kernel_ext(
              pend_kr, pend_ki, pend_it, counters) = refs
             bits_ref = None
         else:
-            (seed_ref, bits_ref,
+            (seed_ref, cref, bits_ref,
              *_ins,
              kr_ref, ki_ref, crh_ref, crl_ref, cih_ref, cil_ref,
              zr_ref, zrl_ref, zi_ref, zil_ref, sr_ref, si_ref,
@@ -162,20 +162,21 @@ def _make_kernel_ext(
              emit_c_ref, emit_it_ref, stats_ref,
              pend_kr, pend_ki, pend_it, counters) = refs
         chunk = pl.program_id(0)
-        # Runtime zero for df32 product sealing (ops/df32.py): SMEM word
-        # 2 is always written as 0 by classify_pass_ext; the compiler
-        # cannot constant-fold it, so the seal adds survive.
-        rtz = seed_ref[2].astype(jnp.float32)
-        # The df32 window-center constants ride SMEM words 3-6 (f32
-        # bitcast to i32 host-side) rather than being baked as literals:
-        # a CONSTANT operand inside an error-free transformation lets
-        # the compiler fold/simplify the chain in higher precision —
-        # measured on XLA CPU to silently drop the residual of
-        # center (+) off (tests/test_df32.py::test_add_f_constant_operand).
-        c0rh_ = jax.lax.bitcast_convert_type(seed_ref[3], jnp.float32)
-        c0rl_ = jax.lax.bitcast_convert_type(seed_ref[4], jnp.float32)
-        c0ih_ = jax.lax.bitcast_convert_type(seed_ref[5], jnp.float32)
-        c0il_ = jax.lax.bitcast_convert_type(seed_ref[6], jnp.float32)
+        # Runtime df32 constants ride a separate f32 SMEM operand
+        # rather than being baked as literals: a CONSTANT operand inside
+        # an error-free transformation lets the compiler fold/simplify
+        # the chain in excess precision — measured on XLA CPU to
+        # silently drop the residual of center (+) off
+        # (tests/test_df32.py::test_add_f_constant_operand). Word 4 is
+        # the runtime zero for df32 product sealing (ops/df32.py);
+        # words 0-3 are the window-center components. (A scalar i32->f32
+        # bitcast of seed words was tried first; Mosaic only supports
+        # vector bitcasts.)
+        c0rh_ = cref[0]
+        c0rl_ = cref[1]
+        c0ih_ = cref[2]
+        c0il_ = cref[3]
+        rtz = cref[4]
         if rng == "hardware":
             u = seed_ref[0].astype(jnp.uint32) + chunk.astype(
                 jnp.uint32
@@ -495,19 +496,19 @@ def classify_pass_ext(
     else:
         s2 = seed.reshape((-1,)).astype(jnp.uint32)
         words = [s2[0], s2[1]]
-    # Word 2: the runtime zero for df32 product sealing.  Words 3-6: the
-    # df32 window-center components, bitcast f32 -> u32 (runtime-opaque
-    # to keep constant folding out of the EFT chains — see kernel body).
-    import numpy as np
-
+    # Second SMEM operand: the runtime-opaque df32 constants — window-
+    # center components (words 0-3) and the product-sealing zero
+    # (word 4). See the kernel body for why these must not be literals.
     (c0r, c0i, _sr, _si) = grid_params(sample_domain)
-    cw = [
-        jnp.uint32(np.float32(v).view(np.uint32))
-        for v in (c0r[0], c0r[1], c0i[0], c0i[1])
+    consts = jnp.asarray(
+        [c0r[0], c0r[1], c0i[0], c0i[1], 0.0], jnp.float32
+    )
+    seed_arr = jnp.stack(words)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (2,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # df consts (5,) f32
     ]
-    seed_arr = jnp.stack(words + [jnp.uint32(0)] + cw)
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # seed (7,)
-    inputs = [seed_arr.astype(jnp.int32)]
+    inputs = [seed_arr.astype(jnp.int32), consts]
     if rng == "bits":
         if bits.shape != (chunks, windows, 2, lane_rows, 128):
             raise ValueError(f"bits has wrong shape {bits.shape}")
