@@ -114,7 +114,9 @@ def measure(cfg, seconds: float, n_segments: int = 5) -> dict:
         getattr(engine, "inner", None), "tuning", None
     )
     if tuning is not None and out["replay"] in ("host", "hybrid"):
-        payload_bytes = seg_passes_total * tuning.replay_capacity * 8
+        inner = getattr(engine, "inner", engine)
+        slot = 8 if getattr(inner, "_packed_payload", False) else 12
+        payload_bytes = seg_passes_total * tuning.replay_capacity * slot
         out["payload_mb_per_sec"] = round(payload_bytes / elapsed / 1e6, 2)
     if getattr(engine, "_worker", None) is not None:
         w = engine._worker
@@ -175,6 +177,32 @@ def main() -> int:
         )
         fine[mode] = measure(fine_cfg, max(seconds / 2, 3.0), n_segments=3)
 
+    # Extended-precision deep zoom (df32, the beyond-reference mode):
+    # a 1e-5-wide seahorse-valley window, canvas == sample window —
+    # tracks the df32 kernel + f64 replay path per round (README
+    # "Deep zoom"; PERF_NOTES "Extended precision"). The unit is the
+    # same complex-iterations/s (one df32 step is ~10x the VPU work of
+    # an f32 step, so compare round-over-round, not against the
+    # headline).
+    _cx, _cy = -0.743643887037151, 0.131825904205330
+    _span = 1e-5
+    deep_cfg = RenderConfig(
+        canvas=Canvas(
+            width=1000, height=1000,
+            min_real=_cx - _span / 2, max_real=_cx + _span / 2,
+            min_imag=_cy - _span / 2, max_imag=_cy + _span / 2,
+        ),
+        band=IterationBand(max_escape_iterations=20000,
+                           min_escape_iterations=500),
+        sample_domain=(
+            _cx - _span / 2, _cx + _span / 2,
+            _cy - _span / 2, _cy + _span / 2,
+        ),
+        seconds_to_run=seconds,
+        options=EngineOptions(precision="extended"),
+    )
+    deep = measure(deep_cfg, max(seconds / 2, 3.0), n_segments=3)
+
     print(
         json.dumps(
             {
@@ -186,6 +214,7 @@ def main() -> int:
                 "backend": jax.default_backend(),
                 "default_band": default,
                 "fine_band": fine,
+                "deep_zoom": deep,
             }
         )
     )
