@@ -341,6 +341,112 @@ uint64_t ReplayBlockAvx(const float* cr, const float* ci,
 
 #endif  // __AVX512F__
 
+#if defined(__AVX512F__) && defined(__AVX512VL__)
+
+// AVX-512 double replay for extended-precision (deep-zoom) renders:
+// same structure as ReplayBlockAvx with 8-lane pd vectors (VL for the
+// 256-bit index compress/masked ops — present on every AVX512F server
+// part since Skylake-SP). Semantics match ReplayBlockF64: f64 orbit
+// math, f64 binning bounds. The scalar block measured ~1.5e8 pts/s and
+// was the binding rate of the deep-zoom bench line (worker_replay ==
+// wall); this path exists to lift that wall.
+constexpr int kGroupsF64 = 4;
+constexpr int kLanesF64Avx = kGroupsF64 * 8;
+
+template <bool kBurningShip, bool kPrefetch, typename HistT>
+uint64_t ReplayBlockAvxF64(const double* cr, const double* ci,
+                           const int32_t* iters, int count, const Canvas& cv,
+                           HistT* hist, uint64_t* points_total, IncBuf& buf) {
+  __m512d vzr[kGroupsF64], vzi[kGroupsF64], vcr[kGroupsF64], vci[kGroupsF64];
+  __m256i vlim[kGroupsF64];
+  int32_t gmax[kGroupsF64], gmin[kGroupsF64];
+  int32_t max_iter = -1;
+  for (int g = 0; g < kGroupsF64; ++g) {
+    const int base = g * 8;
+    const int live_n = count - base;
+    const __mmask8 live =
+        live_n >= 8 ? static_cast<__mmask8>(0xFF)
+                    : static_cast<__mmask8>(
+                          (1u << (live_n < 0 ? 0 : live_n)) - 1);
+    vcr[g] = _mm512_maskz_loadu_pd(live, cr + base);
+    vci[g] = _mm512_maskz_loadu_pd(live, ci + base);
+    vzr[g] = vcr[g];
+    vzi[g] = vci[g];
+    vlim[g] = _mm256_mask_loadu_epi32(_mm256_set1_epi32(-1), live,
+                                      iters + base);
+    alignas(32) int32_t lim[8];
+    _mm256_storeu_si256(reinterpret_cast<__m256i*>(lim), vlim[g]);
+    int32_t mx = lim[0], mn = lim[0];
+    for (int l = 1; l < 8; ++l) {
+      if (lim[l] > mx) mx = lim[l];
+      if (lim[l] < mn) mn = lim[l];
+    }
+    gmax[g] = mx;
+    gmin[g] = mn;
+    if (mx > max_iter) max_iter = mx;
+  }
+  for (int l = 0; l < count; ++l) {
+    if (iters[l] >= 0) *points_total += static_cast<uint64_t>(iters[l]) + 1;
+  }
+
+  const __m512d min_r = _mm512_set1_pd(cv.min_real);
+  const __m512d min_i = _mm512_set1_pd(cv.min_imag);
+  const __m512d inv_dr = _mm512_set1_pd(1.0 / cv.delta_real);
+  const __m512d inv_di = _mm512_set1_pd(1.0 / cv.delta_imag);
+  const __m256i vw = _mm256_set1_epi32(cv.w);
+  const __m256i vh = _mm256_set1_epi32(cv.h);
+  const __m512d sign_clear = _mm512_castsi512_pd(
+      _mm512_set1_epi64(0x7FFFFFFFFFFFFFFFll));
+
+  uint64_t hits = 0;
+  for (int32_t s = 0; s <= max_iter; ++s) {
+    const __m256i vs = _mm256_set1_epi32(s);
+    for (int g = 0; g < kGroupsF64; ++g) {
+      if (s > gmax[g]) continue;  // sorted input: whole group finished
+      __m512d r = vzr[g], im = vzi[g];
+      if (kBurningShip) {
+        r = _mm512_and_pd(r, sign_clear);
+        im = _mm512_and_pd(im, sign_clear);
+      }
+      const __m512d nr = _mm512_add_pd(
+          _mm512_sub_pd(_mm512_mul_pd(r, r), _mm512_mul_pd(im, im)),
+          vcr[g]);
+      const __m512d ni = _mm512_add_pd(
+          _mm512_mul_pd(_mm512_add_pd(r, r), im), vci[g]);
+      __mmask8 rec;
+      if (s <= gmin[g]) {
+        vzr[g] = nr;
+        vzi[g] = ni;
+        rec = static_cast<__mmask8>(0xFF);
+      } else {
+        rec = _mm256_cmple_epi32_mask(vs, vlim[g]);
+        vzr[g] = _mm512_mask_mov_pd(vzr[g], rec, nr);
+        vzi[g] = _mm512_mask_mov_pd(vzi[g], rec, ni);
+      }
+      // Floor-convert + unsigned bound checks: identical accepted-bin
+      // set to the guarded-truncate scalar path (see ReplayBlockAvx).
+      const __m256i col = _mm512_cvt_roundpd_epi32(
+          _mm512_mul_pd(_mm512_sub_pd(nr, min_r), inv_dr),
+          _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC);
+      const __m256i row = _mm512_cvt_roundpd_epi32(
+          _mm512_mul_pd(_mm512_sub_pd(ni, min_i), inv_di),
+          _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC);
+      __mmask8 ok = _mm256_mask_cmplt_epu32_mask(rec, col, vw);
+      ok = _mm256_mask_cmplt_epu32_mask(ok, row, vh);
+      const __m256i idx =
+          _mm256_add_epi32(_mm256_mullo_epi32(row, vw), col);
+      _mm256_mask_compressstoreu_epi32(buf.idx + buf.n, ok, idx);
+      const int c = __builtin_popcount(static_cast<unsigned>(ok));
+      buf.n += c;
+      hits += static_cast<uint64_t>(c);
+    }
+    if (buf.n > kBufCap - kLanesF64Avx) FlushIncrements<kPrefetch>(buf, hist);
+  }
+  return hits;
+}
+
+#endif  // __AVX512F__ && __AVX512VL__
+
 template <bool kBurningShip, typename HistT>
 void ReplayRange(const float* cr, const float* ci, const int32_t* iters,
                  int64_t begin, int64_t end, const Canvas& cv, HistT* hist,
@@ -384,12 +490,35 @@ template <bool kBurningShip, typename HistT>
 void ReplayRange(const double* cr, const double* ci, const int32_t* iters,
                  int64_t begin, int64_t end, const Canvas& cv, HistT* hist,
                  ThreadResult* out) {
+#if defined(__AVX512F__) && defined(__AVX512VL__)
+  const bool big = static_cast<size_t>(cv.w) * cv.h * sizeof(HistT) >
+                   (16u << 20);
+  IncBuf buf;
+  for (int64_t i = begin; i < end; i += kLanesF64Avx) {
+    const int count =
+        static_cast<int>(end - i < kLanesF64Avx ? end - i : kLanesF64Avx);
+    out->hits +=
+        big ? ReplayBlockAvxF64<kBurningShip, true>(cr + i, ci + i,
+                                                    iters + i, count, cv,
+                                                    hist, &out->points, buf)
+            : ReplayBlockAvxF64<kBurningShip, false>(cr + i, ci + i,
+                                                     iters + i, count, cv,
+                                                     hist, &out->points,
+                                                     buf);
+  }
+  if (big) {
+    FlushIncrements<true>(buf, hist);
+  } else {
+    FlushIncrements<false>(buf, hist);
+  }
+#else
   for (int64_t i = begin; i < end; i += kLanesF64) {
     const int count =
         static_cast<int>(end - i < kLanesF64 ? end - i : kLanesF64);
     out->hits += ReplayBlockF64<kBurningShip>(cr + i, ci + i, iters + i,
                                               count, cv, hist, &out->points);
   }
+#endif
 }
 
 // Shared implementation for the uint32/uint64 histogram entry points,
