@@ -257,7 +257,10 @@ Options:
         dispatch) so one band's host replay overlaps another's
         classify; time budgets then overlap (wall = max, not sum).
         Per-band output is bitwise identical to sequential --passes runs.
-  --engine/--scatter/--seed/--devices: forwarded to the renderer.
+  --engine/--scatter/--seed/--devices/--precision/--sample-domain/
+  --fractal/--refill-rng/--replay-capacity: forwarded to the renderer
+        (e.g. --precision extended + --sample-domain for color deep
+        zooms).
   --keep-bands: also save each band's grayscale PGM.
 """
 
@@ -299,7 +302,8 @@ def main(argv: list[str]) -> int:
             canvas_args += [arg, _val(f"Argument {arg} needs a value.")]
             i += 2
         elif arg in ("--engine", "--scatter", "--seed", "--devices",
-                     "--precision"):
+                     "--precision", "--sample-domain", "--fractal",
+                     "--refill-rng", "--replay-capacity"):
             engine_args += [arg, _val(f"Argument {arg} needs a value.")]
             i += 2
         elif arg == "--band":

@@ -90,6 +90,35 @@ def test_render_color_end_to_end(tmp_path, monkeypatch):
     assert img.sum() > 0
 
 
+def test_render_color_extended_deep_zoom(tmp_path, monkeypatch):
+    """--precision extended and --sample-domain forward through the
+    color pipeline (the color deep-zoom recipe, README 'Deep zoom')."""
+    out = str(tmp_path / "dz.png")
+    monkeypatch.chdir(tmp_path)
+    # Fast-escape window (~56 steps) so one oracle pass emits.
+    win = "-0.7500005,-0.7499995,0.0549995,0.0550005"
+    rc = color.main(
+        [
+            "--mode", "hsl",
+            "-o", out,
+            "-w", "16",
+            "-h", "16",
+            "--engine", "oracle",
+            "--precision", "extended",
+            "--sample-domain", win,
+            "--passes", "1",
+            "--band", "H:40:5:1.0:1",
+            "--band", "S:80:40:1.0:1",
+            "--band", "L:160:50:1.0:1",
+        ]
+    )
+    assert rc == 0
+    from cudabrot_tpu.io import png as png_io
+
+    img = png_io.read_png(out)
+    assert img.shape == (16, 16, 3)
+
+
 def test_interleaved_matches_sequential_bitwise(tmp_path, monkeypatch):
     """--interleave must produce per-band output bitwise identical to the
     sequential loop for fixed pass counts: the bands are independent
