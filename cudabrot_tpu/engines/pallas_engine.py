@@ -467,6 +467,7 @@ def _blocked_replay_ext(
     dfc,
     step_r: float,
     step_i: float,
+    bin_fn=None,
 ):
     """Extended-precision (df32) blocked replay for deep-zoom renders.
 
@@ -492,6 +493,10 @@ def _blocked_replay_ext(
     rtz = dfc[8]
     mr = (dfc[4], dfc[5])
     mi = (dfc[6], dfc[7])
+    if bin_fn is None:
+        bin_fn = functools.partial(
+            binning.points_to_bin_ids_df, canvas
+        )
 
     def outer_body(b, hist):
         off = b * block
@@ -521,9 +526,7 @@ def _blocked_replay_ext(
                     fold_abs=fractal.fold_abs,
                 )
                 rec = bva & (s <= bit)
-                ids = binning.points_to_bin_ids_df(
-                    canvas, nzr, nzrl, nzi, nzil, rec, mr, mi
-                )
+                ids = bin_fn(nzr, nzrl, nzi, nzil, rec, mr, mi)
                 zr = jnp.where(rec, nzr, zr)
                 zrl = jnp.where(rec, nzrl, zrl)
                 zi = jnp.where(rec, nzi, zi)

@@ -118,6 +118,36 @@ def points_to_bin_ids_df(canvas: Canvas, reh, rel, imh, iml, valid, mr, mi):
     return jnp.where(ok, flat, canvas.num_pixels)
 
 
+def points_to_bin_ids_df_sharded(
+    canvas: Canvas, reh, rel, imh, iml, valid, mr, mi, row_start,
+    row_count: int,
+):
+    """Row-sharded variant of points_to_bin_ids_df: the df32 offset
+    quantization of the global helper with points_to_bin_ids_sharded's
+    local-row windowing (sentinel = row_count * width). ``row_start``
+    may be traced (a mesh axis index)."""
+    from cudabrot_tpu.ops import df32
+
+    dxh, _ = df32.add(reh, rel, -mr[0], -mr[1])
+    dyh, _ = df32.add(imh, iml, -mi[0], -mi[1])
+    inv_dr = jnp.float32(1.0 / canvas.delta_real)
+    inv_di = jnp.float32(1.0 / canvas.delta_imag)
+    ok = valid & (dxh >= 0.0) & (dyh >= 0.0)
+    col = (dxh * inv_dr).astype(jnp.int32)
+    row = (dyh * inv_di).astype(jnp.int32)
+    ok = (
+        ok
+        & (row >= 0)
+        & (row < canvas.height)
+        & (col >= 0)
+        & (col < canvas.width)
+    )
+    local_row = row - row_start
+    ok = ok & (local_row >= 0) & (local_row < row_count)
+    flat = local_row * canvas.width + col
+    return jnp.where(ok, flat, row_count * canvas.width)
+
+
 def scatter_xla(hist_flat, ids):
     """Scatter-add ones at ``ids`` (sentinel ids dropped by 'drop' mode)."""
     ones = jnp.ones(ids.shape, dtype=hist_flat.dtype)

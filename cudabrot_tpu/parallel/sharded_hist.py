@@ -76,24 +76,52 @@ class ShardedHistogramEngine:
                 jax.lax.axis_index("devices").astype(jnp.int32)
                 * self.rows_per_shard
             )
-            bin_fn = functools.partial(
-                binning.points_to_bin_ids_sharded,
-                cfg.canvas,
-                row_count=self.rows_per_shard,
-            )
-            hist_flat = pe._blocked_replay(
-                hist_local.reshape(-1),
-                cr_g,
-                ci_g,
-                it_g,
-                fractal=inner.fractal,
-                canvas=cfg.canvas,
-                chunk=tn.replay_chunk,
-                block=tn.replay_block,
-                backend=inner.scatter_backend,
-                bin_fn=lambda re, im, ok: bin_fn(re, im, ok,
-                                                 row_start=row_start),
-            )
+            if inner.extended:
+                # Extended emissions are 24-bit sample-grid indices; the
+                # df32 replay reconstructs c and bins via the df-aware
+                # sharded quantizer (same local-row windowing).
+                bin_fn = functools.partial(
+                    binning.points_to_bin_ids_df_sharded,
+                    cfg.canvas,
+                    row_count=self.rows_per_shard,
+                )
+                hist_flat = pe._blocked_replay_ext(
+                    hist_local.reshape(-1),
+                    cr_g,
+                    ci_g,
+                    it_g,
+                    fractal=inner.fractal,
+                    canvas=cfg.canvas,
+                    chunk=tn.replay_chunk,
+                    block=tn.replay_block,
+                    backend=inner.scatter_backend,
+                    dfc=new_local["dfc"],
+                    step_r=inner._df_step[0],
+                    step_i=inner._df_step[1],
+                    bin_fn=lambda reh, rel, imh, iml, ok, mr, mi: bin_fn(
+                        reh, rel, imh, iml, ok, mr, mi,
+                        row_start=row_start,
+                    ),
+                )
+            else:
+                bin_fn = functools.partial(
+                    binning.points_to_bin_ids_sharded,
+                    cfg.canvas,
+                    row_count=self.rows_per_shard,
+                )
+                hist_flat = pe._blocked_replay(
+                    hist_local.reshape(-1),
+                    cr_g,
+                    ci_g,
+                    it_g,
+                    fractal=inner.fractal,
+                    canvas=cfg.canvas,
+                    chunk=tn.replay_chunk,
+                    block=tn.replay_block,
+                    backend=inner.scatter_backend,
+                    bin_fn=lambda re, im, ok: bin_fn(re, im, ok,
+                                                     row_start=row_start),
+                )
             new_local["hist_shard"] = hist_flat.reshape(
                 self.rows_per_shard, cfg.canvas.width
             )

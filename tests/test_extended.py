@@ -457,6 +457,54 @@ def test_extended_data_parallel(replay):
     assert hist.sum() <= stats["orbit_points"]
 
 
+def test_extended_row_sharded_bitwise_equals_replicated():
+    """Extended + --hist-sharding rows must produce the same histogram
+    as the replicated device-replay wrapper bitwise (row ranges
+    partition the canvas; the df32 replay is deterministic)."""
+    import dataclasses
+
+    from cudabrot_tpu.engines.pallas_engine import PallasEngine
+    from cudabrot_tpu.parallel.data_parallel import DataParallelEngine
+    from cudabrot_tpu.parallel.sharded_hist import ShardedHistogramEngine
+
+    win = (-0.75 - 5e-7, -0.75 + 5e-7, 0.055 - 5e-7, 0.055 + 5e-7)
+    cfg = RenderConfig(
+        canvas=Canvas(width=32, height=22),  # uneven 22 rows / 2 devices
+        band=IterationBand(max_escape_iterations=400,
+                           min_escape_iterations=20),
+        sample_domain=win,
+        options=EngineOptions(
+            engine="pallas",
+            precision="extended",
+            num_devices=2,
+            lane_rows=8,
+            steps_per_pass=256,
+            steps_per_flush=16,
+            replay_capacity=1 << 12,
+            replay_chunk=64,
+        ),
+    )
+
+    def run(engine):
+        state = engine.init_state(None)
+        for p in range(2):
+            state = engine.run_pass(state, p)
+        jax.block_until_ready(state)
+        return engine.histogram(state)
+
+    rep = run(DataParallelEngine(cfg, PallasEngine(cfg, replay_mode="device")))
+    cfg_rows = cfg.replace(
+        options=dataclasses.replace(cfg.options, histogram_sharding="rows")
+    )
+    sh = run(
+        ShardedHistogramEngine(
+            cfg_rows, PallasEngine(cfg_rows, replay_mode="device")
+        )
+    )
+    assert rep.sum() > 0
+    np.testing.assert_array_equal(rep, sh)
+
+
 def test_cli_extended_render(tmp_path):
     """--precision extended drives end-to-end through the CLI (oracle
     engine: extended runs as float64, its strict superset)."""
