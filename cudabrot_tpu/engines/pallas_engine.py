@@ -50,12 +50,13 @@ STAT_KEYS = (
     "iters", "points", "cycles", "wasted",
 )
 
-#: Measured-estimate cost multiplier of one extended-precision (df32)
-#: inner step relative to the f32 thin step (~10 VPU ops vs ~90:
-#: 2 df sqr + 1 df mul + 3 df adds + sealing — ops/df32.py). Feeds the
-#: window/pass-geometry model only; refine with tools/calibrate.py
-#: measurements on silicon if the model drifts.
-EXTENDED_STEP_FACTOR = 9.0
+#: Measured cost multiplier of one extended-precision (df32) inner step
+#: relative to the f32 thin step: raw rates on the attached v5e at
+#: U=16/threefry were 1.84e11 (f32) vs 1.83e10 (df32) lane-steps/s —
+#: 10.05x, matching the ~90-vs-10 VPU op count (2 df sqr + 1 df mul +
+#: 3 df adds + sealing — ops/df32.py). Feeds the window/pass-geometry
+#: model only.
+EXTENDED_STEP_FACTOR = 10.0
 #: Extended boundary factor: 15 refill selects (vs 9) plus the df32
 #: center-add per refill.
 EXTENDED_BOUNDARY_FACTOR = 1.5

@@ -50,9 +50,19 @@ def _metadata(cfg: RenderConfig, passes: int) -> dict:
         "min_escape_iterations": cfg.band.min_escape_iterations,
         "fractal": cfg.fractal,
         "sample_domain": list(cfg.sample_domain),
+        "precision": cfg.options.precision,
         "seed": cfg.seed,
         "passes": passes,
     }
+
+
+def _resolution_class(precision: str) -> str:
+    """Sampling/orbit resolution class: f32 quantizes positions at
+    ~2^-24 relative (coarse); float64 and extended (df32, ~2^-48) both
+    resolve deep windows (fine). Mixing classes in one histogram blends
+    a lattice-quantized measure with a smooth one — visible corruption
+    exactly at the deep windows extended exists for."""
+    return "coarse" if precision == "float32" else "fine"
 
 
 def _fsync_dir(dirpath: str) -> None:
@@ -174,6 +184,18 @@ def load(path: str, cfg: RenderConfig) -> tuple[np.ndarray, dict] | None:
         raise CheckpointError(
             f"Checkpoint {path} was sampled over domain {list(have_dom)}, "
             f"but the render samples {list(cfg.sample_domain)}."
+        )
+    # Precision resolution classes must match (f32 vs f64/extended):
+    # see _resolution_class. Legacy checkpoints without the field are
+    # assumed compatible (they predate the extended mode).
+    have_prec = meta.get("precision")
+    if have_prec is not None and _resolution_class(
+        have_prec
+    ) != _resolution_class(cfg.options.precision):
+        raise CheckpointError(
+            f"Checkpoint {path} was rendered at precision {have_prec!r}; "
+            f"resuming at {cfg.options.precision!r} would blend a "
+            f"float32-quantized sampling measure with a deep-zoom one."
         )
     crc = meta.get("crc32")
     if crc is not None and (zlib.crc32(hist.tobytes()) & 0xFFFFFFFF) != crc:

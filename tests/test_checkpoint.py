@@ -119,3 +119,79 @@ def test_checkpoint_file_permissions(tmp_path):
     ckpt.save(str(path), hist, cfg, passes=1)
     mode = stat.S_IMODE(path.stat().st_mode)
     assert mode == 0o644
+
+
+def test_precision_class_mismatch_fatal(tmp_path):
+    """Resuming an f32 checkpoint at extended precision (or back) would
+    blend the f32-quantized sampling measure with the deep-zoom one."""
+    import dataclasses
+
+    from cudabrot_tpu.config import EngineOptions
+
+    cfg32 = _cfg(options=EngineOptions(precision="float32"))
+    path = str(tmp_path / "p.ckpt")
+    ckpt.save(path, np.zeros(cfg32.canvas.shape, np.uint32), cfg32, passes=1)
+    cfg_ext = cfg32.replace(
+        options=dataclasses.replace(cfg32.options, precision="extended")
+    )
+    with pytest.raises(ckpt.CheckpointError, match="precision"):
+        ckpt.load(path, cfg_ext)
+    # And the reverse direction.
+    path2 = str(tmp_path / "p2.ckpt")
+    ckpt.save(
+        path2, np.zeros(cfg_ext.canvas.shape, np.uint32), cfg_ext, passes=1
+    )
+    with pytest.raises(ckpt.CheckpointError, match="precision"):
+        ckpt.load(path2, cfg32)
+
+
+def test_precision_same_class_resumes(tmp_path):
+    """extended <-> float64 share a resolution class (both resolve deep
+    windows); same-precision resumes are trivially fine."""
+    import dataclasses
+
+    from cudabrot_tpu.config import EngineOptions
+
+    cfg_ext = _cfg(options=EngineOptions(precision="extended"))
+    path = str(tmp_path / "e.ckpt")
+    hist = np.ones(cfg_ext.canvas.shape, np.uint32)
+    ckpt.save(path, hist, cfg_ext, passes=2)
+    loaded, _ = ckpt.load(path, cfg_ext)
+    np.testing.assert_array_equal(loaded, hist)
+    cfg64 = cfg_ext.replace(
+        options=dataclasses.replace(cfg_ext.options, precision="float64")
+    )
+    loaded, _ = ckpt.load(path, cfg64)
+    np.testing.assert_array_equal(loaded, hist)
+
+
+def test_precision_legacy_checkpoint_resumes(tmp_path):
+    """Checkpoints written before the precision field existed load at
+    any precision (they predate the extended mode)."""
+    import json
+    import zlib
+
+    cfg = _cfg()
+    hist = np.zeros(cfg.canvas.shape, np.uint32)
+    meta = {
+        "format_version": 1,
+        "width": 32,
+        "height": 24,
+        "dtype": "uint32",
+        "crc32": zlib.crc32(hist.tobytes()) & 0xFFFFFFFF,
+    }
+    path = tmp_path / "legacy.ckpt"
+    with open(path, "wb") as f:
+        np.savez(
+            f,
+            hist=hist,
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        )
+    from cudabrot_tpu.config import EngineOptions
+    import dataclasses
+
+    cfg_ext = cfg.replace(
+        options=dataclasses.replace(cfg.options, precision="extended")
+    )
+    loaded, _ = ckpt.load(str(path), cfg_ext)
+    np.testing.assert_array_equal(loaded, hist)
