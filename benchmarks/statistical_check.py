@@ -58,6 +58,14 @@ def main() -> int:
         "even for identical distributions — the unit of independence "
         "is the orbit, not the point.")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument(
+        "--precision", default="float32",
+        help="iteration precision for BOTH engines (extended runs df32 "
+        "on pallas and float64 on the oracle — the deep-zoom QA pair)")
+    p.add_argument(
+        "--window", default=None, metavar="MINR,MAXR,MINI,MAXI",
+        help="deep-zoom window: sets the canvas bounds AND the sample "
+        "domain to the same region (the deep-zoom configuration)")
     args = p.parse_args()
 
     import jax
@@ -73,18 +81,32 @@ def main() -> int:
         RenderConfig,
     )
 
+    from cudabrot_tpu.config import SAMPLE_DOMAIN
+
+    if args.window is not None:
+        r0, r1, i0, i1 = (float(v) for v in args.window.split(","))
+        canvas_kw = dict(
+            min_real=r0, max_real=r1, min_imag=i0, max_imag=i1
+        )
+        sample_domain = (r0, r1, i0, i1)
+    else:
+        canvas_kw = {}
+        sample_domain = SAMPLE_DOMAIN
+
     def render(engine: str, seed: int):
         cfg = RenderConfig(
-            canvas=Canvas(width=args.w, height=args.height),
+            canvas=Canvas(width=args.w, height=args.height, **canvas_kw),
             band=IterationBand(
                 max_escape_iterations=args.max_it,
                 min_escape_iterations=args.min_it,
             ),
+            sample_domain=sample_domain,
             seconds_to_run=-1.0,
             max_passes=args.passes,
             seed=seed,
             options=EngineOptions(
                 engine=engine,
+                precision=args.precision,
                 # Comparable per-pass sample volumes keep Monte-Carlo
                 # noise from dominating the comparison.
                 oracle_samples_per_pass=1 << 18,
