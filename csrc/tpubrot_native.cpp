@@ -19,6 +19,7 @@
 // Exposed via a plain C ABI for ctypes (no pybind11 dependency).
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -544,6 +545,26 @@ int64_t ReplayScatterImpl(const SampleT* cr, const SampleT* ci,
   if (n / min_per_thread < threads) {
     threads = static_cast<int>(n / min_per_thread);
     if (threads < 1) threads = 1;
+  }
+  if (threads > 1) {
+    // Per-call private-histogram economics: each extra thread costs one
+    // bins-sized alloc+zero plus a serial merge pass (~2e9 bins/s
+    // streaming), while replay parallelism saves ~P/(rate*N) at a
+    // conservative DRAM-bound ~1e8 pts/s/thread. Cap at the optimum of
+    // t(N) = P/(rate*N) + bins*(N-1)/merge_rate so a ~100-core host
+    // doesn't pay ~99 private 1.2 GB histograms (transient OOM + a
+    // minute of serial merging) for a batch three threads saturate.
+    // Histogram totals are unchanged (integer addition commutes).
+    uint64_t est_points = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      if (iters[i] >= 0) est_points += static_cast<uint64_t>(iters[i]) + 1;
+    }
+    const double bins_d = static_cast<double>(w) * static_cast<double>(h);
+    const double n_opt =
+        std::sqrt(static_cast<double>(est_points) * 2e9 / (1e8 * bins_d));
+    int cap = static_cast<int>(n_opt) + 1;
+    if (cap < 1) cap = 1;
+    if (threads > cap) threads = cap;
   }
 
   std::vector<ThreadResult> results(threads);

@@ -254,7 +254,11 @@ class Tuning:
         # lane-step, so discount the window-coast waste a U>1 window pays
         # (executed steps are the product below). pow2 rounding already
         # grants up to 2x headroom; overflow beyond capacity is counted
-        # (replay_dropped) and statistically unbiased. Oversizing is not
+        # (replay_dropped) and LENGTH-BIASED — the compaction keeps the
+        # longest orbits (block homogeneity), so sustained drops
+        # condition the histogram on orbit length, which is why the
+        # driver warns at >1% drops and --replay-capacity exists
+        # (PERF_NOTES "Sample-domain windowing"). Oversizing is not
         # free: the emission payload crosses the device->host link every
         # pass, and the fetch sits on the host worker's critical path
         # when the band is replay-bound (measured: a 4x-oversized
@@ -871,10 +875,11 @@ class PallasEngine:
                 backend=self.scatter_backend,
             )
             new_state["hist"] = hist_flat.reshape(cfg.canvas.shape)
-            pts = jnp.sum(
-                jnp.where(it_dev >= 0, it_dev + 1, 0)
-            ).astype(jnp.uint32)
-            new_state["points"] = counters.u64_add(state["points"], pts)
+            # Exact u64 pair: one interior-mode pass can replay > 2^32
+            # points (max_it-long orbits at a filled batch), which a
+            # uint32 sum would silently wrap.
+            pts = counters.u64_sum_i32(jnp.where(it_dev >= 0, it_dev + 1, 0))
+            new_state["points"] = counters.u64_add_pair(state["points"], pts)
             it_c = it_host
 
         return new_state, (cr_c, ci_c, it_c)
@@ -919,8 +924,9 @@ class PallasEngine:
             )
         new_state = dict(new_state)
         new_state["hist"] = hist_flat.reshape(cfg.canvas.shape)
-        points = jnp.sum(jnp.where(it_c >= 0, it_c + 1, 0)).astype(jnp.uint32)
-        new_state["points"] = counters.u64_add(state["points"], points)
+        # Exact u64 pair (an interior-mode pass can exceed 2^32 points).
+        points = counters.u64_sum_i32(jnp.where(it_c >= 0, it_c + 1, 0))
+        new_state["points"] = counters.u64_add_pair(state["points"], points)
         return new_state
 
     def init_state(self, hist0: np.ndarray | None):

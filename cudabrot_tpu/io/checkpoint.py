@@ -200,4 +200,18 @@ def load(path: str, cfg: RenderConfig) -> tuple[np.ndarray, dict] | None:
     crc = meta.get("crc32")
     if crc is not None and (zlib.crc32(hist.tobytes()) & 0xFFFFFFFF) != crc:
         raise CheckpointError(f"Checkpoint {path} failed its CRC32 check.")
+    # Central uint64 -> uint32 downcast guard: every engine resumes
+    # through this loader, and the device-replay/row-sharded paths cast
+    # the resumed histogram to uint32 (their accumulation dtype) — a
+    # silent mod-2^32 wrap of hot bins if the checkpoint outgrew uint32.
+    # (HostReplayWorker.add_resumed re-checks for direct API users.)
+    if (
+        hist.dtype == np.uint64
+        and cfg.options.hist_dtype == "uint32"
+        and int(hist.max(initial=0)) > 0xFFFFFFFF
+    ):
+        raise CheckpointError(
+            f"Checkpoint {path} holds uint64 counts above the uint32 "
+            "range; resume with --hist-dtype uint64."
+        )
     return hist, meta

@@ -103,6 +103,21 @@ def init_lane_state(lane_rows: int) -> LaneState:
     )
 
 
+def window_seed(seed_word, idx):
+    """Scrambled per-window hardware-PRNG seed: golden-ratio stride over
+    ``idx`` finished by splitmix32. Feeding small consecutive integers
+    straight into prng_seed measurably correlates the streams; these
+    constants were validated unbiased by benchmarks/prng_bias_probe.py,
+    and the f32 and df32 kernels MUST share them (the replay contracts
+    assume identical streams per mode) — this is the single copy."""
+    u = seed_word.astype(jnp.uint32) + idx.astype(jnp.uint32) * jnp.uint32(
+        0x9E3779B9
+    )
+    u = (u ^ (u >> jnp.uint32(16))) * jnp.uint32(0x21F0AAAD)
+    u = (u ^ (u >> jnp.uint32(15))) * jnp.uint32(0x735A2D97)
+    return u ^ (u >> jnp.uint32(15))
+
+
 def threefry2x32(k0, k1, x0, x1):
     """Threefry-2x32 (20 rounds), bit-exact with JAX's base PRNG.
 
@@ -232,13 +247,7 @@ def _make_kernel(
             # streams), though even scrambled streams keep the hardware
             # generator's deep-tail bias — see PERF_NOTES.md "PRNG
             # stream separation".
-            u = seed_ref[0].astype(jnp.uint32) + chunk.astype(
-                jnp.uint32
-            ) * jnp.uint32(0x9E3779B9)
-            u = (u ^ (u >> jnp.uint32(16))) * jnp.uint32(0x21F0AAAD)
-            u = (u ^ (u >> jnp.uint32(15))) * jnp.uint32(0x735A2D97)
-            u = u ^ (u >> jnp.uint32(15))
-            pltpu.prng_seed(u)
+            pltpu.prng_seed(window_seed(seed_ref[0], chunk))
 
         @pl.when(chunk == 0)
         def _init_scratch():
@@ -402,13 +411,7 @@ def _make_kernel(
                 gwin = (
                     chunk * jnp.int32(n_windows) + widx
                 ).astype(jnp.uint32)
-                u = seed_ref[0].astype(jnp.uint32) + gwin * jnp.uint32(
-                    0x9E3779B9
-                )
-                u = (u ^ (u >> jnp.uint32(16))) * jnp.uint32(0x21F0AAAD)
-                u = (u ^ (u >> jnp.uint32(15))) * jnp.uint32(0x735A2D97)
-                u = u ^ (u >> jnp.uint32(15))
-                pltpu.prng_seed(u)
+                pltpu.prng_seed(window_seed(seed_ref[0], gwin))
                 rb_r = pltpu.bitcast(
                     pltpu.prng_random_bits((cr.shape[0], cr.shape[1])),
                     jnp.uint32,

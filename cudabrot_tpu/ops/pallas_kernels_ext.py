@@ -65,6 +65,7 @@ from cudabrot_tpu.ops.pallas_kernels import (
     STAT_WASTED,
     STATS_ROWS,
     threefry2x32,
+    window_seed,
 )
 
 _TWO23 = 8388608.0  # 2^23
@@ -178,13 +179,7 @@ def _make_kernel_ext(
         c0il_ = cref[3]
         rtz = cref[4]
         if rng == "hardware":
-            u = seed_ref[0].astype(jnp.uint32) + chunk.astype(
-                jnp.uint32
-            ) * jnp.uint32(0x9E3779B9)
-            u = (u ^ (u >> jnp.uint32(16))) * jnp.uint32(0x21F0AAAD)
-            u = (u ^ (u >> jnp.uint32(15))) * jnp.uint32(0x735A2D97)
-            u = u ^ (u >> jnp.uint32(15))
-            pltpu.prng_seed(u)
+            pltpu.prng_seed(window_seed(seed_ref[0], chunk))
 
         @pl.when(chunk == 0)
         def _init_scratch():
@@ -266,13 +261,7 @@ def _make_kernel_ext(
                 gwin = (
                     chunk * jnp.int32(n_windows) + widx
                 ).astype(jnp.uint32)
-                u = seed_ref[0].astype(jnp.uint32) + gwin * jnp.uint32(
-                    0x9E3779B9
-                )
-                u = (u ^ (u >> jnp.uint32(16))) * jnp.uint32(0x21F0AAAD)
-                u = (u ^ (u >> jnp.uint32(15))) * jnp.uint32(0x735A2D97)
-                u = u ^ (u >> jnp.uint32(15))
-                pltpu.prng_seed(u)
+                pltpu.prng_seed(window_seed(seed_ref[0], gwin))
                 rb_r = pltpu.bitcast(
                     pltpu.prng_random_bits((kr.shape[0], kr.shape[1])),
                     jnp.uint32,

@@ -63,9 +63,10 @@ class ShardedHistogramEngine:
                 local, pass_index, ordinal
             )
             # Count this device's own orbit points before the gather so
-            # the global stat isn't D-duplicated.
-            pts = jnp.sum(jnp.where(it >= 0, it + 1, 0)).astype(jnp.uint32)
-            new_local["points"] = counters.u64_add(local["points"], pts)
+            # the global stat isn't D-duplicated. Exact u64 pair: one
+            # interior-mode pass can replay > 2^32 points.
+            pts = counters.u64_sum_i32(jnp.where(it >= 0, it + 1, 0))
+            new_local["points"] = counters.u64_add_pair(local["points"], pts)
 
             # Tiny all-gather: every device replays every in-band sample.
             cr_g = jax.lax.all_gather(cr, "devices", tiled=True)
