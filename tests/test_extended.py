@@ -525,6 +525,47 @@ def test_cli_extended_render(tmp_path):
     assert out.read_bytes().startswith(b"P5\n24 24\n65535\n")
 
 
+def test_extended_burning_ship():
+    """The df32 kernel's fold_abs path (burning ship) classifies against
+    float64 ground truth like the quadratic map."""
+    win = (-1.7548 - 5e-7, -1.7548 + 5e-7, -0.0338 - 5e-7, -0.0338 + 5e-7)
+    min_it, max_it = 5, 500
+    fr = fractals.get_fractal("burning-ship")
+    state = pke.init_ext_lane_state(8)
+    seed = jnp.asarray([42, 43], jnp.uint32)
+    res = pke.classify_pass_ext(
+        state,
+        seed,
+        None,
+        fractal=fr,
+        min_it=min_it,
+        max_it=max_it,
+        steps_per_pass=1024,
+        steps_per_flush=64,
+        inner_unroll=4,
+        rng="threefry",
+        sample_domain=win,
+        interpret=True,
+    )
+    emit_it = np.asarray(res.emit_it).reshape(-1)
+    emit_kr = np.asarray(res.emit_c[:, 0]).reshape(-1)
+    emit_ki = np.asarray(res.emit_c[:, 1]).reshape(-1)
+    valid = emit_it >= 0
+    assert valid.sum() > 20, "burning-ship window should emit"
+    checked = mismatched = 0
+    for k_r, k_i, it in zip(
+        emit_kr[valid][:150], emit_ki[valid][:150], emit_it[valid][:150]
+    ):
+        cr, ci = _grid_to_f64(k_r, k_i, win)
+        expected = reference_impl.classify_scalar(
+            float(cr), float(ci), max_it, burning_ship=True
+        )
+        checked += 1
+        if expected != it:
+            mismatched += 1
+    assert mismatched <= max(2, 0.04 * checked), (mismatched, checked)
+
+
 def test_extended_rejects_device_share():
     win = _window(2e-7)
     with pytest.raises(ConfigError, match="replay-device-share"):
