@@ -122,6 +122,12 @@ TPU-native extensions:
              ~25% faster at classify-bound bands), or hardware
              (free-running hardware generator; deep-tail biased,
              perf experiments only).
+  --emit-filter <mode>: any (default — every band-passing orbit is
+             replayed, reference semantics) or canvas (replay only
+             orbits whose trajectory entered the canvas window:
+             identical rendered measure — non-visitors deposit
+             nothing — at a fraction of the replay/transfer cost
+             when the canvas crops the plane).
   --calibration <file>: machine-constant calibration JSON written by
              tools/calibrate.py; feeds the kernel cost model and the
              hybrid replay-share solver (also honored via the
@@ -385,6 +391,9 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
             i += 2
         elif arg == "--refill-rng":
             opt["refill_rng"] = _parse_str(argv, i, "Missing refill rng.")
+            i += 2
+        elif arg == "--emit-filter":
+            opt["emit_filter"] = _parse_str(argv, i, "Missing emit filter.")
             i += 2
         elif arg == "--calibration":
             extras.calibration = _parse_str(

@@ -182,6 +182,18 @@ class EngineOptions:
     #: cutting the inner instruction stream by roughly a third. "auto"
     #: uses thin tracking.
     escape_tracking: str = "auto"
+    #: Emission filter: "any" (every band-passing orbit is emitted —
+    #: reference semantics) or "canvas" (emit only orbits whose
+    #: trajectory entered the canvas window during classification). For
+    #: a canvas that crops the plane, orbits that never visit contribute
+    #: zero histogram mass but dominate replay/payload cost under
+    #: full-domain sampling; gating drops exactly those orbits, so the
+    #: rendered histogram is the SAME MEASURE as an ungated run (bitwise
+    #: at ample capacity, asserted in tests) at a fraction of the replay
+    #: work. This is the honest way to render a crop of the full
+    #: Buddhabrot — --sample-domain restricts the seeded measure instead
+    #: (not a plain crop; see its help text).
+    emit_filter: str = "any"
     #: Brent cycle detection for interior orbits (pallas engine). Disable
     #: for bitwise escape-count parity experiments with the reference,
     #: which always iterates interior points to the cap (cudabrot.cu:338).
@@ -253,6 +265,14 @@ class EngineOptions:
         if self.escape_tracking not in ("auto", "step", "thin"):
             raise ConfigError(
                 f"Unknown escape tracking mode: {self.escape_tracking}"
+            )
+        if self.emit_filter not in ("any", "canvas"):
+            raise ConfigError(f"Unknown emit filter: {self.emit_filter}")
+        if self.emit_filter == "canvas" and self.escape_tracking == "step":
+            raise ConfigError(
+                "emit-filter canvas requires thin escape tracking (the "
+                "visit register rides the thin inner loop; step tracking "
+                "exists only for exact-parity experiments)"
             )
         if self.precision not in ("float32", "float64", "extended"):
             raise ConfigError(f"Unknown precision: {self.precision}")

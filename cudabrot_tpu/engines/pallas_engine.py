@@ -584,6 +584,33 @@ class PallasEngine:
         self.interpret = interpret
         self.tuning = Tuning(cfg)
         self.extended = self.tuning.extended
+        # Canvas emit filter: classify additionally tracks whether each
+        # orbit entered the canvas window, and only visitors are emitted
+        # — same rendered measure (non-visitors deposit nothing), a
+        # fraction of the replay/payload cost on cropped canvases. The
+        # window is inflated one pixel past the upper binning bounds so
+        # the gate can never produce false negatives (the classify
+        # trajectory IS the replay trajectory in f32; the df32 kernel
+        # tests hi components, covered by the wider inflation below).
+        self.visit_window = None
+        if o.emit_filter == "canvas":
+            cv = cfg.canvas
+            if self.tuning.extended:
+                # hi-only compares carry ~2^-24 relative slop, and the
+                # f64 host replay's trajectory drifts ~2^-48-growing from
+                # the kernel's df32 one: pad generously (4 pixels or the
+                # f32 quantum, whichever is larger). False positives only.
+                pad_r = max(4 * cv.delta_real, 2.0 ** -21)
+                pad_i = max(4 * cv.delta_imag, 2.0 ** -21)
+            else:
+                pad_r = cv.delta_real
+                pad_i = cv.delta_imag
+            self.visit_window = (
+                cv.min_real - (pad_r if self.tuning.extended else 0.0),
+                cv.max_real + pad_r,
+                cv.min_imag - (pad_i if self.tuning.extended else 0.0),
+                cv.max_imag + pad_i,
+            )
         if self.extended:
             # Grid/window constants shared by the classify kernel and
             # every replay path (ops/pallas_kernels_ext.grid_params).
@@ -784,6 +811,7 @@ class PallasEngine:
                 inner_unroll=tn.inner_unroll,
                 rng=self.refill_rng,
                 sample_domain=cfg.sample_domain,
+                visit_window=self.visit_window,
             )
         else:
             result = pk.classify_pass(
@@ -801,6 +829,7 @@ class PallasEngine:
                 thin_tracking=tn.thin_tracking,
                 rng=self.refill_rng,
                 sample_domain=cfg.sample_domain,
+                visit_window=self.visit_window,
             )
 
         # --- compaction: one key sort packs valid entries first AND orders
@@ -981,8 +1010,10 @@ class PallasEngine:
         cv = self.cfg.canvas
         tn = self.tuning
         hist = cv.num_pixels * 4
-        # Persistent lane state arrays (15 in the df32 deep-zoom mode).
-        lanes = self.lanes * (15 if self.extended else 9) * 4
+        n_fields = len(
+            (pke.ExtLaneState if self.extended else pk.LaneState)._fields
+        )
+        lanes = self.lanes * n_fields * 4
         chunks = tn.steps_per_pass // tn.steps_per_flush
         emission = chunks * self.lanes * 12
         payload_bytes = 8 if getattr(self, "_packed_payload", False) else 12

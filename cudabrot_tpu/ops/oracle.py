@@ -64,24 +64,34 @@ def draw_samples(key, n: int, dtype, domain=SAMPLE_DOMAIN):
     return cr, ci
 
 
-def classify(fractal: fractals.FractalMap, cr, ci, max_iterations: int):
+def classify(
+    fractal: fractals.FractalMap,
+    cr,
+    ci,
+    max_iterations: int,
+    visit_window: tuple | None = None,
+):
     """Escape-time classification (IterateMandelbrot, cudabrot.cu:319-340).
 
-    Returns (iters, escaped, trip): iters is the 0-based escape index for
-    escaped lanes and max_iterations for non-escaping lanes; trip is the
-    number of lockstep loop iterations actually executed (every lane,
-    escaped-and-frozen or not, occupies a vector slot for all of them —
-    the quantity comparable to the pallas engine's lane-steps).
+    Returns (iters, escaped, trip, visited): iters is the 0-based escape
+    index for escaped lanes and max_iterations for non-escaping lanes;
+    trip is the number of lockstep loop iterations actually executed
+    (every lane, escaped-and-frozen or not, occupies a vector slot for
+    all of them — the quantity comparable to the pallas engine's
+    lane-steps). ``visited`` tracks whether the trajectory entered
+    ``visit_window`` (the canvas emit filter); None when the window is
+    None.
     """
     n = cr.shape
     max_it = jnp.int32(max_iterations)
 
     def cond(carry):
-        i, zr, zi, iters, esc = carry
+        i = carry[0]
+        esc = carry[4]
         return (i < max_it) & jnp.any(~esc)
 
     def body(carry):
-        i, zr, zi, iters, esc = carry
+        i, zr, zi, iters, esc, vis = carry
         nzr, nzi = fractals.step(fractal, zr, zi, cr, ci)
         # Freeze escaped lanes so their state can't overflow to inf/nan and
         # so the loop's work is well-defined.
@@ -89,7 +99,13 @@ def classify(fractal: fractals.FractalMap, cr, ci, max_iterations: int):
         zi = jnp.where(esc, zi, nzi)
         esc_now = ~esc & fractals.escaped(zr, zi)
         iters = jnp.where(esc_now, i, iters)
-        return (i + 1, zr, zi, iters, esc | esc_now)
+        if visit_window is not None:
+            vx0, vx1, vy0, vy1 = visit_window
+            # Frozen lanes re-test their (escape) position — idempotent.
+            vis = vis | (
+                (zr >= vx0) & (zr < vx1) & (zi >= vy0) & (zi < vy1)
+            )
+        return (i + 1, zr, zi, iters, esc | esc_now, vis)
 
     init = (
         jnp.int32(0),
@@ -97,9 +113,10 @@ def classify(fractal: fractals.FractalMap, cr, ci, max_iterations: int):
         ci,
         jnp.full(n, max_it, dtype=jnp.int32),
         jnp.zeros(n, dtype=bool),
+        jnp.zeros(n, dtype=bool),
     )
-    trip, _, _, iters, esc = jax.lax.while_loop(cond, body, init)
-    return iters, esc, trip
+    trip, _, _, iters, esc, vis = jax.lax.while_loop(cond, body, init)
+    return iters, esc, trip, (vis if visit_window is not None else None)
 
 
 def replay_into(
@@ -204,7 +221,25 @@ def render_pass(hist, key, cfg: RenderConfig):
     # culled points are mathematically non-escaping so classifying them too
     # changes nothing but wasted work — mask them out of classification by
     # treating them as already-escaped-at--1.
-    iters, escaped, trip = classify(fractal, cr, ci, max_it)
+    visit_window = None
+    if cfg.options.emit_filter == "canvas":
+        # Canvas emit filter: only orbits whose trajectory entered the
+        # (one-pixel-inflated) canvas window are replayed — identical
+        # rendered measure, a fraction of the replay work on cropped
+        # canvases (see EngineOptions.emit_filter). classify and replay
+        # are separately compiled programs, so long chaotic f32 orbits
+        # can decorrelate between them (replay_into docstring); the
+        # inflation plus that documented statistically-invisible class
+        # covers the residual.
+        visit_window = (
+            canvas.min_real,
+            canvas.max_real + canvas.delta_real,
+            canvas.min_imag,
+            canvas.max_imag + canvas.delta_imag,
+        )
+    iters, escaped, trip, visited = classify(
+        fractal, cr, ci, max_it, visit_window
+    )
     if fractal.emit == "interior":
         # Anti-Buddhabrot: render the samples that do NOT escape within
         # the cap; classify leaves their iters at max_it, so the replay
@@ -213,6 +248,8 @@ def render_pass(hist, key, cfg: RenderConfig):
         in_band = ~escaped & ~culled
     else:
         in_band = escaped & ~culled & (iters >= min_it)
+    if visited is not None:
+        in_band = in_band & visited
 
     # Compact in-band samples to a small static batch before replay — the
     # reference's own two-pass structure (only band-passing samples reach

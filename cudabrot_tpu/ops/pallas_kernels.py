@@ -87,6 +87,8 @@ class LaneState(NamedTuple):
     it: jax.Array  # i32 completed updates of current sample
     sv: jax.Array  # i32 next Brent save index
     dead: jax.Array  # i32 1 => refill at next step (culled draw / initial)
+    vis: jax.Array  # i32 1 => trajectory entered the visit window
+    #                 (only maintained when the canvas emit filter is on)
 
 
 def init_lane_state(lane_rows: int) -> LaneState:
@@ -100,6 +102,7 @@ def init_lane_state(lane_rows: int) -> LaneState:
         # All lanes start dead: the first step of the first pass draws the
         # first real samples.
         dead=i(1),
+        vis=i(0),
     )
 
 
@@ -187,9 +190,25 @@ def _make_kernel(
     inner_unroll: int = 1,
     thin_tracking: bool = False,
     sample_domain: tuple = (-2.0, 2.0, -2.0, 2.0),
+    visit_window: tuple | None = None,
     _ablate: tuple = (),
 ):
     """Build the classify kernel body for a static configuration.
+
+    ``visit_window`` (x0, x1, y0, y1) enables the canvas emit filter:
+    the inner loop additionally tracks whether the orbit entered the
+    window, and only orbits that did are emitted (in_band &= visited).
+    Orbits that never visit contribute zero canvas mass, so gating
+    leaves the rendered measure untouched: false positives are harmless
+    (their replay deposits nothing), and against the device replay —
+    which re-executes the classify trajectory — false negatives cannot
+    happen either (the window is inflated one pixel over the binning
+    acceptance; bitwise equality asserted in tests/test_emit_filter).
+    The native host replay's own FMA contraction can decorrelate long
+    chaotic orbits from the kernel (the documented replay class,
+    ops/oracle.replay_into), so there a borderline non-visitor may have
+    deposited a few edge points — measured 6 counts of 384 and bounded
+    in tests. Requires thin tracking.
 
     ``_ablate`` is a benchmark-only hook (benchmarks/boundary_ablation.py)
     that strips named boundary stages ("prng", "cull", "stats", "emit",
@@ -218,23 +237,25 @@ def _make_kernel(
     fold_abs = fractal.fold_abs
     emit_interior = fractal.emit == "interior"
     n_windows = steps_per_flush // inner_unroll
+    if visit_window is not None and not thin_tracking:
+        raise ValueError("visit_window requires thin_tracking")
 
     def kernel(*refs):
         if rng != "bits":
             (seed_ref,
              _cr_i, _ci_i, _zr_i, _zi_i, _sr_i, _si_i, _it_i, _sv_i,
-             _dead_i,
+             _dead_i, _vis_i,
              cr_ref, ci_ref, zr_ref, zi_ref, sr_ref, si_ref, it_ref,
-             sv_ref, dead_ref,
+             sv_ref, dead_ref, vis_ref,
              emit_c_ref, emit_it_ref, stats_ref,
              pend_cr, pend_ci, pend_it, counters) = refs
             bits_ref = None
         else:
             (seed_ref, bits_ref,
              _cr_i, _ci_i, _zr_i, _zi_i, _sr_i, _si_i, _it_i, _sv_i,
-             _dead_i,
+             _dead_i, _vis_i,
              cr_ref, ci_ref, zr_ref, zi_ref, sr_ref, si_ref, it_ref,
-             sv_ref, dead_ref,
+             sv_ref, dead_ref, vis_ref,
              emit_c_ref, emit_it_ref, stats_ref,
              pend_cr, pend_ci, pend_it, counters) = refs
         chunk = pl.program_id(0)
@@ -277,7 +298,7 @@ def _make_kernel(
             vs ~55 for boundary work — so amortizing the boundary over U
             steps trades a little divergence idle (an escaped lane coasts
             to the window edge) for a much shorter instruction stream."""
-            (cr, ci, zr, zi, sr, si, it, sv, dead,
+            (cr, ci, zr, zi, sr, si, it, sv, dead, vis,
              p_cr, p_ci, p_it, n_drawn, n_cull, n_band, n_cyc, n_waste) = s
 
             # --- inner window: U orbit updates (cudabrot.cu:327-336) ---
@@ -299,6 +320,11 @@ def _make_kernel(
                 nesc = jnp.zeros_like(it)
                 r2 = azr * azr
                 i2 = azi * azi
+                if visit_window is not None:
+                    w_hit = jnp.zeros(azr.shape, bool)
+                    vx0, vx1, vy0, vy1 = (
+                        jnp.float32(v) for v in visit_window
+                    )
                 for _ in range(inner_unroll):
                     nzr = r2 - i2 + cr
                     if fold_abs:
@@ -315,6 +341,18 @@ def _make_kernel(
                     r2 = azr * azr
                     i2 = azi * azi
                     nesc = nesc + (r2 + i2 <= 4.0).astype(jnp.int32)
+                    if visit_window is not None:
+                        # Canvas emit filter: track window entry. Coast
+                        # positions after escape stay outside any window
+                        # within |z| <= 2 (escape is monotone growth) and
+                        # NaN compares false; beyond-|2| windows can only
+                        # gain harmless false positives.
+                        w_hit = w_hit | (
+                            (azr >= vx0) & (azr < vx1)
+                            & (azi >= vy0) & (azi < vy1)
+                        )
+                if visit_window is not None:
+                    vis = vis | w_hit.astype(jnp.int32)
                 esc_mask = nesc < jnp.int32(inner_unroll)
                 needed = it + nesc
                 if detect:
@@ -375,6 +413,8 @@ def _make_kernel(
                 # and ignored (models/fractals.FractalMap.emit).
                 esc_in_cap = esc_mask & (needed < max_i)
                 in_band = (cyc_mask | maxed) & ~esc_in_cap & ~deadb
+                if visit_window is not None:
+                    in_band = in_band & (vis != 0)
                 p_cr = jnp.where(in_band, cr, p_cr)
                 p_ci = jnp.where(in_band, ci, p_ci)
                 p_it = jnp.where(in_band, max_i - 1, p_it)
@@ -382,6 +422,11 @@ def _make_kernel(
                 in_band = (
                     esc_mask & ~deadb & (needed >= min_i) & (needed < max_i)
                 )
+                if visit_window is not None:
+                    # Canvas emit filter: only orbits that entered the
+                    # window are worth replaying (in_band now means
+                    # "emission-eligible"; the stat counts the gated set).
+                    in_band = in_band & (vis != 0)
                 p_cr = jnp.where(in_band, cr, p_cr)
                 p_ci = jnp.where(in_band, ci, p_ci)
                 p_it = jnp.where(in_band, needed, p_it)
@@ -470,6 +515,8 @@ def _make_kernel(
                 si = jnp.where(fin, jnp.float32(_BIG), si2)
                 sv = jnp.where(fin, jnp.int32(_SAVE0), sv2)
                 dead = jnp.where(fin, ncull.astype(jnp.int32), dead)
+                if visit_window is not None:
+                    vis = jnp.where(fin, 0, vis)
 
             if "stats" not in _ablate:
                 one = jnp.int32(1)
@@ -486,14 +533,14 @@ def _make_kernel(
                 n_waste = n_waste + jnp.where(
                     esc_mask & ~deadb, it_new - needed - 1, zero
                 )
-            return (cr, ci, zr, zi, sr, si, it, sv, dead,
+            return (cr, ci, zr, zi, sr, si, it, sv, dead, vis,
                     p_cr, p_ci, p_it, n_drawn, n_cull, n_band, n_cyc,
                     n_waste)
 
         carry = (
             cr_ref[...], ci_ref[...], zr_ref[...], zi_ref[...],
             sr_ref[...], si_ref[...], it_ref[...], sv_ref[...],
-            dead_ref[...],
+            dead_ref[...], vis_ref[...],
             pend_cr[...], pend_ci[...], pend_it[...],
             counters[STAT_DRAWN], counters[STAT_CULLED],
             counters[STAT_IN_BAND], counters[STAT_CYCLES],
@@ -502,7 +549,7 @@ def _make_kernel(
         carry = jax.lax.fori_loop(
             0, steps_per_flush // inner_unroll, step, carry
         )
-        (cr, ci, zr, zi, sr, si, it, sv, dead,
+        (cr, ci, zr, zi, sr, si, it, sv, dead, vis,
          p_cr, p_ci, p_it, n_drawn, n_cull, n_band, n_cyc, n_waste) = carry
 
         cr_ref[...] = cr
@@ -514,6 +561,7 @@ def _make_kernel(
         it_ref[...] = it
         sv_ref[...] = sv
         dead_ref[...] = dead
+        vis_ref[...] = vis
         counters[STAT_DRAWN] = n_drawn
         counters[STAT_CULLED] = n_cull
         counters[STAT_IN_BAND] = n_band
@@ -544,7 +592,7 @@ class ClassifyResult(NamedTuple):
     static_argnames=(
         "fractal", "min_it", "max_it", "steps_per_pass", "steps_per_flush",
         "cycle_detection", "interpret", "inner_unroll", "thin_tracking",
-        "rng", "sample_domain", "_ablate",
+        "rng", "sample_domain", "visit_window", "_ablate",
     ),
     donate_argnums=(0,),
 )
@@ -564,6 +612,7 @@ def classify_pass(
     thin_tracking: bool = False,
     rng: str | None = None,
     sample_domain: tuple = (-2.0, 2.0, -2.0, 2.0),
+    visit_window: tuple | None = None,
     _ablate: tuple = (),
 ) -> ClassifyResult:
     """Run one persistent-sampler classify pass of `steps_per_pass` lane
@@ -607,12 +656,14 @@ def classify_pass(
         inner_unroll=inner_unroll,
         thin_tracking=thin_tracking,
         sample_domain=sample_domain,
+        visit_window=visit_window,
         _ablate=_ablate,
     )
 
     f32 = jnp.float32
     i32 = jnp.int32
-    state_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
+    n_state = len(LaneState._fields)
+    state_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_state
     out_state_shapes = [
         jax.ShapeDtypeStruct(shape, f32),  # cr
         jax.ShapeDtypeStruct(shape, f32),  # ci
@@ -623,6 +674,7 @@ def classify_pass(
         jax.ShapeDtypeStruct(shape, i32),  # it
         jax.ShapeDtypeStruct(shape, i32),  # sv
         jax.ShapeDtypeStruct(shape, i32),  # dead
+        jax.ShapeDtypeStruct(shape, i32),  # vis
     ]
 
     seed = jnp.asarray(seed)
@@ -650,7 +702,7 @@ def classify_pass(
         inputs.append(bits.astype(jnp.uint32))
     in_specs.extend(state_specs)
     inputs.extend(state)
-    state_in_base = len(in_specs) - 9
+    state_in_base = len(in_specs) - n_state
 
     out = pl.pallas_call(
         kernel,
@@ -682,11 +734,14 @@ def classify_pass(
             pltpu.VMEM(shape, i32),  # pend_it
             pltpu.VMEM((STATS_ROWS,) + shape, i32),  # counters
         ],
-        input_output_aliases={state_in_base + i: i for i in range(9)},
+        input_output_aliases={state_in_base + i: i for i in range(n_state)},
         interpret=interpret,
     )(*inputs)
 
-    new_state = LaneState(*out[:9])
+    new_state = LaneState(*out[:n_state])
     return ClassifyResult(
-        state=new_state, emit_c=out[9], emit_it=out[10], stats=out[11]
+        state=new_state,
+        emit_c=out[n_state],
+        emit_it=out[n_state + 1],
+        stats=out[n_state + 2],
     )

@@ -89,6 +89,8 @@ class ExtLaneState(NamedTuple):
     it: jax.Array  # i32 completed updates of current sample
     sv: jax.Array  # i32 next Brent save index
     dead: jax.Array  # i32 1 => refill at next step (culled draw / initial)
+    vis: jax.Array  # i32 1 => trajectory entered the visit window
+    #                 (only maintained when the canvas emit filter is on)
 
 
 def init_ext_lane_state(lane_rows: int) -> ExtLaneState:
@@ -102,6 +104,7 @@ def init_ext_lane_state(lane_rows: int) -> ExtLaneState:
         sr=f(_BIG), si=f(_BIG),
         it=i(0), sv=i(_SAVE0),
         dead=i(1),
+        vis=i(0),
     )
 
 
@@ -129,6 +132,7 @@ def _make_kernel_ext(
     rng: str,
     inner_unroll: int,
     sample_domain: tuple,
+    visit_window: tuple | None = None,
 ):
     """Build the extended-precision classify kernel body. Mirrors
     pallas_kernels._make_kernel's boundary semantics (termination, band
@@ -150,7 +154,7 @@ def _make_kernel_ext(
              *_ins,
              kr_ref, ki_ref, crh_ref, crl_ref, cih_ref, cil_ref,
              zr_ref, zrl_ref, zi_ref, zil_ref, sr_ref, si_ref,
-             it_ref, sv_ref, dead_ref,
+             it_ref, sv_ref, dead_ref, vis_ref,
              emit_c_ref, emit_it_ref, stats_ref,
              pend_kr, pend_ki, pend_it, counters) = refs
             bits_ref = None
@@ -159,7 +163,7 @@ def _make_kernel_ext(
              *_ins,
              kr_ref, ki_ref, crh_ref, crl_ref, cih_ref, cil_ref,
              zr_ref, zrl_ref, zi_ref, zil_ref, sr_ref, si_ref,
-             it_ref, sv_ref, dead_ref,
+             it_ref, sv_ref, dead_ref, vis_ref,
              emit_c_ref, emit_it_ref, stats_ref,
              pend_kr, pend_ki, pend_it, counters) = refs
         chunk = pl.program_id(0)
@@ -202,7 +206,7 @@ def _make_kernel_ext(
 
         def step(widx, s):
             (kr, ki, crh, crl, cih, cil,
-             zr, zrl, zi, zil, sr, si, it, sv, dead,
+             zr, zrl, zi, zil, sr, si, it, sv, dead, vis,
              p_kr, p_ki, p_it,
              n_drawn, n_cull, n_band, n_cyc, n_waste) = s
 
@@ -211,6 +215,11 @@ def _make_kernel_ext(
             # pallas_kernels._make_kernel (precision-independent) ---
             azr, azrl, azi, azil = zr, zrl, zi, zil
             nesc = jnp.zeros_like(it)
+            if visit_window is not None:
+                w_hit = jnp.zeros(azr.shape, bool)
+                vx0, vx1, vy0, vy1 = (
+                    jnp.float32(v) for v in visit_window
+                )
             for _ in range(inner_unroll):
                 azr, azrl, azi, azil, mag2 = df32.complex_sqr_add(
                     azr, azrl, azi, azil, crh, crl, cih, cil, rtz,
@@ -219,6 +228,17 @@ def _make_kernel_ext(
                 # `<= 4` so the NaNs an escaped lane coasts into keep
                 # counting as escaped.
                 nesc = nesc + (mag2 <= 4.0).astype(jnp.int32)
+                if visit_window is not None:
+                    # Canvas emit filter on hi components: the engine
+                    # inflates the window past the hi-only slop and the
+                    # f64-replay drift, so only harmless false positives
+                    # occur (pallas_engine visit_window).
+                    w_hit = w_hit | (
+                        (azr >= vx0) & (azr < vx1)
+                        & (azi >= vy0) & (azi < vy1)
+                    )
+            if visit_window is not None:
+                vis = vis | w_hit.astype(jnp.int32)
             esc_mask = nesc < jnp.int32(inner_unroll)
             needed = it + nesc
             if detect:
@@ -236,6 +256,8 @@ def _make_kernel_ext(
             if emit_interior:
                 esc_in_cap = esc_mask & (needed < max_i)
                 in_band = (cyc_mask | maxed) & ~esc_in_cap & ~deadb
+                if visit_window is not None:
+                    in_band = in_band & (vis != 0)
                 p_kr = jnp.where(in_band, kr, p_kr)
                 p_ki = jnp.where(in_band, ki, p_ki)
                 p_it = jnp.where(in_band, max_i - 1, p_it)
@@ -243,6 +265,8 @@ def _make_kernel_ext(
                 in_band = (
                     esc_mask & ~deadb & (needed >= min_i) & (needed < max_i)
                 )
+                if visit_window is not None:
+                    in_band = in_band & (vis != 0)
                 p_kr = jnp.where(in_band, kr, p_kr)
                 p_ki = jnp.where(in_band, ki, p_ki)
                 p_it = jnp.where(in_band, needed, p_it)
@@ -337,6 +361,8 @@ def _make_kernel_ext(
             si = jnp.where(fin, jnp.float32(_BIG), si2)
             sv = jnp.where(fin, jnp.int32(_SAVE0), sv2)
             dead = jnp.where(fin, ncull.astype(jnp.int32), dead)
+            if visit_window is not None:
+                vis = jnp.where(fin, 0, vis)
 
             one = jnp.int32(1)
             zero = jnp.int32(0)
@@ -350,7 +376,7 @@ def _make_kernel_ext(
                 esc_mask & ~deadb, it_new - needed - 1, zero
             )
             return (kr, ki, crh, crl, cih, cil,
-                    zr, zrl, zi, zil, sr, si, it, sv, dead,
+                    zr, zrl, zi, zil, sr, si, it, sv, dead, vis,
                     p_kr, p_ki, p_it,
                     n_drawn, n_cull, n_band, n_cyc, n_waste)
 
@@ -359,7 +385,7 @@ def _make_kernel_ext(
             crh_ref[...], crl_ref[...], cih_ref[...], cil_ref[...],
             zr_ref[...], zrl_ref[...], zi_ref[...], zil_ref[...],
             sr_ref[...], si_ref[...], it_ref[...], sv_ref[...],
-            dead_ref[...],
+            dead_ref[...], vis_ref[...],
             pend_kr[...], pend_ki[...], pend_it[...],
             counters[STAT_DRAWN], counters[STAT_CULLED],
             counters[STAT_IN_BAND], counters[STAT_CYCLES],
@@ -369,7 +395,7 @@ def _make_kernel_ext(
             0, steps_per_flush // inner_unroll, step, carry
         )
         (kr, ki, crh, crl, cih, cil,
-         zr, zrl, zi, zil, sr, si, it, sv, dead,
+         zr, zrl, zi, zil, sr, si, it, sv, dead, vis,
          p_kr, p_ki, p_it,
          n_drawn, n_cull, n_band, n_cyc, n_waste) = carry
 
@@ -388,6 +414,7 @@ def _make_kernel_ext(
         it_ref[...] = it
         sv_ref[...] = sv
         dead_ref[...] = dead
+        vis_ref[...] = vis
         counters[STAT_DRAWN] = n_drawn
         counters[STAT_CULLED] = n_cull
         counters[STAT_IN_BAND] = n_band
@@ -417,7 +444,7 @@ class ExtClassifyResult(NamedTuple):
     static_argnames=(
         "fractal", "min_it", "max_it", "steps_per_pass", "steps_per_flush",
         "cycle_detection", "interpret", "inner_unroll", "rng",
-        "sample_domain",
+        "sample_domain", "visit_window",
     ),
     donate_argnums=(0,),
 )
@@ -436,6 +463,7 @@ def classify_pass_ext(
     inner_unroll: int = 1,
     rng: str | None = None,
     sample_domain: tuple = (-2.0, 2.0, -2.0, 2.0),
+    visit_window: tuple | None = None,
 ) -> ExtClassifyResult:
     """Extended-precision classify pass: same contract as
     pallas_kernels.classify_pass with df32 orbit state and grid-index
@@ -465,6 +493,7 @@ def classify_pass_ext(
         rng=rng,
         inner_unroll=inner_unroll,
         sample_domain=sample_domain,
+        visit_window=visit_window,
     )
 
     f32 = jnp.float32
@@ -472,7 +501,9 @@ def classify_pass_ext(
     n_state = len(ExtLaneState._fields)
     state_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_state
     out_state_shapes = [
-        jax.ShapeDtypeStruct(shape, i32 if f in ("it", "sv", "dead") else f32)
+        jax.ShapeDtypeStruct(
+            shape, i32 if f in ("it", "sv", "dead", "vis") else f32
+        )
         for f in ExtLaneState._fields
     ]
 

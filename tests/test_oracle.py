@@ -24,7 +24,7 @@ def test_classify_matches_scalar(fractal_name):
     cr, ci = _samples(512)
     fm = fractals.get_fractal(fractal_name)
     max_it = 64
-    iters, escaped, _trip = oracle.classify(
+    iters, escaped, _trip, _vis = oracle.classify(
         fm, jnp.asarray(cr, jnp.float64), jnp.asarray(ci, jnp.float64), max_it
     )
     iters = np.asarray(iters)
