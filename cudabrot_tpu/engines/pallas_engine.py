@@ -50,15 +50,10 @@ STAT_KEYS = (
     "iters", "points", "cycles", "wasted",
 )
 
-#: Measured cost multiplier of one extended-precision (df32) inner step
-#: relative to the f32 thin step: raw rates on the attached v5e at
-#: U=16/threefry were 1.84e11 (f32) vs 1.83e10 (df32) lane-steps/s —
-#: 10.05x, matching the ~90-vs-10 VPU op count (2 df sqr + 1 df mul +
-#: 3 df adds + sealing — ops/df32.py). Feeds the window/pass-geometry
-#: model only.
-EXTENDED_STEP_FACTOR = 10.0
-#: Extended boundary factor: 15 refill selects (vs 9) plus the df32
-#: center-add per refill.
+#: Extended boundary factor: 16 refill selects (vs 10) plus the df32
+#: center-add per refill. The inner-step multiplier lives in
+#: utils.calibration (extended_step_factor, measured 10.05x on v5e;
+#: re-measurable via tools/calibrate.py --extended).
 EXTENDED_BOUNDARY_FACTOR = 1.5
 
 
@@ -192,9 +187,9 @@ class Tuning:
         # for exact-parity experiments (per-step cycle checks,
         # first-crossing indices).
         self.thin_tracking = o.escape_tracking != "step"
-        #: Extended (df32) deep-zoom iteration: ~9x heavier inner steps
-        #: (EXTENDED_STEP_FACTOR) shift the window/pass geometry; always
-        #: thin tracking (enforced by EngineOptions.validate).
+        #: Extended (df32) deep-zoom iteration: ~10x heavier inner
+        #: steps (calibration.extended_step_factor) shift the window/
+        #: pass geometry; always thin tracking (EngineOptions.validate).
         self.extended = o.precision == "extended"
         if o.inner_unroll > 0:
             self.inner_unroll = o.inner_unroll
@@ -209,7 +204,7 @@ class Tuning:
             # larger buffers).
             c_i, c_b = _step_cost(self.thin_tracking, o.refill_rng)
             if self.extended:
-                c_i *= EXTENDED_STEP_FACTOR
+                c_i *= calibration.active().extended_step_factor
                 c_b *= EXTENDED_BOUNDARY_FACTOR
             candidates = (
                 (1, 2, 4, 8, 16, 32) if self.thin_tracking else (1, 2, 4, 8)
@@ -271,7 +266,7 @@ class Tuning:
         # solve (auto_device_share).
         c_i, c_b = _step_cost(self.thin_tracking, o.refill_rng)
         if self.extended:
-            c_i *= EXTENDED_STEP_FACTOR
+            c_i *= calibration.active().extended_step_factor
             c_b *= EXTENDED_BOUNDARY_FACTOR
         self.classify_seconds = (
             self.steps_per_pass * lanes * (c_i + c_b / self.inner_unroll)

@@ -42,6 +42,12 @@ class Calibration:
     step_cost_step: tuple[float, float] = (7.2e-12, 3.7e-11)
     step_cost_thin_threefry: tuple[float, float] = (2.3e-12, 5.0e-11)
     step_cost_thin_hardware: tuple[float, float] = (1.7e-12, 3.9e-11)
+    #: Extended-precision (df32) inner-step cost multiplier over the f32
+    #: thin step (feeds the deep-zoom pass geometry, pallas_engine
+    #: Tuning). Default is the v5e measurement: raw 1.84e11 (f32) vs
+    #: 1.83e10 (df32) lane-steps/s at U=16 — 10.05x (PERF_NOTES
+    #: "Extended precision"); tools/calibrate.py --extended re-measures.
+    extended_step_factor: float = 10.0
     #: Native host replay points/s on an LLC-resident histogram
     #: (auto replay routing) and on a DRAM-bound production canvas
     #: (hybrid-share solve, pallas_engine.Tuning.auto_device_share).

@@ -108,6 +108,64 @@ def _fit_step_cost(mode: str) -> tuple[float, float]:
     return c_i, c_b
 
 
+def _measure_extended_rate(unroll: int, passes: int = 6) -> float:
+    """Raw df32 (extended-precision) classify lane-steps/s at window
+    size ``unroll`` — slope methodology like _measure_classify_rate."""
+    import jax
+    import jax.numpy as jnp
+
+    from cudabrot_tpu.models import fractals
+    from cudabrot_tpu.ops import pallas_kernels_ext as pke
+
+    fractal = fractals.get_fractal("buddhabrot")
+    lane_rows = 64
+    lanes = lane_rows * 128
+    steps = 1 << 15
+    flush = 1 << 12
+    interpret = jax.default_backend() != "tpu"
+    # A deep sample window — the mode's actual workload shape.
+    cx, cy = -0.743643887037151, 0.131825904205330
+    win = (cx - 5e-6, cx + 5e-6, cy - 5e-6, cy + 5e-6)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step_fn(state, pass_index):
+        seed = jax.random.bits(
+            jax.random.fold_in(jax.random.key(1337), pass_index),
+            (2,), jnp.uint32,
+        )
+        r = pke.classify_pass_ext(
+            pke.ExtLaneState(*state), seed, None,
+            fractal=fractal,
+            min_it=500, max_it=20000,
+            steps_per_pass=steps,
+            steps_per_flush=flush,
+            cycle_detection=True, interpret=interpret,
+            inner_unroll=unroll,
+            rng="threefry",
+            sample_domain=win,
+        )
+        return tuple(r.state), jnp.sum(r.emit_it) + jnp.sum(r.stats)
+
+    def run(n: int, offset: int) -> float:
+        import jax.numpy as jnp
+
+        state = tuple(pke.init_ext_lane_state(lane_rows))
+        acc = None
+        for p in range(2):
+            state, acc = step_fn(state, p + offset)
+        _ = float(jnp.asarray(acc).sum())
+        t0 = time.perf_counter()
+        for p in range(n):
+            state, acc = step_fn(state, 100 + p + offset)
+        _ = float(jnp.asarray(acc).sum())
+        return time.perf_counter() - t0
+
+    t1 = run(passes, 0)
+    t2 = run(2 * passes, 1000)
+    dt = max(t2 - t1, 1e-9)
+    return passes * steps * lanes / dt
+
+
 def _synthetic_batch(n: int, max_it: int, min_it: int, seed: int = 0):
     """In-band escaping samples classified with the vectorized oracle.
 
@@ -210,6 +268,9 @@ def main(argv=None) -> int:
     ap.add_argument("--big-canvas", default="16000x12000")
     ap.add_argument("--modes", default="thin_threefry",
                     help="comma list: thin_threefry, step, thin_hardware")
+    ap.add_argument("--extended", action="store_true",
+                    help="also measure the df32 deep-zoom inner-step "
+                    "cost multiplier (extended_step_factor)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -248,6 +309,26 @@ def main(argv=None) -> int:
         if mode not in field_by_mode:
             raise SystemExit(f"unknown mode {mode!r}")
         updates[field_by_mode[mode]] = _fit_step_cost(mode)
+
+    if args.extended:
+        # Fit the df32 (c_inner, c_boundary) like _fit_step_cost, then
+        # express the INNER-step cost as a multiplier over the f32 thin
+        # fit (a plain U=16 rate ratio conflates boundary amortization:
+        # measured 4.2x rate ratio where the true c_i ratio is ~10x).
+        r4 = _measure_extended_rate(4)
+        r16 = _measure_extended_rate(16)
+        inv4, inv16 = 1.0 / r4, 1.0 / r16
+        cb_ext = max((inv4 - inv16) / (1.0 / 4 - 1.0 / 16), 0.0)
+        ci_ext = max(inv16 - cb_ext / 16, 1e-13)
+        ci_f32 = updates.get(
+            "step_cost_thin_threefry",
+            calibration.active().step_cost_thin_threefry,
+        )[0]
+        factor = max(ci_ext / max(ci_f32, 1e-13), 1.0)
+        updates["extended_step_factor"] = factor
+        print(f"  extended (df32): U=4 {r4:.3e} U=16 {r16:.3e} steps/s "
+              f"-> c_inner {ci_ext:.2e} ({factor:.1f}x f32) "
+              f"c_boundary {cb_ext:.2e}")
 
     if native.available():
         # The worker's auto thread resolution defines the effective rate.
