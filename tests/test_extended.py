@@ -566,6 +566,32 @@ def test_extended_burning_ship():
     assert mismatched <= max(2, 0.04 * checked), (mismatched, checked)
 
 
+def test_extended_interior_mode():
+    """Anti-Buddhabrot (interior emission) under df32: every emission
+    replays exactly max_it points (iters == max_it - 1), like the f32
+    kernel's interior contract."""
+    fr = fractals.get_fractal("anti-buddhabrot")
+    state = pke.init_ext_lane_state(8)
+    res = pke.classify_pass_ext(
+        state,
+        jnp.asarray([1, 2], jnp.uint32),
+        None,
+        fractal=fr,
+        min_it=0,
+        max_it=64,
+        steps_per_pass=1024,
+        steps_per_flush=64,
+        inner_unroll=4,
+        rng="threefry",
+        sample_domain=(-2.0, 2.0, -2.0, 2.0),
+        interpret=True,
+    )
+    emit = np.asarray(res.emit_it)
+    got = emit[emit >= 0]
+    assert got.size > 100
+    assert np.all(got == 63)
+
+
 def test_extended_rejects_device_share():
     win = _window(2e-7)
     with pytest.raises(ConfigError, match="replay-device-share"):
