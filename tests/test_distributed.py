@@ -222,3 +222,78 @@ def test_sigint_on_nonprimary_stops_distributed_render(tmp_path):
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, (out[-1000:], err[-2000:])
     assert "Buddhabrot passes took" in outs[0][0]
+
+
+def test_two_processes_extended_match_single_process(tmp_path):
+    """Extended-precision (df32) multi-process rendering: the 16-array
+    ext lane state and the runtime df32 constant vector must build and
+    shard across processes exactly like the f32 state (bitwise equality
+    with the single-process run)."""
+    cx, cy = -0.75, 0.055
+    win = f"{cx-5e-7!r},{cx+5e-7!r},{cy-5e-7!r},{cy+5e-7!r}"
+
+    def args(out_dir: str) -> list[str]:
+        return [
+            "-w", "32", "-h", "32", "-m", "400", "-c", "20",
+            "--passes", "2", "-t", "-1",
+            "--engine", "pallas", "--precision", "extended",
+            "--replay", "device",
+            "--sample-domain", win,
+            "--lane-rows", "8", "--steps-per-pass", "256",
+            "--replay-capacity", "4096",
+            "--devices", "all",
+            "-o", os.path.join(out_dir, "out.pgm"),
+            "-s", os.path.join(out_dir, "state.ckpt"),
+        ]
+
+    base_env = dict(os.environ)
+    base_env["PYTHONPATH"] = REPO + os.pathsep + base_env.get(
+        "PYTHONPATH", ""
+    )
+    base_env.pop("CUDABROT_COORDINATOR", None)
+
+    single_dir = tmp_path / "single"
+    single_dir.mkdir()
+    res = _run(["8", *args(str(single_dir))], base_env)
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    multi_dir = tmp_path / "multi"
+    multi_dir.mkdir()
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(base_env)
+        env["CUDABROT_COORDINATOR"] = f"127.0.0.1:{port}"
+        env["CUDABROT_NUM_PROCESSES"] = "2"
+        env["CUDABROT_PROCESS_ID"] = str(pid)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", CHILD, "4",
+                 *args(str(multi_dir))],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, (out[-1000:], err[-2000:])
+
+    from cudabrot_tpu.config import (
+        Canvas,
+        EngineOptions,
+        IterationBand,
+        RenderConfig,
+    )
+    from cudabrot_tpu.io import checkpoint as ckpt
+
+    cfg = RenderConfig(
+        canvas=Canvas(width=32, height=32),
+        band=IterationBand(max_escape_iterations=400,
+                           min_escape_iterations=20),
+        sample_domain=(cx - 5e-7, cx + 5e-7, cy - 5e-7, cy + 5e-7),
+        options=EngineOptions(precision="extended"),
+    )
+    h_single, _ = ckpt.load(str(single_dir / "state.ckpt"), cfg)
+    h_multi, _ = ckpt.load(str(multi_dir / "state.ckpt"), cfg)
+    assert h_single.sum() > 0
+    np.testing.assert_array_equal(h_multi, h_single)
