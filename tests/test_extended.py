@@ -566,6 +566,45 @@ def test_extended_burning_ship():
     assert mismatched <= max(2, 0.04 * checked), (mismatched, checked)
 
 
+def test_extended_bits_injection_exact_grid():
+    """rng='bits' drives the ext kernel with exact known randomness: the
+    initial dead-lane refill must install kr/ki = bits >> 8 and the df32
+    c = center (+) (k - 2^23) * step, bit-exactly."""
+    win = _window(2e-7)
+    fr = fractals.get_fractal("buddhabrot")
+    rows = 2
+    rng = np.random.default_rng(11)
+    bits = rng.integers(0, 1 << 32, size=(1, 4, 2, rows, 128), dtype=np.uint64)
+    bits = jnp.asarray(bits.astype(np.uint32))
+    res = pke.classify_pass_ext(
+        pke.init_ext_lane_state(rows),
+        jnp.asarray([0, 0], jnp.uint32),
+        bits,
+        fractal=fr,
+        min_it=5,
+        max_it=1 << 20,  # nobody re-finishes after the initial refill
+        steps_per_pass=16,
+        steps_per_flush=16,
+        inner_unroll=4,
+        rng="bits",
+        sample_domain=win,
+        interpret=True,
+    )
+    want_kr = np.asarray(bits[0, 0, 0] >> 8).astype(np.float32)
+    want_ki = np.asarray(bits[0, 0, 1] >> 8).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(res.state.kr), want_kr)
+    np.testing.assert_array_equal(np.asarray(res.state.ki), want_ki)
+    # df32 c reconstruction: center (+) off with one f32 rounding on off.
+    c0r, c0i, step_r, step_i = pke.grid_params(win)
+    two23 = np.float32(8388608.0)
+    off_r = (want_kr - two23) * np.float32(step_r)
+    hi, lo = df32.add_f(
+        jnp.float32(c0r[0]), jnp.float32(c0r[1]), jnp.asarray(off_r)
+    )
+    np.testing.assert_array_equal(np.asarray(res.state.crh), np.asarray(hi))
+    np.testing.assert_array_equal(np.asarray(res.state.crl), np.asarray(lo))
+
+
 def test_extended_interior_mode():
     """Anti-Buddhabrot (interior emission) under df32: every emission
     replays exactly max_it points (iters == max_it - 1), like the f32
