@@ -86,6 +86,11 @@ TPU-native extensions:
              the sample grid proportionally (useful for deep crops)
              — but note only orbits SEEDED inside the window are
              rendered, so this is not a plain crop of the full image.
+  --center <re,im> / --span <s>: zoom shorthand — one window centered
+             at re+im*i with real extent s (imag extent scaled by the
+             h/w pixel aspect) becomes BOTH the canvas bounds and the
+             sample domain. The deep-zoom spelling:
+             --precision extended --center -0.743644,0.131826 --span 1e-5
   --engine <name>: auto (default), pallas, or oracle.
   --scatter <name>: histogram accumulation backend: auto (default)
              or xla.
@@ -225,6 +230,8 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
         "progress_interval": 0.0,
         "profile_dir": None,
         "sample_domain": None,
+        "center": None,
+        "span": None,
     }
     opt = {}
     extras = CliExtras()
@@ -332,6 +339,23 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
                     f"Invalid number given to argument {arg}: {raw}"
                 ) from None
             i += 2
+        elif arg == "--center":
+            raw = _parse_str(argv, i, "Missing center.")
+            parts = raw.split(",")
+            if len(parts) != 2:
+                raise CliError(f"Invalid center (need re,im): {raw}")
+            try:
+                vals["center"] = tuple(float(p) for p in parts)
+            except ValueError:
+                raise CliError(
+                    f"Invalid number given to argument {arg}: {raw}"
+                ) from None
+            i += 2
+        elif arg == "--span":
+            vals["span"] = _parse_float(argv, i)
+            if vals["span"] <= 0:
+                raise CliError("Span must be positive.")
+            i += 2
         elif arg == "--engine":
             opt["engine"] = _parse_str(argv, i, "Missing engine name.")
             i += 2
@@ -422,6 +446,22 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
         else:
             raise CliError(f"Invalid argument: {arg}")
 
+    if (vals["center"] is None) != (vals["span"] is None):
+        raise CliError("--center and --span must be given together.")
+    if vals["center"] is not None:
+        # Zoom shorthand: one window centered at --center with real
+        # extent --span (imag extent scaled by the pixel aspect) becomes
+        # BOTH the canvas bounds and the sample domain — the deep-zoom
+        # configuration the long-flag spelling needs 8 coordinated
+        # values for. Explicit bound/domain flags are overridden.
+        cx, cy = vals["center"]
+        half_r = vals["span"] / 2.0
+        half_i = half_r * vals["h"] / vals["w"]
+        vals["min_real"], vals["max_real"] = cx - half_r, cx + half_r
+        vals["min_imag"], vals["max_imag"] = cy - half_i, cy + half_i
+        vals["sample_domain"] = (
+            cx - half_r, cx + half_r, cy - half_i, cy + half_i
+        )
     try:
         from cudabrot_tpu.config import SAMPLE_DOMAIN
 

@@ -174,3 +174,31 @@ def test_unknown_fractal_is_clean_cli_error(capsys):
     assert rc == 0  # parity: argument errors print usage and exit 0
     assert "Unknown fractal" in out
     assert "Usage:" in out
+
+
+def test_center_span_zoom_shorthand():
+    cfg, _ = cli.parse_args(
+        ["-w", "400", "-h", "300", "--center", "-0.5,0.25",
+         "--span", "0.02"]
+    )
+    assert cfg.canvas.min_real == -0.51 and cfg.canvas.max_real == -0.49
+    # Imag extent scales by the 300/400 pixel aspect.
+    assert abs(cfg.canvas.max_imag - cfg.canvas.min_imag - 0.015) < 1e-12
+    assert abs((cfg.canvas.max_imag + cfg.canvas.min_imag) / 2 - 0.25) < 1e-12
+    assert cfg.sample_domain == (
+        cfg.canvas.min_real, cfg.canvas.max_real,
+        cfg.canvas.min_imag, cfg.canvas.max_imag,
+    )
+
+
+def test_center_requires_span():
+    import pytest
+
+    with pytest.raises(cli.CliError, match="together"):
+        cli.parse_args(["--center", "0,0"])
+    with pytest.raises(cli.CliError, match="together"):
+        cli.parse_args(["--span", "0.1"])
+    with pytest.raises(cli.CliError, match="center"):
+        cli.parse_args(["--center", "1.0", "--span", "0.1"])
+    with pytest.raises(cli.CliError, match="positive"):
+        cli.parse_args(["--center", "0,0", "--span", "-1"])
