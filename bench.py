@@ -122,6 +122,14 @@ def measure(cfg, seconds: float, n_segments: int = 5) -> dict:
         w = engine._worker
         out["worker_fetch_seconds"] = round(w.fetch_seconds, 3)
         out["worker_replay_seconds"] = round(w.replay_seconds, 3)
+        # Release the worker's thread pools and accumulator so earlier
+        # measurements don't contend with later ones (the deep-zoom line
+        # measured 40% low when run after the fine band without this).
+        w.close()
+    del state
+    import gc
+
+    gc.collect()
     return out
 
 
@@ -183,7 +191,11 @@ def main() -> int:
     # "Deep zoom"; PERF_NOTES "Extended precision"). The unit is the
     # same complex-iterations/s (one df32 step is ~10x the VPU work of
     # an f32 step, so compare round-over-round, not against the
-    # headline).
+    # headline). This line is the most tunnel-sensitive of the four:
+    # measured 2.3-5.5e9 across same-code runs with uniform-slow
+    # whole-runs (shared-tunnel drift, not in-process contamination —
+    # a fine-then-deep bisect measured 5.1e9) — judge it against its
+    # own segment_rates, not a single round's median.
     _cx, _cy = -0.743643887037151, 0.131825904205330
     _span = 1e-5
     deep_cfg = RenderConfig(
