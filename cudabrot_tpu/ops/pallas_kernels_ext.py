@@ -38,9 +38,18 @@ Differences from the f32 kernel, all precision-driven:
     ~2^-24, and points that close to the cardioid have escape times
     beyond any practical cap — they classify interior either way.
 
-The kernel seals df32 products with a runtime zero read from the seed
-SMEM ref (word 2) — see ops/df32.py's module docstring for why a
-literal 0.0 would not survive the compiler.
+The kernel seals df32 products with a runtime zero read from a
+dedicated f32 SMEM operand — see ops/df32.py's module docstring for why
+a literal 0.0 would not survive the compiler.
+
+Cross-backend: the refill sample STREAM is bit-identical on CPU and TPU
+(Threefry counters), and the df32 EFT chains are compiler-hardened, but
+the f32 escape test (mag2 = nzr*nzr + nzi*nzi on hi parts) may
+FMA-contract differently per backend, flipping borderline escape
+windows — measured 941 (interpret) vs 932 (silicon) emissions on a
+2e-7 window at identical seeds, both matching float64 ground truth at
+the same ~98% exact rate. Same-backend runs are bitwise deterministic;
+cross-backend equivalence is statistical (the golden-suite contract).
 """
 
 from __future__ import annotations
