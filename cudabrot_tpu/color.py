@@ -243,7 +243,8 @@ Options:
   --mode <rgb|hsl>: combination mode. Default rgb (README.md recipe);
         hsl follows generate_hires_color_image.sh.
   -o <output>: output PNG file name. Default color_output.png.
-  -w/-h, --min-real/--max-real/--min-imag/--max-imag: canvas, as in the
+  -w/-h, --min-real/--max-real/--min-imag/--max-imag, --center/--span:
+        canvas (and zoom-shorthand window), as in the
         main command.
   --band <key:max:min:gamma:seconds>: override one band. Keys are
         blue/lime/red (rgb) or H/S/L (hsl). Repeatable.
@@ -298,7 +299,7 @@ def main(argv: list[str]) -> int:
             out_path = _val("Missing output file name.")
             i += 2
         elif arg in ("-w", "-h", "--min-real", "--max-real", "--min-imag",
-                     "--max-imag"):
+                     "--max-imag", "--center", "--span"):
             canvas_args += [arg, _val(f"Argument {arg} needs a value.")]
             i += 2
         elif arg in ("--engine", "--scatter", "--seed", "--devices",
