@@ -192,6 +192,7 @@ uint64_t ReplayBlockF64(const double* cr, const double* ci,
 struct ThreadResult {
   uint64_t hits = 0;
   uint64_t points = 0;
+  uint64_t lost = 0;  // MH replay only: weight with zero on-canvas points
 };
 
 #if defined(__AVX512F__)
@@ -616,6 +617,169 @@ int64_t ReplayScatterImpl(const SampleT* cr, const SampleT* ci,
   return static_cast<int64_t>(hits);
 }
 
+// Weighted (Metropolis-Hastings) replay. Each emission is one chain
+// tenure: a sample c retained for `rep` chain steps, each of whose
+// on-canvas orbit points must receive weight rep * scale / v — where v
+// is the CLASSIFY KERNEL's in-window count, shipped in the payload,
+// because it is the number that drove the chain's acceptance (dividing
+// by this replay's own count instead would tilt the estimator by
+// E[v_kernel / v_replay] != 1 wherever the two f32 trajectories
+// decorrelate — cudabrot_tpu/ops/pallas_kernels_mh.py). The weight is
+// spread as a Bresenham integer walk: point k gets
+// floor((k+1)*W/v) - floor(k*W/v) with W = rep*scale, so every point
+// is within one 1/scale unit of the exact rational weight, the
+// per-emission total is floor(n_points*W/v) exactly, and the
+// accumulation stays pure integer (deterministic, mergeable across the
+// per-thread private histograms). Emissions whose replay trajectory
+// deposits nothing forfeit their intended mass into `lost` so the
+// accounting stays visible.
+template <bool kBurningShip, typename HistT>
+void ReplayRangeMh(const float* cr, const float* ci, const int32_t* iters,
+                   const int32_t* reps, const int32_t* vks, int64_t begin,
+                   int64_t end, const Canvas& cv, uint32_t scale,
+                   HistT* hist, ThreadResult* out,
+                   std::vector<int32_t>& bins) {
+  const float min_r = static_cast<float>(cv.min_real);
+  const float min_i = static_cast<float>(cv.min_imag);
+  const float inv_dr = static_cast<float>(1.0 / cv.delta_real);
+  const float inv_di = static_cast<float>(1.0 / cv.delta_imag);
+  for (int64_t i = begin; i < end; ++i) {
+    const int32_t limit = iters[i];
+    if (limit < 0) continue;
+    out->points += static_cast<uint64_t>(limit) + 1;
+    bins.clear();
+    float zr = cr[i], zi = ci[i];
+    for (int32_t s = 0; s <= limit; ++s) {
+      float r = zr, im = zi;
+      if (kBurningShip) {
+        r = r < 0 ? -r : r;
+        im = im < 0 ? -im : im;
+      }
+      const float nr = r * r - im * im + cr[i];
+      const float ni = 2.0f * r * im + ci[i];
+      zr = nr;
+      zi = ni;
+      // Low-boundary guard before the truncating divide
+      // (cudabrot.cu:305-310).
+      if (nr < min_r || ni < min_i) continue;
+      const int32_t col = static_cast<int32_t>((nr - min_r) * inv_dr);
+      const int32_t row = static_cast<int32_t>((ni - min_i) * inv_di);
+      if (row >= 0 && row < cv.h && col >= 0 && col < cv.w) {
+        bins.push_back(row * cv.w + col);
+      }
+    }
+    const uint64_t n = bins.size();
+    const uint64_t w =
+        static_cast<uint64_t>(reps[i]) * static_cast<uint64_t>(scale);
+    const uint64_t v = vks[i] > 0 ? static_cast<uint64_t>(vks[i])
+                                  : std::max<uint64_t>(n, 1);
+    if (n == 0) {
+      out->lost += w;
+      continue;
+    }
+    // Bresenham spread of W/v per point: base + carry walk, no
+    // per-point division.
+    const HistT base = static_cast<HistT>(w / v);
+    const uint64_t rem = w % v;
+    uint64_t err = 0;
+    uint64_t total = 0;
+    for (uint64_t k = 0; k < n; ++k) {
+      err += rem;
+      HistT d = base;
+      if (err >= v) {
+        err -= v;
+        d += 1;
+      }
+      hist[bins[k]] += d;
+      total += d;
+    }
+    out->hits += total;
+  }
+}
+
+template <typename HistT>
+int64_t ReplayScatterMhImpl(const float* cr, const float* ci,
+                            const int32_t* iters, const int32_t* reps,
+                            const int32_t* vks,
+                            int64_t n, int32_t w, int32_t h, double min_real,
+                            double min_imag, double delta_real,
+                            double delta_imag, int32_t flags,
+                            int32_t num_threads, int32_t scale, HistT* hist,
+                            uint64_t* points_total, uint64_t* lost_weight) {
+  if (n <= 0 || w <= 0 || h <= 0) return 0;
+  const Canvas cv{w, h, min_real, min_imag, delta_real, delta_imag};
+  const bool ship = (flags & 1) != 0;
+  const uint32_t sc = scale > 0 ? static_cast<uint32_t>(scale) : 1u;
+
+  int threads = num_threads;
+  if (threads <= 0) {
+    threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (threads <= 0) threads = 1;
+  }
+  const int64_t min_per_thread = 1024;
+  if (n / min_per_thread < threads) {
+    threads = static_cast<int>(n / min_per_thread);
+    if (threads < 1) threads = 1;
+  }
+  if (threads > 1) {
+    // Same private-histogram economics cap as ReplayScatterImpl.
+    uint64_t est_points = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      if (iters[i] >= 0) est_points += static_cast<uint64_t>(iters[i]) + 1;
+    }
+    const double bins_d = static_cast<double>(w) * static_cast<double>(h);
+    const double n_opt =
+        std::sqrt(static_cast<double>(est_points) * 2e9 / (1e8 * bins_d));
+    int cap = static_cast<int>(n_opt) + 1;
+    if (cap < 1) cap = 1;
+    if (threads > cap) threads = cap;
+  }
+
+  std::vector<ThreadResult> results(threads);
+  auto run = [&](int64_t b, int64_t e, HistT* th, ThreadResult* res) {
+    std::vector<int32_t> bins;
+    if (ship) {
+      ReplayRangeMh<true>(cr, ci, iters, reps, vks, b, e, cv, sc, th, res,
+                          bins);
+    } else {
+      ReplayRangeMh<false>(cr, ci, iters, reps, vks, b, e, cv, sc, th, res,
+                           bins);
+    }
+  };
+  if (threads == 1) {
+    run(0, n, hist, &results[0]);
+  } else {
+    const size_t bins_n = static_cast<size_t>(w) * h;
+    std::vector<std::vector<HistT>> priv(threads - 1,
+                                         std::vector<HistT>(bins_n, 0));
+    std::vector<std::thread> pool;
+    const int64_t chunk = (n + threads - 1) / threads;
+    for (int t = 1; t < threads; ++t) {
+      const int64_t b = t * chunk;
+      const int64_t e = std::min<int64_t>(n, b + chunk);
+      HistT* th = priv[t - 1].data();
+      ThreadResult* res = &results[t];
+      pool.emplace_back([=] { run(b, e, th, res); });
+    }
+    run(0, std::min<int64_t>(n, chunk), hist, &results[0]);
+    for (auto& th : pool) th.join();
+    for (int t = 1; t < threads; ++t) {
+      const HistT* src = priv[t - 1].data();
+      for (size_t i = 0; i < bins_n; ++i) hist[i] += src[i];
+    }
+  }
+
+  uint64_t hits = 0, points = 0, lost = 0;
+  for (const auto& r : results) {
+    hits += r.hits;
+    points += r.points;
+    lost += r.lost;
+  }
+  if (points_total) *points_total = points;
+  if (lost_weight) *lost_weight = lost;
+  return static_cast<int64_t>(hits);
+}
+
 uint32_t crc_table[256];
 bool crc_table_ready = false;
 
@@ -688,6 +852,45 @@ int64_t tpubrot_replay_scatter_f64_64(const double* cr, const double* ci,
   return ReplayScatterImpl(cr, ci, iters, n, w, h, min_real, min_imag,
                            delta_real, delta_imag, flags, num_threads, hist,
                            points_total);
+}
+
+// Weighted Metropolis-Hastings replay (cudabrot_tpu/ops/
+// pallas_kernels_mh.py): each on-canvas orbit point of emission i gets
+// weight reps[i] * scale / vks[i] (Bresenham integer spread; vks is the
+// classify kernel's in-window count — see ReplayRangeMh). Returns the
+// total deposited mass (in 1/scale histogram units); `lost_weight`
+// (optional) receives the intended mass of emissions whose replay
+// deposited nothing.
+int64_t tpubrot_replay_scatter_mh(const float* cr, const float* ci,
+                                  const int32_t* iters, const int32_t* reps,
+                                  const int32_t* vks,
+                                  int64_t n, int32_t w, int32_t h,
+                                  double min_real, double min_imag,
+                                  double delta_real, double delta_imag,
+                                  int32_t flags, int32_t num_threads,
+                                  int32_t scale, uint32_t* hist,
+                                  uint64_t* points_total,
+                                  uint64_t* lost_weight) {
+  return ReplayScatterMhImpl(cr, ci, iters, reps, vks, n, w, h, min_real,
+                             min_imag, delta_real, delta_imag, flags,
+                             num_threads, scale, hist, points_total,
+                             lost_weight);
+}
+
+int64_t tpubrot_replay_scatter_mh64(const float* cr, const float* ci,
+                                    const int32_t* iters, const int32_t* reps,
+                                    const int32_t* vks,
+                                    int64_t n, int32_t w, int32_t h,
+                                    double min_real, double min_imag,
+                                    double delta_real, double delta_imag,
+                                    int32_t flags, int32_t num_threads,
+                                    int32_t scale, uint64_t* hist,
+                                    uint64_t* points_total,
+                                    uint64_t* lost_weight) {
+  return ReplayScatterMhImpl(cr, ci, iters, reps, vks, n, w, h, min_real,
+                             min_imag, delta_real, delta_imag, flags,
+                             num_threads, scale, hist, points_total,
+                             lost_weight);
 }
 
 // 16-bit binary PGM writer: P5 header + big-endian pixels

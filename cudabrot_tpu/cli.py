@@ -133,6 +133,20 @@ TPU-native extensions:
              identical rendered measure — non-visitors deposit
              nothing — at a fraction of the replay/transfer cost
              when the canvas crops the plane).
+  --sampler <mode>: sample selection: uniform (default — independent
+             uniform draws, reference semantics) or mh
+             (Metropolis-Hastings importance sampling: per-lane Markov
+             chains target samples whose orbits hit the canvas window,
+             deposits re-weighted by 1/v so the rendered measure is the
+             uniform one. Restores signal on deep crops where uniform
+             sampling starves; histogram counts are in 1/256 units —
+             recorded in checkpoints — and tone mapping is unaffected.
+             Pallas engine + native host replay only.)
+  --mh-restart <n>: MH uniform-restart mixture weight in 1/256ths
+             (default 16 = 1/16 of proposals are global draws).
+  --mh-rep-cap <n>: MH tenure batching cap (default 4096).
+  --mh-burnin <n>: passes whose MH emissions are discarded as chain
+             burn-in (default 1).
   --calibration <file>: machine-constant calibration JSON written by
              tools/calibrate.py; feeds the kernel cost model and the
              hybrid replay-share solver (also honored via the
@@ -418,6 +432,18 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
             i += 2
         elif arg == "--emit-filter":
             opt["emit_filter"] = _parse_str(argv, i, "Missing emit filter.")
+            i += 2
+        elif arg == "--sampler":
+            opt["sampler"] = _parse_str(argv, i, "Missing sampler mode.")
+            i += 2
+        elif arg == "--mh-restart":
+            opt["mh_restart"] = _parse_int(argv, i)
+            i += 2
+        elif arg == "--mh-rep-cap":
+            opt["mh_rep_cap"] = _parse_int(argv, i)
+            i += 2
+        elif arg == "--mh-burnin":
+            opt["mh_burnin_passes"] = _parse_int(argv, i)
             i += 2
         elif arg == "--calibration":
             extras.calibration = _parse_str(

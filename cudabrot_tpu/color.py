@@ -259,9 +259,10 @@ Options:
         classify; time budgets then overlap (wall = max, not sum).
         Per-band output is bitwise identical to sequential --passes runs.
   --engine/--scatter/--seed/--devices/--precision/--sample-domain/
-  --fractal/--refill-rng/--replay-capacity: forwarded to the renderer
+  --fractal/--refill-rng/--replay-capacity/--sampler/--mh-restart/
+  --mh-rep-cap/--mh-burnin: forwarded to the renderer
         (e.g. --precision extended + --sample-domain for color deep
-        zooms).
+        zooms, or --sampler mh for importance-sampled color crops).
   --keep-bands: also save each band's grayscale PGM.
 """
 
@@ -304,7 +305,8 @@ def main(argv: list[str]) -> int:
             i += 2
         elif arg in ("--engine", "--scatter", "--seed", "--devices",
                      "--precision", "--sample-domain", "--fractal",
-                     "--refill-rng", "--replay-capacity"):
+                     "--refill-rng", "--replay-capacity", "--sampler",
+                     "--mh-restart", "--mh-rep-cap", "--mh-burnin"):
             engine_args += [arg, _val(f"Argument {arg} needs a value.")]
             i += 2
         elif arg == "--band":

@@ -194,6 +194,29 @@ class EngineOptions:
     #: Buddhabrot — --sample-domain restricts the seeded measure instead
     #: (not a plain crop; see its help text).
     emit_filter: str = "any"
+    #: Sample-selection strategy: "uniform" (independent uniform draws
+    #: over the sample domain — reference semantics, cudabrot.cu:392-393)
+    #: or "mh" (Metropolis-Hastings importance sampling, Boswell's
+    #: MH-Buddhabrot: per-lane Markov chains over c with stationary
+    #: density proportional to the number of orbit points each sample
+    #: deposits on the canvas window, contributions re-weighted by 1/v so
+    #: the rendered measure is the uniform one — see
+    #: ops/pallas_kernels_mh.py). MH restores signal on deep crops where
+    #: uniform sampling starves (hit mass falls with window area);
+    #: histograms are accumulated in fixed-point 1/256-count units
+    #: (weight_scale, recorded in checkpoints). Pallas engine + host
+    #: replay only.
+    sampler: str = "uniform"
+    #: MH uniform-restart mixture weight in 1/256ths (probability a
+    #: proposal is a fresh global draw instead of a local multi-scale
+    #: mutation). 16 = 1/16.
+    mh_restart: int = 16
+    #: MH tenure batching cap: a chain state retained this many steps is
+    #: force-emitted so end-of-render truncation stays bounded.
+    mh_rep_cap: int = 4096
+    #: Passes whose emissions are discarded as chain burn-in before
+    #: deposits begin (the chains still advance during them).
+    mh_burnin_passes: int = 1
     #: Brent cycle detection for interior orbits (pallas engine). Disable
     #: for bitwise escape-count parity experiments with the reference,
     #: which always iterates interior points to the cap (cudabrot.cu:338).
@@ -283,6 +306,31 @@ class EngineOptions:
                 "of an already ~9x heavier df32 inner step; the thin "
                 "soundness argument is precision-independent)"
             )
+        if self.sampler not in ("uniform", "mh"):
+            raise ConfigError(f"Unknown sampler: {self.sampler}")
+        if self.sampler == "mh":
+            if self.precision != "float32":
+                raise ConfigError(
+                    "--sampler mh currently supports float32 precision "
+                    "only (the MH kernel rides the f32 grid; extended-"
+                    "precision MH is a planned extension)"
+                )
+            if self.escape_tracking == "step":
+                raise ConfigError(
+                    "--sampler mh requires thin escape tracking (the "
+                    "in-window target counter rides the thin inner loop)"
+                )
+            if self.emit_filter == "canvas":
+                raise ConfigError(
+                    "--sampler mh already gates on canvas visits (its "
+                    "acceptance IS the canvas filter); drop --emit-filter"
+                )
+            if not (0 <= self.mh_restart <= 256):
+                raise ConfigError("mh_restart must be in [0, 256]")
+            if self.mh_rep_cap < 2 or self.mh_rep_cap > (1 << 20):
+                raise ConfigError("mh_rep_cap must be in [2, 2^20]")
+            if self.mh_burnin_passes < 0:
+                raise ConfigError("mh_burnin_passes must be non-negative")
         if self.hist_dtype not in ("uint32", "uint64"):
             raise ConfigError(f"Unknown histogram dtype: {self.hist_dtype}")
         if self.steps_per_flush > 0 and (

@@ -296,6 +296,18 @@ def run_render(
             "keeping long orbits). Raise --replay-capacity or shrink "
             "the --sample-domain window."
         )
+    lost_w = int(stats.get("mh_lost_weight", 0))
+    if lost_w > 0:
+        deposited = int(stats.get("on_canvas_points", 0))
+        if lost_w > 0.02 * max(deposited + lost_w, 1):
+            # Replay trajectories that deposit nothing forfeit their
+            # tenure mass — only the borderline kernel/replay drift
+            # class should ever land here.
+            log(
+                f"Warning: {lost_w} units of MH tenure mass found no "
+                "on-canvas points at replay (trajectory-drift class); "
+                "if this grows, the band/crop combination is degenerate."
+            )
 
     if cfg.inprogress_file and primary:
         log(f"Saving in-progress buffer to {cfg.inprogress_file}.")

@@ -38,6 +38,29 @@ def make_engine(cfg: RenderConfig) -> Engine:
         # interpreter mode off-TPU, which is slower than the oracle for
         # small jobs but exercises identical code).
         choice = "pallas" if jax.default_backend() == "tpu" else "oracle"
+        if cfg.options.sampler == "mh":
+            # MH chains live in the pallas kernel's lane state; the
+            # oracle has no chain machinery.
+            choice = "pallas"
+    if cfg.options.sampler == "mh":
+        if choice == "oracle":
+            raise ConfigError(
+                "--sampler mh runs on the pallas engine only (the MH "
+                "chains live in the kernel's persistent lane state)"
+            )
+        if cfg.options.histogram_sharding == "rows":
+            raise ConfigError(
+                "--sampler mh is incompatible with row-sharded "
+                "histograms (weighted deposits run in the native host "
+                "replay engine, not the on-device sharded scatter)"
+            )
+        if jax.process_count() > 1:
+            raise ConfigError(
+                "--sampler mh does not support multi-process runs yet "
+                "(the tenure-tail flush reads the full chain state; "
+                "shard the work across processes with separate "
+                "single-process MH renders and merge checkpoints)"
+            )
     n = cfg.options.num_devices
     if n is None:
         n = len(jax.devices())

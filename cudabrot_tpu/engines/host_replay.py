@@ -37,7 +37,19 @@ class HostReplayWorker:
         max_queue: int = 3,
         dtype=np.uint32,
         grid_decode: tuple | None = None,
+        mh_decode: tuple | None = None,
     ):
+        #: Metropolis-Hastings payload decode parameters (min_real,
+        #: span_real, min_imag, span_imag, weight_scale): payload rows
+        #: are [k_re, k_im, iters, rep, v] with 24-bit sample-grid
+        #: indices and the kernel's in-window counts;
+        #: c is reconstructed with the kernel's exact refill arithmetic
+        #: and orbits run through the weighted native replay
+        #: (native.replay_scatter_mh). None = uniform sampling.
+        self.mh_decode = mh_decode
+        #: MH only: deposited weight lost to emissions whose replay
+        #: trajectory put no point on the canvas.
+        self.lost_weight = 0
         #: Extended-precision (deep-zoom) payload decode parameters
         #: (center_r64, center_i64, step_r32, step_i32): payload rows
         #: carry 24-bit sample-window grid indices instead of f32 c
@@ -149,6 +161,21 @@ class HostReplayWorker:
             # the lane axis — replay order is irrelevant (addition
             # commutes) and invalid lanes cost nothing.
             batch = np.concatenate(list(batch), axis=1)
+        if self.mh_decode is not None:
+            # MH payload: [k_re, k_im, iters, rep, v] rows. Reconstruct c
+            # exactly as the kernel's refill did (k * 2^-24 * span + lo,
+            # pallas_kernels_mh._make_kernel_mh) so replay trajectories
+            # match classification bit-for-bit at dispatch.
+            r0, span_r, i0, span_i = self.mh_decode[:4]
+            batch = batch.astype(np.float32, copy=False)
+            inv24 = np.float32(5.9604644775390625e-08)
+            cr = batch[0] * inv24 * np.float32(span_r) + np.float32(r0)
+            ci = batch[1] * inv24 * np.float32(span_i) + np.float32(i0)
+            iters = batch[2].astype(np.int32)
+            reps = batch[3].astype(np.int32)
+            vks = batch[4].astype(np.int32)
+            self.fetch_seconds += time.perf_counter() - t0
+            return cr, ci, iters, reps, vks
         if batch.dtype == np.uint32:
             # Packed layout: exact c reconstruction (k * 2^-22 - 2 is the
             # kernel's own sample quantization, bit-identical round trip).
@@ -185,6 +212,32 @@ class HostReplayWorker:
     def _replay(self, fetched: cf.Future) -> None:
         decoded = fetched.result()
         if decoded is None:
+            return
+        if self.mh_decode is not None:
+            cr, ci, iters, reps, vks = decoded
+            t1 = time.perf_counter()
+            cv = self.canvas
+            hits, points, lost = native.replay_scatter_mh(
+                cr,
+                ci,
+                iters,
+                reps,
+                vks,
+                self.hist,
+                width=cv.width,
+                height=cv.height,
+                min_real=cv.min_real,
+                min_imag=cv.min_imag,
+                delta_real=cv.delta_real,
+                delta_imag=cv.delta_imag,
+                burning_ship=self.burning_ship,
+                num_threads=self.num_threads,
+                weight_scale=int(self.mh_decode[4]),
+            )
+            self.hits += hits
+            self.points += points
+            self.lost_weight += lost
+            self.replay_seconds += time.perf_counter() - t1
             return
         cr, ci, iters = decoded
         t1 = time.perf_counter()

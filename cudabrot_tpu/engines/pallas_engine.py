@@ -43,12 +43,18 @@ from cudabrot_tpu.models import fractals
 from cudabrot_tpu.ops import binning, df32
 from cudabrot_tpu.ops import pallas_kernels as pk
 from cudabrot_tpu.ops import pallas_kernels_ext as pke
+from cudabrot_tpu.ops import pallas_kernels_mh as pkm
 from cudabrot_tpu.utils import calibration, counters
 
 STAT_KEYS = (
     "samples", "culled", "in_band", "emitted", "replay_dropped",
     "iters", "points", "cycles", "wasted",
 )
+
+#: Extra per-state counters carried only by --sampler mh engines
+#: (chain moves, pending-slot reservoir merges, and the rep mass those
+#: merges traded between states — ops/pallas_kernels_mh.py).
+MH_STAT_KEYS = ("mh_accepts", "mh_merges", "mh_merged_rep")
 
 #: Extended boundary factor: 16 refill selects (vs 10) plus the df32
 #: center-add per refill. The inner-step multiplier lives in
@@ -144,7 +150,34 @@ class Tuning:
             )
         from cudabrot_tpu.config import SAMPLE_DOMAIN
 
-        if cfg.sample_domain != SAMPLE_DOMAIN:
+        #: Metropolis-Hastings sampling reshapes the emission economics:
+        #: emissions are chain MOVES (acceptance alpha per proposal
+        #: resolution), and proposals concentrate near in-band states so
+        #: their mean classify cost approaches the in-band orbit length,
+        #: not the uniform-draw mean. alpha depends on the crop's
+        #: v-landscape (measured 7% on a deep seahorse crop, 48% on an
+        #: easy wide crop) — sized for the high end below because MH
+        #: capacity drops lose weighted mass; the payload is fixed-size,
+        #: so the cost of that headroom is transfer, and undersizing is
+        #: still counted (replay_dropped) and warned on.
+        self.mh = o.sampler == "mh"
+        if self.mh:
+            mi_b = max(cfg.band.min_escape_iterations, 2)
+            ma_b = max(cfg.band.max_escape_iterations, mi_b + 1)
+            in_band_len = (mi_b * ma_b / (ma_b - mi_b)) * float(
+                np.log(ma_b / mi_b)
+            )
+            mh_lifetime = 0.5 * in_band_len + lifetime
+            # Acceptance measured on the seahorse test crops: ~7% at a
+            # [100,2000) band, ~45% at a friendly [20,300) crop. Size
+            # for the high end (0.3 here + the 2x capacity headroom
+            # below) — MH overwrite/overflow drops lose weighted mass,
+            # where uniform drops were an unbiased thinning.
+            rate = 0.3 / mh_lifetime
+            # Downstream consumers (window score, coast discount) should
+            # model the MH proposal mix, not the uniform-draw mean.
+            lifetime = mh_lifetime
+        if cfg.sample_domain != SAMPLE_DOMAIN and not self.mh:
             # A restricted sample domain concentrates the in-band rate by
             # up to the area ratio — but tuning for that worst case was
             # MEASURED ruinous: a seahorse-valley window (area ratio 494)
@@ -174,10 +207,16 @@ class Tuning:
         # Threefry counter schedule) must resolve identically on CPU and
         # TPU so runs reproduce across backends.
         flush_cap = 4096 if rate > 1e-5 else 65536
+        # Uniform sampling tolerates ~12% pending-overwrite loss (drops
+        # are an unbiased thinning — pallas_kernels module docstring);
+        # MH overwrites lose weighted tenure MASS, so the window targets
+        # 1/16 expected emissions per lane (measured: the 0.25 target
+        # lost 17.6% of deposit mass on a seahorse crop, 1/16 loses ~2%).
+        flush_target = 0.0625 if self.mh else 0.25
         self.steps_per_flush = (
             o.steps_per_flush
             if o.steps_per_flush > 0
-            else int(np.clip(_pow2(0.25 / rate), 32, flush_cap))
+            else int(np.clip(_pow2(flush_target / rate), 32, flush_cap))
         )
         # Window size trades boundary-op amortization against
         # finished-lane coast (selected before pass length, which scales
@@ -193,7 +232,11 @@ class Tuning:
         self.extended = o.precision == "extended"
         if o.inner_unroll > 0:
             self.inner_unroll = o.inner_unroll
-        elif rate > 1e-4:  # emission-heavy: transfer-bound, waste hurts
+        elif rate > 1e-4 and not self.mh:
+            # Emission-heavy UNIFORM bands: transfer-bound, waste hurts.
+            # (MH rates look emission-heavy per step but the proposals
+            # are long in-band-adjacent orbits, where windows coast
+            # almost nothing — score them like deep bands below.)
             self.inner_unroll = 1
         else:
             # Maximize modeled useful throughput: per-lane-step cost is
@@ -282,7 +325,13 @@ class Tuning:
         self.replay_capacity = (
             o.replay_capacity
             if o.replay_capacity > 0
-            else int(np.clip(_pow2(expected), 4096, 1 << 19))
+            else int(
+                np.clip(
+                    _pow2(expected * (2.0 if self.mh else 1.0)),
+                    4096,
+                    1 << 19,
+                )
+            )
         )
         # Replay block: lanes processed together; blocks with no active
         # lanes are skipped entirely. 1024 keeps blocks length-homogeneous
@@ -337,7 +386,9 @@ class Tuning:
         degrade with canvas size. Balance the two pipelines:
         classify + s*P/dev = (1-s)*P/host.
         """
-        if self.interior or self.extended or hist_bytes < (256 << 20):
+        if self.interior or self.extended or self.mh or hist_bytes < (
+            256 << 20
+        ):
             # Extended renders stay unsplit: the hybrid rate model is
             # calibrated for the f32 replay engines, and deep-zoom bands
             # are emission-light anyway.
@@ -579,6 +630,21 @@ class PallasEngine:
         self.interpret = interpret
         self.tuning = Tuning(cfg)
         self.extended = self.tuning.extended
+        #: Metropolis-Hastings importance sampling (--sampler mh):
+        #: per-lane chains target the canvas window; deposits are the
+        #: re-weighted uniform measure in 1/weight_scale histogram
+        #: units. See ops/pallas_kernels_mh.py.
+        self.mh = self.tuning.mh
+        self.weight_scale = pkm.WEIGHT_SCALE if self.mh else 1
+        self._stat_keys = STAT_KEYS + (MH_STAT_KEYS if self.mh else ())
+        if self.mh and self.fractal.emit != "escape":
+            from cudabrot_tpu.config import ConfigError
+
+            raise ConfigError(
+                "--sampler mh supports escape-emit fractals only (the "
+                "chain target is band-filtered canvas visits; interior "
+                "mode has no escape band)"
+            )
         # Canvas emit filter: classify additionally tracks whether each
         # orbit entered the canvas window, and only visitors are emitted
         # — same rendered measure (non-visitors deposit nothing), a
@@ -631,6 +697,24 @@ class PallasEngine:
             from cudabrot_tpu.io import native
 
             mode = "host" if native.available() else "device"
+        if self.mh:
+            from cudabrot_tpu.io import native
+            from cudabrot_tpu.config import ConfigError
+
+            # The weighted deposit (rep * scale split over the orbit's
+            # on-canvas points) needs the orbit's point COUNT before any
+            # increment — a two-phase loop the native engine runs per
+            # sample. The device scatter path is one-phase by design.
+            if mode != "host" or not native.supports_mh():
+                raise ConfigError(
+                    "--sampler mh requires the native host replay "
+                    "engine (build it with `make -C csrc`)"
+                )
+            if o.replay_device_share > 0:
+                raise ConfigError(
+                    "--replay-device-share does not apply to --sampler "
+                    "mh (the weighted deposit runs on the host only)"
+                )
         if self.extended and mode == "host":
             from cudabrot_tpu.io import native
 
@@ -674,12 +758,20 @@ class PallasEngine:
                     self._df_step[0],
                     self._df_step[1],
                 )
+            mh_decode = None
+            if self.mh:
+                # MH payload rows carry 24-bit sample-grid indices; the
+                # worker reconstructs c with the kernel's exact refill
+                # arithmetic and runs the weighted native replay.
+                r0, r1, i0, i1 = cfg.sample_domain
+                mh_decode = (r0, r1 - r0, i0, i1 - i0, self.weight_scale)
             self._worker = HostReplayWorker(
                 cfg.canvas,
                 burning_ship=self.fractal.fold_abs,
                 num_threads=o.replay_threads,
                 dtype=np.dtype(o.hist_dtype),
                 grid_decode=grid_decode,
+                mh_decode=mh_decode,
             )
             # Auto share: 0 on LLC-resident canvases — the native host
             # replay (~7.6e8 pts/s/core) beats device XLA scatter
@@ -732,6 +824,9 @@ class PallasEngine:
                 cfg.band.max_escape_iterations <= 0xFFFF
                 and cfg.sample_domain == SAMPLE_DOMAIN
                 and not self.extended
+                # MH payloads need a fourth row (rep); they ride the
+                # 4-row f32 layout (grid indices are exact in f32).
+                and not self.mh
             )
 
             self._pass_fn = jax.jit(
@@ -752,7 +847,7 @@ class PallasEngine:
         payload packing. Pure and ordinal-parameterized so the
         data-parallel wrapper can run it per device under shard_map
         (each chip streams its own emissions to the host worker)."""
-        new_state, (cr, ci, it) = self._classify_and_compact(
+        new_state, (cr, ci, it, rep, vks) = self._classify_and_compact(
             state,
             pass_index,
             ordinal=ordinal,
@@ -762,7 +857,20 @@ class PallasEngine:
         # pass output (no fresh device op — that would queue behind the
         # in-flight pass) in a single transfer.
         n_valid = jnp.sum(it >= 0).astype(jnp.int32)
-        if self._packed_payload:
+        if self.mh:
+            # MH rows: grid indices, escape index, tenure reps, and the
+            # kernel's in-window count (the weight divisor) — all exact
+            # in f32 (k < 2^24, iters < 2^24, rep <= rep_cap, v < 2^24).
+            payload = jnp.stack(
+                [
+                    cr,
+                    ci,
+                    it.astype(jnp.float32),
+                    rep.astype(jnp.float32),
+                    vks.astype(jnp.float32),
+                ]
+            )
+        elif self._packed_payload:
             scale = jnp.float32(4194304.0)  # 2^22
             k_r = ((cr + 2.0) * scale).astype(jnp.uint32)
             k_i = ((ci + 2.0) * scale).astype(jnp.uint32)
@@ -791,7 +899,29 @@ class PallasEngine:
         # CPU (interpret) and TPU runs draw identical refill samples.
         seed = jax.random.bits(key, (2,), jnp.uint32)
 
-        if self.extended:
+        if self.mh:
+            cv = cfg.canvas
+            result = pkm.classify_pass_mh(
+                pkm.MhLaneState(*state["lanes"]),
+                seed,
+                None,
+                fractal=self.fractal,
+                min_it=cfg.band.min_escape_iterations,
+                max_it=cfg.band.max_escape_iterations,
+                steps_per_pass=tn.steps_per_pass,
+                steps_per_flush=tn.steps_per_flush,
+                cycle_detection=o.cycle_detection,
+                interpret=self.interpret,
+                inner_unroll=tn.inner_unroll,
+                rng=self.refill_rng,
+                sample_domain=cfg.sample_domain,
+                window=(
+                    cv.min_real, cv.max_real, cv.min_imag, cv.max_imag
+                ),
+                restart256=o.mh_restart,
+                rep_cap=o.mh_rep_cap,
+            )
+        elif self.extended:
             result = pke.classify_pass_ext(
                 pke.ExtLaneState(*state["lanes"]),
                 seed,
@@ -831,14 +961,23 @@ class PallasEngine:
         # them by descending orbit length for the blocked replay ---
         k = self.replay_capacity
         em_it = result.emit_it.reshape(-1)
-        em_cr = result.emit_c[:, 0].reshape(-1)
-        em_ci = result.emit_c[:, 1].reshape(-1)
+        if self.mh:
+            em_cr = result.emit_k[:, 0].reshape(-1)
+            em_ci = result.emit_k[:, 1].reshape(-1)
+            em_rep = result.emit_rep.reshape(-1)
+            em_v = result.emit_v.reshape(-1)
+        else:
+            em_cr = result.emit_c[:, 0].reshape(-1)
+            em_ci = result.emit_c[:, 1].reshape(-1)
+            em_rep = None
         valid = em_it >= 0
         order = jnp.argsort(jnp.where(valid, -em_it, 1))
         take = order[:k]
         cr_c = em_cr[take]
         ci_c = em_ci[take]
         it_c = em_it[take]
+        rep_c = em_rep[take] if self.mh else None
+        v_c = em_v[take] if self.mh else None
         valid_c = valid[take]
         n_valid = jnp.sum(valid).astype(jnp.uint32)
         emitted = jnp.minimum(n_valid, jnp.uint32(k))
@@ -868,15 +1007,27 @@ class PallasEngine:
             ),
             "points": zero_pair,
         }
+        if self.mh:
+            per_pass["mh_accepts"] = counters.u64_sum_i32(
+                st[pkm.STAT_MH_ACCEPT]
+            )
+            per_pass["mh_merges"] = counters.u64_sum_i32(
+                st[pkm.STAT_MH_MERGE]
+            )
+            per_pass["mh_merged_rep"] = counters.u64_sum_i32(
+                st[pkm.STAT_MH_MERGED_REP]
+            )
         new_state = dict(state)
         new_state["lanes"] = tuple(result.state)
-        for key_ in STAT_KEYS:
+        for key_ in self._stat_keys:
             new_state[key_] = counters.u64_add_pair(
                 state[key_], per_pass[key_]
             )
         # Mark invalid compacted lanes with negative iters so both replay
         # backends can skip them.
         it_c = jnp.where(valid_c, it_c, -1)
+        if self.mh:
+            return new_state, (cr_c, ci_c, it_c, rep_c, v_c)
 
         if device_prefix > 0:
             # Hybrid split by orbit length: the device replays the *short*
@@ -906,14 +1057,19 @@ class PallasEngine:
             new_state["points"] = counters.u64_add_pair(state["points"], pts)
             it_c = it_host
 
-        return new_state, (cr_c, ci_c, it_c)
+        return new_state, (cr_c, ci_c, it_c, None, None)
 
     def core(self, state, pass_index, ordinal):
         """Fully on-device pass (classify + replay + scatter) — the path
         used for multi-chip data parallelism and by `__graft_entry__`."""
         cfg = self.cfg
         tn = self.tuning
-        new_state, (cr_c, ci_c, it_c) = self._classify_and_compact(
+        if self.mh:
+            raise RuntimeError(
+                "MH sampling has no on-device replay path (weighted "
+                "deposits run in the native host engine)"
+            )
+        new_state, (cr_c, ci_c, it_c, _, _) = self._classify_and_compact(
             state, pass_index, ordinal
         )
         if self.extended:
@@ -961,6 +1117,7 @@ class PallasEngine:
             self._worker.hist[:] = 0
             self._worker.hits = 0
             self._worker.points = 0
+            self._worker.lost_weight = 0
             if hist0 is not None:
                 self._worker.add_resumed(hist0)
             hist = jnp.zeros(shape, jnp.uint32)
@@ -990,12 +1147,17 @@ class PallasEngine:
                     jnp.float32,
                 ),
             }
+        elif self.mh:
+            state = {
+                "hist": hist,
+                "lanes": tuple(pkm.init_mh_lane_state(self.lane_rows)),
+            }
         else:
             state = {
                 "hist": hist,
                 "lanes": tuple(pk.init_lane_state(self.lane_rows)),
             }
-        for k in STAT_KEYS:
+        for k in self._stat_keys:
             state[k] = counters.u64_zero()
         return state
 
@@ -1005,9 +1167,12 @@ class PallasEngine:
         cv = self.cfg.canvas
         tn = self.tuning
         hist = cv.num_pixels * 4
-        n_fields = len(
-            (pke.ExtLaneState if self.extended else pk.LaneState)._fields
-        )
+        lane_cls = pk.LaneState
+        if self.extended:
+            lane_cls = pke.ExtLaneState
+        elif self.mh:
+            lane_cls = pkm.MhLaneState
+        n_fields = len(lane_cls._fields)
         lanes = self.lanes * n_fields * 4
         chunks = tn.steps_per_pass // tn.steps_per_flush
         emission = chunks * self.lanes * 12
@@ -1048,6 +1213,12 @@ class PallasEngine:
     def run_pass(self, state, pass_index: int):
         if self._worker is not None:
             state, n_valid, payload = self._pass_fn(state, pass_index)
+            if self.mh and pass_index < self.cfg.options.mh_burnin_passes:
+                # Chain burn-in: advance every chain but discard the
+                # emissions — the standard transient discard (early
+                # tenures are biased toward the uniform-restart draw
+                # distribution, not the stationary v-weighted one).
+                return state
             # Schedule the device->host copies now (they start the moment
             # the pass completes), so the worker finds the data already
             # resident instead of paying the transfer on its critical path.
@@ -1057,7 +1228,61 @@ class PallasEngine:
             return state
         return self._pass_fn(state, pass_index)
 
+    def _flush_mh_tails(self, state) -> None:
+        """Deposit the in-flight MH tenure mass and reset the retention
+        counters (splitting each live tenure at the flush point — the
+        two halves are additive, so this is exact at ANY call point:
+        periodic checkpoints and the final histogram alike).
+
+        Without this, every chain's last unfinished tenure would simply
+        vanish — and the never-retired tenures are precisely the
+        STICKIEST states (high v, many rejections), i.e. the brightest
+        regions: measured as a systematic ~12% bright-half deficit on
+        the seahorse test crop before this flush existed."""
+        from cudabrot_tpu.io import native
+
+        lanes = pkm.MhLaneState(*state["lanes"])
+        xv = np.asarray(lanes.xv).reshape(-1)
+        rep = np.asarray(lanes.rep).reshape(-1)
+        live = (xv > 0) & (rep > 0)
+        if live.any():
+            r0, r1, i0, i1 = self.cfg.sample_domain
+            inv24 = np.float32(5.9604644775390625e-08)
+            kr = np.asarray(lanes.xkr).reshape(-1)[live].astype(np.float32)
+            ki = np.asarray(lanes.xki).reshape(-1)[live].astype(np.float32)
+            cr = kr * inv24 * np.float32(r1 - r0) + np.float32(r0)
+            ci = ki * inv24 * np.float32(i1 - i0) + np.float32(i0)
+            xit = np.asarray(lanes.xit).reshape(-1)[live].astype(np.int32)
+            reps = rep[live].astype(np.int32)
+            vks = xv[live].astype(np.int32)
+            w = self._worker
+            w.drain()
+            cv = self.cfg.canvas
+            hits, points, lost = native.replay_scatter_mh(
+                cr, ci, xit, reps, vks, w.hist,
+                width=cv.width, height=cv.height,
+                min_real=cv.min_real, min_imag=cv.min_imag,
+                delta_real=cv.delta_real, delta_imag=cv.delta_imag,
+                burning_ship=self.fractal.fold_abs,
+                num_threads=w.num_threads,
+                weight_scale=self.weight_scale,
+            )
+            w.hits += hits
+            w.points += points
+            w.lost_weight += lost
+        # Reset every retention counter (device-side): the flushed share
+        # is deposited; the remainder of each tenure re-counts from 0
+        # and is emitted at its eventual retirement as usual. Preserve
+        # the sharding so multi-device states keep their layout.
+        rep0 = jnp.zeros(lanes.rep.shape, lanes.rep.dtype)
+        sharding = getattr(lanes.rep, "sharding", None)
+        if sharding is not None:
+            rep0 = jax.device_put(rep0, sharding)
+        state["lanes"] = tuple(lanes._replace(rep=rep0))
+
     def histogram(self, state) -> np.ndarray:
+        if self.mh and self._worker is not None:
+            self._flush_mh_tails(state)
         if self._worker is not None and self.split_threshold == 0:
             # Pure host replay: the device histogram provably never gets a
             # write (resumed mass also lives in the worker accumulator),
@@ -1076,8 +1301,8 @@ class PallasEngine:
         Used directly by the data-parallel wrappers, which slice stacked
         counters per device and must add the (shared) worker tally once,
         not once per device."""
-        vals = {k: counters.u64_value(state[k]) for k in STAT_KEYS}
-        return {
+        vals = {k: counters.u64_value(state[k]) for k in self._stat_keys}
+        out = {
             "samples": vals["samples"],
             "culled": vals["culled"],
             "in_band": vals["in_band"],
@@ -1088,6 +1313,10 @@ class PallasEngine:
             "wasted_steps": vals["wasted"],
             "orbit_points": vals["points"],
         }
+        if self.mh:
+            for k in MH_STAT_KEYS:
+                out[k] = vals[k]
+        return out
 
     def stats(self, state) -> dict:
         out = self.counter_stats(state)
@@ -1109,6 +1338,13 @@ class PallasEngine:
             out["replay"] = (
                 "hybrid" if self.split_threshold > 0 else "host"
             )
+            if self.mh:
+                # Weighted-deposit accounting: histogram counts are in
+                # 1/weight_scale units; lost mass = emissions whose
+                # replay trajectory deposited nothing (borderline
+                # kernel/replay drift — the documented class).
+                out["weight_scale"] = self.weight_scale
+                out["mh_lost_weight"] = self._worker.lost_weight
         else:
             out["replay"] = "device"
         return out

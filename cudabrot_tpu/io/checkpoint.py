@@ -53,7 +53,20 @@ def _metadata(cfg: RenderConfig, passes: int) -> dict:
         "precision": cfg.options.precision,
         "seed": cfg.seed,
         "passes": passes,
+        "sampler": cfg.options.sampler,
+        # MH histograms count in 1/weight_scale units (the fixed-point
+        # importance weights, ops/pallas_kernels_mh.WEIGHT_SCALE);
+        # uniform histograms count raw orbit points (scale 1).
+        "weight_scale": _weight_scale(cfg),
     }
+
+
+def _weight_scale(cfg: RenderConfig) -> int:
+    if cfg.options.sampler == "mh":
+        from cudabrot_tpu.ops.pallas_kernels_mh import WEIGHT_SCALE
+
+        return WEIGHT_SCALE
+    return 1
 
 
 def _resolution_class(precision: str) -> str:
@@ -142,6 +155,13 @@ def load(path: str, cfg: RenderConfig) -> tuple[np.ndarray, dict] | None:
                 f"Checkpoint {path} is a reference raw dump (full sample "
                 f"domain); the render samples {list(cfg.sample_domain)}."
             )
+        if cfg.options.sampler == "mh":
+            # Raw dumps count raw orbit points; MH renders count
+            # fixed-point importance weights.
+            raise CheckpointError(
+                f"Checkpoint {path} is a reference raw dump (uniform "
+                f"sampling, unit counts); it cannot seed an MH render."
+            )
         hist = np.fromfile(path, dtype="<u4").reshape(canvas.shape)
         return hist, {"format_version": 0, "passes": 0}
 
@@ -196,6 +216,19 @@ def load(path: str, cfg: RenderConfig) -> tuple[np.ndarray, dict] | None:
             f"Checkpoint {path} was rendered at precision {have_prec!r}; "
             f"resuming at {cfg.options.precision!r} would blend a "
             f"float32-quantized sampling measure with a deep-zoom one."
+        )
+    # Histogram units must match: MH deposits are fixed-point importance
+    # weights (1/weight_scale counts), uniform deposits are raw orbit
+    # points. Mixing them adds numbers on different scales. Legacy
+    # checkpoints without the field are uniform (scale 1).
+    have_scale = int(meta.get("weight_scale", 1))
+    want_scale = _weight_scale(cfg)
+    if have_scale != want_scale:
+        raise CheckpointError(
+            f"Checkpoint {path} counts in 1/{have_scale} units (sampler "
+            f"{meta.get('sampler', 'uniform')!r}); the render counts in "
+            f"1/{want_scale} units (sampler {cfg.options.sampler!r}). "
+            f"Resume with the matching --sampler."
         )
     crc = meta.get("crc32")
     if crc is not None and (zlib.crc32(hist.tobytes()) & 0xFFFFFFFF) != crc:

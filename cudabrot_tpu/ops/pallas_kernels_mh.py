@@ -1,0 +1,719 @@
+"""Metropolis-Hastings classify kernel: importance-sampled crop renders.
+
+Uniform sampling cannot feed a deep crop: the c-regions whose orbits
+visit a small canvas window shrink with the window (the measured 1e-5
+seahorse window collected ~103 hits/px in 240 s and the hit mass falls
+roughly with window area below that — benchmarks/PERF_NOTES.md
+"Extended precision"), so the reference's draw-uniform-and-hope scheme
+(cudabrot.cu:392-393) starves long before the f32/df32 precision floors
+are reached. The classical fix is Boswell's Metropolis-Hastings
+Buddhabrot: run Markov chains over c whose stationary density is
+proportional to v(c) = the number of orbit points the sample deposits
+on the canvas window (band-filtered), and weight each accepted orbit's
+contribution by 1/v(c) so the rendered measure is exactly the uniform
+one, re-expressed with importance sampling.
+
+This kernel is the TPU-native form of that idea, built on the same
+persistent-lane machinery as the production kernel
+(cudabrot_tpu.ops.pallas_kernels — thin escape tracking, windowed
+boundaries, Brent cycle detection, counter-based Threefry, pending-
+register emission):
+
+  * **One independent chain per lane.** MH is embarrassingly parallel
+    across chains; 8k-64k lanes each carry their own chain state
+    (current sample, its target value v, its escape index, a retention
+    counter) next to the in-flight proposal's orbit registers. No
+    cross-lane communication exists at all.
+  * **Proposals live on the sample grid.** Samples were already drawn
+    on a 2^24-point-per-axis grid of the sample domain
+    (pallas_kernels._u32_to_domain); MH mutates the *grid indices* with
+    symmetric integer offsets (sign x mantissa >> scale, scale
+    log-uniform over 24 octaves — a Boswell-style multi-scale step),
+    so proposals round-trip exactly through the f32 emission payload
+    and out-of-domain proposals are a trivial bounds check. A uniform
+    grid restart is mixed in with probability restart/256 (and forced
+    while the chain is unseeded); both mixture components are
+    symmetric, so the Metropolis acceptance is min(1, v'/v).
+  * **The orbit evaluation IS the target evaluation.** The inner
+    window counts in-window updated positions (vcnt) alongside the
+    survival counter; at the boundary a finished proposal's
+    v' = vcnt gates acceptance: accept iff u * v < v' (u uniform).
+    The window is the exact canvas bounds, so v' matches what replay
+    will deposit (modulo the documented f32 replay-drift class and
+    post-escape coast positions, which for any window inside |z| <= 2
+    are provably out of window: escape means |z| > 2 with monotone
+    growth).
+  * **Batched contributions.** Rejections increment the chain's
+    retention counter `rep` instead of re-emitting the same orbit; the
+    chain state is emitted once per tenure (at the accept that retires
+    it, or when rep reaches a cap) carrying rep AND the kernel's v.
+    The host replay re-runs the orbit and deposits weight
+    rep * SCALE / v on each of its on-canvas points (a Bresenham
+    integer spread — exact to one 1/SCALE unit per point, no
+    floating-point accumulation). The divisor is the KERNEL's v — the
+    same number that drove acceptance — not the replay's own count:
+    kernel and replay trajectories are both valid f32 pseudo-orbits
+    but can decorrelate over long orbits (different FMA contraction),
+    and dividing by an independently-drawn v' would tilt the estimator
+    by E[v/v'] != 1 exactly in the high-variance (bright) regions.
+    With matching v the estimator is sum_t hits_p(c_t) / v(c_t),
+    unbiased regardless of trajectory drift.
+
+Known, bounded deviations from the exact estimator (all surfaced as
+counters): pending-register collisions are resolved by weighted
+reservoir merging (expectation-preserving and exactly mass-conserving;
+they only trade deposit identity between temporally-adjacent chain
+states, a variance cost counted in rows STAT_MH_MERGE /
+STAT_MH_MERGED_REP); in-flight tenures are flushed
+and their counters reset whenever the engine reads the histogram
+(PallasEngine._flush_mh_tails — without that flush the stickiest, i.e.
+brightest, states would lose their final tenure); replay deposits land
+on the replay trajectory's on-canvas points, which can differ from the
+kernel trajectory's on the documented borderline class (the weight
+divisor v is the kernel's, so only the deposit POSITIONS drift, not
+the estimator's mass calibration).
+The end-to-end correctness contract is the same statistical one every
+engine carries: tests compare a normalized MH render against a
+normalized uniform-sampling render of the same configuration.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cudabrot_tpu.models.fractals import FractalMap
+from cudabrot_tpu.ops.pallas_kernels import (
+    _BIG,
+    _SAVE0,
+    STAT_CULLED,
+    STAT_CYCLES,
+    STAT_DRAWN,
+    STAT_IN_BAND,
+    STAT_WASTED,
+    threefry2x32,
+    window_seed,
+)
+
+#: Histogram counts are in units of 1/WEIGHT_SCALE so sub-unit weights
+#: (rep < v_r) still deposit. Tone mapping max-normalizes, so the scale
+#: cancels in the image; checkpoints record it (io/checkpoint metadata)
+#: so MH and uniform histograms can never be silently mixed.
+WEIGHT_SCALE = 256
+
+#: Extra MH stat rows appended after the base kernel's five.
+STAT_MH_ACCEPT = 5  # accepted proposals (chain moves)
+STAT_MH_MERGE = 6  # pending-slot reservoir merges (identity trades)
+STAT_MH_MERGED_REP = 7  # min-side rep mass involved in those merges
+MH_STATS_ROWS = 8
+
+_TWO24 = 16777216  # grid points per axis
+_INV24 = 5.9604644775390625e-08  # 2^-24
+
+
+class MhLaneState(NamedTuple):
+    """Per-lane chain + in-flight proposal state, (R, 128) each."""
+
+    kr: jax.Array  # f32 proposal grid index (real axis, 0..2^24)
+    ki: jax.Array  # f32 proposal grid index (imag axis)
+    cr: jax.Array  # f32 proposal c (reconstructed at refill)
+    ci: jax.Array
+    zr: jax.Array  # f32 orbit position
+    zi: jax.Array
+    sr: jax.Array  # f32 Brent saved point
+    si: jax.Array
+    it: jax.Array  # i32 completed updates of the proposal
+    sv: jax.Array  # i32 next Brent save index
+    dead: jax.Array  # i32 1 => proposal invalid (culled / out of domain)
+    vcnt: jax.Array  # i32 in-window updated positions so far
+    xkr: jax.Array  # f32 chain state grid index (real)
+    xki: jax.Array  # f32 chain state grid index (imag)
+    xv: jax.Array  # i32 chain state target value v(x); 0 = unseeded
+    xit: jax.Array  # i32 chain state escape index
+    rep: jax.Array  # i32 chain steps the current state has been retained
+
+
+def init_mh_lane_state(lane_rows: int) -> MhLaneState:
+    shape = (lane_rows, 128)
+    f = lambda v: jnp.full(shape, v, jnp.float32)
+    i = lambda v: jnp.full(shape, v, jnp.int32)
+    return MhLaneState(
+        kr=f(0.0), ki=f(0.0), cr=f(0.0), ci=f(0.0),
+        zr=f(0.0), zi=f(0.0),
+        sr=f(_BIG), si=f(_BIG),
+        it=i(0), sv=i(_SAVE0),
+        # All proposals start dead: the first boundary draws the first
+        # real (restart) proposals; xv = 0 keeps them forced-uniform and
+        # auto-accepted until every chain is seeded.
+        dead=i(1),
+        vcnt=i(0),
+        xkr=f(0.0), xki=f(0.0), xv=i(0), xit=i(-1), rep=i(0),
+    )
+
+
+def _make_kernel_mh(
+    fractal: FractalMap,
+    *,
+    min_it: int,
+    max_it: int,
+    steps_per_flush: int,
+    cycle_detection: bool,
+    rng: str,
+    inner_unroll: int,
+    sample_domain: tuple,
+    window: tuple,
+    restart256: int,
+    rep_cap: int,
+):
+    """Build the MH kernel body. The iterate/terminate scaffolding
+    mirrors pallas_kernels._make_kernel's thin-tracking path (see there
+    for the soundness arguments and cudabrot.cu citations); the refill
+    block is replaced by the chain logic documented in the module
+    docstring."""
+    detect = cycle_detection and fractal.cycle_detect
+    use_cull = fractal.use_cull
+    fold_abs = fractal.fold_abs
+    if fractal.emit != "escape":
+        raise ValueError("MH sampling supports escape-emit fractals only")
+    n_windows = steps_per_flush // inner_unroll
+    dom_r0, dom_r1, dom_i0, dom_i1 = sample_domain
+    span_r = dom_r1 - dom_r0
+    span_i = dom_i1 - dom_i0
+
+    def kernel(*refs):
+        if rng != "bits":
+            (seed_ref,
+             *_ins,
+             kr_ref, ki_ref, cr_ref, ci_ref, zr_ref, zi_ref,
+             sr_ref, si_ref, it_ref, sv_ref, dead_ref, vcnt_ref,
+             xkr_ref, xki_ref, xv_ref, xit_ref, rep_ref,
+             emit_k_ref, emit_it_ref, emit_rep_ref, emit_v_ref,
+             stats_ref,
+             pend_kr, pend_ki, pend_it, pend_rep, pend_v,
+             counters) = refs
+            bits_ref = None
+        else:
+            (seed_ref, bits_ref,
+             *_ins,
+             kr_ref, ki_ref, cr_ref, ci_ref, zr_ref, zi_ref,
+             sr_ref, si_ref, it_ref, sv_ref, dead_ref, vcnt_ref,
+             xkr_ref, xki_ref, xv_ref, xit_ref, rep_ref,
+             emit_k_ref, emit_it_ref, emit_rep_ref, emit_v_ref,
+             stats_ref,
+             pend_kr, pend_ki, pend_it, pend_rep, pend_v,
+             counters) = refs
+        chunk = pl.program_id(0)
+        if rng == "hardware":
+            pltpu.prng_seed(window_seed(seed_ref[0], chunk))
+
+        @pl.when(chunk == 0)
+        def _init_scratch():
+            pend_kr[...] = jnp.zeros_like(pend_kr)
+            pend_ki[...] = jnp.zeros_like(pend_ki)
+            pend_it[...] = jnp.full_like(pend_it, -1)
+            pend_rep[...] = jnp.zeros_like(pend_rep)
+            pend_v[...] = jnp.zeros_like(pend_v)
+            counters[...] = jnp.zeros_like(counters)
+
+        min_i = jnp.int32(min_it)
+        max_i = jnp.int32(max_it)
+        shape = kr_ref.shape
+        if rng == "threefry":
+            lane_iota = (
+                jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+                * jnp.uint32(shape[1])
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+            )
+            tf_k0 = seed_ref[0].astype(jnp.uint32)
+            tf_k1 = seed_ref[1].astype(jnp.uint32)
+        wx0, wx1, wy0, wy1 = (jnp.float32(v) for v in window)
+
+        def step(widx, s):
+            (kr, ki, cr, ci, zr, zi, sr, si, it, sv, dead, vcnt,
+             xkr, xki, xv, xit, rep,
+             p_kr, p_ki, p_it, p_rep, p_v,
+             n_drawn, n_cull, n_band, n_cyc, n_waste,
+             n_acc, n_ovw, n_lost) = s
+
+            # --- inner window: thin tracking + in-window counting ---
+            azr, azi = zr, zi
+            nesc = jnp.zeros_like(it)
+            w_cnt = jnp.zeros_like(it)
+            r2 = azr * azr
+            i2 = azi * azi
+            for _ in range(inner_unroll):
+                nzr = r2 - i2 + cr
+                if fold_abs:
+                    nzi = 2.0 * jnp.abs(azr * azi) + ci
+                else:
+                    nzi = 2.0 * azr * azi + ci
+                azr, azi = nzr, nzi
+                r2 = azr * azr
+                i2 = azi * azi
+                nesc = nesc + (r2 + i2 <= 4.0).astype(jnp.int32)
+                # Count updated positions inside the canvas window: the
+                # chain target v(c). Post-escape coast positions cannot
+                # land in a window within |z| <= 2 (escape is monotone
+                # growth past 2) and NaN compares false.
+                w_cnt = w_cnt + (
+                    (azr >= wx0) & (azr < wx1)
+                    & (azi >= wy0) & (azi < wy1)
+                ).astype(jnp.int32)
+            vcnt_new = vcnt + w_cnt
+            esc_mask = nesc < jnp.int32(inner_unroll)
+            needed = it + nesc
+            if detect:
+                cyc_mask = (azr == sr) & (azi == si) & ~esc_mask
+            else:
+                cyc_mask = jnp.zeros(azr.shape, bool)
+
+            it_new = it + inner_unroll
+
+            # --- boundary: proposal resolution ---
+            maxed = it_new >= max_i
+            deadb = dead != 0
+            fin = esc_mask | cyc_mask | maxed | deadb
+            cand = (
+                esc_mask & ~deadb & (needed >= min_i) & (needed < max_i)
+            )
+            v_prop = jnp.where(cand, vcnt_new, 0)
+
+            # --- boundary randomness ---
+            if rng == "threefry":
+                gwin = (
+                    chunk * jnp.int32(n_windows) + widx
+                ).astype(jnp.uint32)
+                rb_r, rb_i = threefry2x32(tf_k0, tf_k1, lane_iota, gwin)
+                rb_a, rb_b = threefry2x32(
+                    tf_k0, tf_k1,
+                    lane_iota | jnp.uint32(0x40000000), gwin,
+                )
+            elif rng == "hardware_rw":
+                gwin = (
+                    chunk * jnp.int32(n_windows) + widx
+                ).astype(jnp.uint32)
+                pltpu.prng_seed(window_seed(seed_ref[0], gwin))
+                draw = lambda: pltpu.bitcast(
+                    pltpu.prng_random_bits(shape), jnp.uint32
+                )
+                rb_r, rb_i, rb_a, rb_b = draw(), draw(), draw(), draw()
+            elif rng == "hardware":
+                draw = lambda: pltpu.bitcast(
+                    pltpu.prng_random_bits(shape), jnp.uint32
+                )
+                rb_r, rb_i, rb_a, rb_b = draw(), draw(), draw(), draw()
+            else:
+                rb_r = bits_ref[0, widx, 0]
+                rb_i = bits_ref[0, widx, 1]
+                rb_a = bits_ref[0, widx, 2]
+                rb_b = bits_ref[0, widx, 3]
+
+            # --- Metropolis acceptance: u * v(x) < v(c') ---
+            u24 = jax.lax.shift_right_logical(
+                rb_a, jnp.uint32(8)
+            ).astype(jnp.int32).astype(jnp.float32) * jnp.float32(_INV24)
+            accept = fin & (
+                v_prop.astype(jnp.float32) > u24 * xv.astype(jnp.float32)
+            )
+
+            # --- emission: retire the old tenure on accept; force-emit
+            # at the rep cap so tenures cannot grow unbounded ---
+            rep_rej = rep + 1
+            emit = accept & (xv > 0) & (rep > 0)
+            force = fin & ~accept & (xv > 0) & (rep_rej >= jnp.int32(rep_cap))
+            emit_any = emit | force
+            rep_used = jnp.where(emit, rep, rep_rej)
+            # Pending-slot collision => WEIGHTED RESERVOIR MERGE, not an
+            # overwrite: keep the NEW record with probability
+            # rep_new / (mass_old + rep_new) and carry the summed mass
+            # either way. E[mass credited to each state] equals its true
+            # rep (weighted reservoir sampling), and the realized total
+            # is conserved exactly — a plain last-writer-wins overwrite
+            # measured a 14.5% tenure-mass loss at a high-acceptance
+            # (48%) easy crop, where no single-slot flush sizing can
+            # keep collisions rare. Merges only trade deposit identity
+            # between temporally-adjacent chain states (a variance
+            # cost), counted in the stats.
+            occupied = p_it >= 0
+            merged = emit_any & occupied
+            tot = p_rep + rep_used
+            u12 = (
+                jax.lax.shift_right_logical(rb_b, jnp.uint32(20))
+                & jnp.uint32(0xFFF)
+            ).astype(jnp.int32).astype(jnp.float32)
+            take_new = ~occupied | (
+                u12 * tot.astype(jnp.float32)
+                < jnp.float32(4096.0) * rep_used.astype(jnp.float32)
+            )
+            upd = emit_any & take_new
+            n_ovw = n_ovw + jnp.where(merged, jnp.int32(1), 0)
+            n_lost = n_lost + jnp.where(merged, jnp.minimum(p_rep, rep_used), 0)
+            p_kr = jnp.where(upd, xkr, p_kr)
+            p_ki = jnp.where(upd, xki, p_ki)
+            p_it = jnp.where(upd, xit, p_it)
+            p_v = jnp.where(upd, xv, p_v)
+            p_rep = jnp.where(
+                emit_any, jnp.where(occupied, tot, rep_used), p_rep
+            )
+
+            # --- chain update ---
+            xkr = jnp.where(accept, kr, xkr)
+            xki = jnp.where(accept, ki, xki)
+            xv = jnp.where(accept, v_prop, xv)
+            xit = jnp.where(accept, needed, xit)
+            rep = jnp.where(
+                accept,
+                jnp.int32(1),
+                jnp.where(
+                    fin, jnp.where(force, jnp.int32(0), rep_rej), rep
+                ),
+            )
+
+            # --- Brent checkpoint (boundary schedule, as the base
+            # kernel) ---
+            if detect:
+                at_save = (it_new >= sv) & ~fin
+                sr2 = jnp.where(at_save, azr, sr)
+                si2 = jnp.where(at_save, azi, si)
+                sv2 = jnp.where(at_save, sv * 2, sv)
+            else:
+                sr2, si2, sv2 = sr, si, sv
+
+            # --- proposal draw for finished lanes ---
+            m24_r = jax.lax.shift_right_logical(
+                rb_r, jnp.uint32(8)
+            ).astype(jnp.int32)
+            m24_i = jax.lax.shift_right_logical(
+                rb_i, jnp.uint32(8)
+            ).astype(jnp.int32)
+            sign_r = (rb_b & jnp.uint32(1)) != 0
+            sign_i = (rb_b & jnp.uint32(2)) != 0
+            sh_r = jnp.minimum(
+                jax.lax.shift_right_logical(rb_b, jnp.uint32(2))
+                & jnp.uint32(31),
+                jnp.uint32(23),
+            )
+            sh_i = jnp.minimum(
+                jax.lax.shift_right_logical(rb_b, jnp.uint32(7))
+                & jnp.uint32(31),
+                jnp.uint32(23),
+            )
+            off_r = jax.lax.shift_right_logical(
+                m24_r.astype(jnp.uint32), sh_r
+            ).astype(jnp.int32)
+            off_i = jax.lax.shift_right_logical(
+                m24_i.astype(jnp.uint32), sh_i
+            ).astype(jnp.int32)
+            dk_r = jnp.where(sign_r, -off_r, off_r)
+            dk_i = jnp.where(sign_i, -off_i, off_i)
+            restart8 = (
+                jax.lax.shift_right_logical(rb_b, jnp.uint32(12))
+                & jnp.uint32(255)
+            ).astype(jnp.int32)
+            restart = (restart8 < jnp.int32(restart256)) | (xv == 0)
+            loc_r = xkr.astype(jnp.int32) + dk_r
+            loc_i = xki.astype(jnp.int32) + dk_i
+            nk_r = jnp.where(restart, m24_r, loc_r)
+            nk_i = jnp.where(restart, m24_i, loc_i)
+            oob = ~restart & (
+                (loc_r < 0) | (loc_r >= jnp.int32(_TWO24))
+                | (loc_i < 0) | (loc_i >= jnp.int32(_TWO24))
+            )
+            # Out-of-domain proposals keep an in-range index (so the f32
+            # conversion stays exact) but resolve as dead rejections.
+            nk_r = jnp.clip(nk_r, 0, jnp.int32(_TWO24 - 1))
+            nk_i = jnp.clip(nk_i, 0, jnp.int32(_TWO24 - 1))
+            nkr_f = nk_r.astype(jnp.float32)
+            nki_f = nk_i.astype(jnp.float32)
+            # c reconstruction: the exact refill arithmetic of
+            # pallas_kernels._u32_to_domain, evaluated from the grid
+            # index (the host replay decode repeats it verbatim).
+            ncr = (
+                nkr_f * jnp.float32(_INV24) * jnp.float32(span_r)
+                + jnp.float32(dom_r0)
+            )
+            nci = (
+                nki_f * jnp.float32(_INV24) * jnp.float32(span_i)
+                + jnp.float32(dom_i0)
+            )
+            if use_cull:
+                imag_sq = nci * nci
+                q = (ncr - 0.25)
+                q = q * q + imag_sq
+                card = q * (q + (ncr - 0.25)) < imag_sq * 0.25
+                t = ncr + 1.0
+                bulb = (t * t + imag_sq) < 0.0625
+                ncull = card | bulb | oob
+            else:
+                ncull = oob
+
+            kr = jnp.where(fin, nkr_f, kr)
+            ki = jnp.where(fin, nki_f, ki)
+            cr = jnp.where(fin, ncr, cr)
+            ci = jnp.where(fin, nci, ci)
+            zr = jnp.where(fin, ncr, azr)
+            zi = jnp.where(fin, nci, azi)
+            it = jnp.where(fin, 0, it_new)
+            sr = jnp.where(fin, jnp.float32(_BIG), sr2)
+            si = jnp.where(fin, jnp.float32(_BIG), si2)
+            sv = jnp.where(fin, jnp.int32(_SAVE0), sv2)
+            dead = jnp.where(fin, ncull.astype(jnp.int32), dead)
+            vcnt = jnp.where(fin, 0, vcnt_new)
+
+            one = jnp.int32(1)
+            zero = jnp.int32(0)
+            unroll = jnp.int32(inner_unroll)
+            n_drawn = n_drawn + jnp.where(fin, one, zero)
+            n_cull = n_cull + jnp.where(fin & ncull, one, zero)
+            n_band = n_band + jnp.where(v_prop > 0, one, zero)
+            n_cyc = n_cyc + jnp.where(cyc_mask & ~deadb, one, zero)
+            n_waste = n_waste + jnp.where(deadb, unroll, zero)
+            n_waste = n_waste + jnp.where(
+                esc_mask & ~deadb, it_new - needed - 1, zero
+            )
+            n_acc = n_acc + jnp.where(accept, one, zero)
+            return (kr, ki, cr, ci, zr, zi, sr, si, it, sv, dead, vcnt,
+                    xkr, xki, xv, xit, rep,
+                    p_kr, p_ki, p_it, p_rep, p_v,
+                    n_drawn, n_cull, n_band, n_cyc, n_waste,
+                    n_acc, n_ovw, n_lost)
+
+        carry = (
+            kr_ref[...], ki_ref[...], cr_ref[...], ci_ref[...],
+            zr_ref[...], zi_ref[...], sr_ref[...], si_ref[...],
+            it_ref[...], sv_ref[...], dead_ref[...], vcnt_ref[...],
+            xkr_ref[...], xki_ref[...], xv_ref[...], xit_ref[...],
+            rep_ref[...],
+            pend_kr[...], pend_ki[...], pend_it[...], pend_rep[...],
+            pend_v[...],
+            counters[STAT_DRAWN], counters[STAT_CULLED],
+            counters[STAT_IN_BAND], counters[STAT_CYCLES],
+            counters[STAT_WASTED], counters[STAT_MH_ACCEPT],
+            counters[STAT_MH_MERGE], counters[STAT_MH_MERGED_REP],
+        )
+        carry = jax.lax.fori_loop(
+            0, steps_per_flush // inner_unroll, step, carry
+        )
+        (kr, ki, cr, ci, zr, zi, sr, si, it, sv, dead, vcnt,
+         xkr, xki, xv, xit, rep,
+         p_kr, p_ki, p_it, p_rep, p_v,
+         n_drawn, n_cull, n_band, n_cyc, n_waste,
+         n_acc, n_ovw, n_lost) = carry
+
+        kr_ref[...] = kr
+        ki_ref[...] = ki
+        cr_ref[...] = cr
+        ci_ref[...] = ci
+        zr_ref[...] = zr
+        zi_ref[...] = zi
+        sr_ref[...] = sr
+        si_ref[...] = si
+        it_ref[...] = it
+        sv_ref[...] = sv
+        dead_ref[...] = dead
+        vcnt_ref[...] = vcnt
+        xkr_ref[...] = xkr
+        xki_ref[...] = xki
+        xv_ref[...] = xv
+        xit_ref[...] = xit
+        rep_ref[...] = rep
+        counters[STAT_DRAWN] = n_drawn
+        counters[STAT_CULLED] = n_cull
+        counters[STAT_IN_BAND] = n_band
+        counters[STAT_CYCLES] = n_cyc
+        counters[STAT_WASTED] = n_waste
+        counters[STAT_MH_ACCEPT] = n_acc
+        counters[STAT_MH_MERGE] = n_ovw
+        counters[STAT_MH_MERGED_REP] = n_lost
+        stats_ref[...] = counters[...]
+
+        emit_k_ref[0, 0] = p_kr
+        emit_k_ref[0, 1] = p_ki
+        emit_it_ref[0] = p_it
+        emit_rep_ref[0] = p_rep
+        emit_v_ref[0] = p_v
+        pend_kr[...] = p_kr * 0.0
+        pend_ki[...] = p_ki * 0.0
+        pend_it[...] = jnp.full_like(p_it, -1)
+        pend_rep[...] = jnp.zeros_like(p_rep)
+        pend_v[...] = jnp.zeros_like(p_v)
+
+    return kernel
+
+
+class MhClassifyResult(NamedTuple):
+    state: MhLaneState
+    emit_k: jax.Array  # (chunks, 2, R, 128) f32 — 24-bit GRID INDICES
+    emit_it: jax.Array  # (chunks, R, 128) i32 — escape index, -1 invalid
+    emit_rep: jax.Array  # (chunks, R, 128) i32 — tenure chain steps
+    emit_v: jax.Array  # (chunks, R, 128) i32 — the chain state's v
+    stats: jax.Array  # (MH_STATS_ROWS, R, 128) i32 per-lane counters
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fractal", "min_it", "max_it", "steps_per_pass", "steps_per_flush",
+        "cycle_detection", "interpret", "inner_unroll", "rng",
+        "sample_domain", "window", "restart256", "rep_cap",
+    ),
+    donate_argnums=(0,),
+)
+def classify_pass_mh(
+    state: MhLaneState,
+    seed: jax.Array,
+    bits: jax.Array | None = None,
+    *,
+    fractal: FractalMap,
+    min_it: int,
+    max_it: int,
+    steps_per_pass: int,
+    steps_per_flush: int,
+    cycle_detection: bool = True,
+    interpret: bool = False,
+    inner_unroll: int = 1,
+    rng: str | None = None,
+    sample_domain: tuple = (-2.0, 2.0, -2.0, 2.0),
+    window: tuple = (-2.0, 2.0, -2.0, 2.0),
+    restart256: int = 16,
+    rep_cap: int = 4096,
+) -> MhClassifyResult:
+    """One MH chain pass: same call contract as
+    pallas_kernels.classify_pass with grid-index emissions plus a rep
+    row. ``window`` is the exact canvas bounds (the chain target);
+    ``restart256`` is the uniform-restart mixture weight in 1/256ths;
+    ``rep_cap`` bounds tenure batching. ``bits`` mode expects FOUR u32
+    words per boundary: mutation mantissas (2), acceptance word, and
+    the control word (signs/scales/restart)."""
+    if steps_per_pass % steps_per_flush != 0:
+        raise ValueError("steps_per_pass must be a multiple of steps_per_flush")
+    if steps_per_flush % inner_unroll != 0:
+        raise ValueError("steps_per_flush must be a multiple of inner_unroll")
+    if not (0 <= restart256 <= 256):
+        raise ValueError("restart256 must be in [0, 256]")
+    if rep_cap < 2:
+        raise ValueError("rep_cap must be at least 2")
+    chunks = steps_per_pass // steps_per_flush
+    windows = steps_per_flush // inner_unroll
+    lane_rows = state.kr.shape[0]
+    shape = (lane_rows, 128)
+    if rng is None:
+        rng = "bits" if bits is not None else "threefry"
+    if rng not in ("threefry", "hardware", "hardware_rw", "bits"):
+        raise ValueError(f"Unknown rng mode: {rng}")
+    if (rng == "bits") != (bits is not None):
+        raise ValueError("bits must be supplied iff rng == 'bits'")
+
+    kernel = _make_kernel_mh(
+        fractal,
+        min_it=min_it,
+        max_it=max_it,
+        steps_per_flush=steps_per_flush,
+        cycle_detection=cycle_detection,
+        rng=rng,
+        inner_unroll=inner_unroll,
+        sample_domain=sample_domain,
+        window=window,
+        restart256=restart256,
+        rep_cap=rep_cap,
+    )
+
+    f32 = jnp.float32
+    i32 = jnp.int32
+    n_state = len(MhLaneState._fields)
+    int_fields = ("it", "sv", "dead", "vcnt", "xv", "xit", "rep")
+    state_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_state
+    out_state_shapes = [
+        jax.ShapeDtypeStruct(shape, i32 if f in int_fields else f32)
+        for f in MhLaneState._fields
+    ]
+
+    seed = jnp.asarray(seed)
+    if seed.ndim == 0:
+        seed_arr = jnp.stack(
+            [
+                seed.astype(jnp.uint32),
+                seed.astype(jnp.uint32) ^ jnp.uint32(0x3C6EF372),
+            ]
+        )
+    else:
+        seed_arr = seed.reshape((2,)).astype(jnp.uint32)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    inputs = [seed_arr.astype(jnp.int32)]
+    if rng == "bits":
+        if bits.shape != (chunks, windows, 4, lane_rows, 128):
+            raise ValueError(f"bits has wrong shape {bits.shape}")
+        in_specs.append(
+            pl.BlockSpec(
+                (1, windows, 4, lane_rows, 128),
+                lambda i: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(bits.astype(jnp.uint32))
+    in_specs.extend(state_specs)
+    inputs.extend(state)
+    state_in_base = len(in_specs) - n_state
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(chunks,),
+        in_specs=in_specs,
+        out_specs=[
+            *state_specs,
+            pl.BlockSpec(
+                (1, 2, lane_rows, 128),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, lane_rows, 128),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, lane_rows, 128),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, lane_rows, 128),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # stats (revisited)
+        ],
+        out_shape=[
+            *out_state_shapes,
+            jax.ShapeDtypeStruct((chunks, 2, lane_rows, 128), f32),
+            jax.ShapeDtypeStruct((chunks, lane_rows, 128), i32),
+            jax.ShapeDtypeStruct((chunks, lane_rows, 128), i32),
+            jax.ShapeDtypeStruct((chunks, lane_rows, 128), i32),
+            jax.ShapeDtypeStruct((MH_STATS_ROWS, lane_rows, 128), i32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(shape, f32),  # pend_kr
+            pltpu.VMEM(shape, f32),  # pend_ki
+            pltpu.VMEM(shape, i32),  # pend_it
+            pltpu.VMEM(shape, i32),  # pend_rep
+            pltpu.VMEM(shape, i32),  # pend_v
+            pltpu.VMEM((MH_STATS_ROWS,) + shape, i32),  # counters
+        ],
+        input_output_aliases={state_in_base + i: i for i in range(n_state)},
+        interpret=interpret,
+    )(*inputs)
+
+    new_state = MhLaneState(*out[:n_state])
+    return MhClassifyResult(
+        state=new_state,
+        emit_k=out[n_state],
+        emit_it=out[n_state + 1],
+        emit_rep=out[n_state + 2],
+        emit_v=out[n_state + 3],
+        stats=out[n_state + 4],
+    )

@@ -269,6 +269,11 @@ class DataParallelHostReplayEngine(DataParallelEngine):
         # holds a partial accumulator (worker + its addressable device
         # shards); merge with one allgather (collective — every process
         # must call this, mirroring DataParallelEngine.histogram).
+        if getattr(self.inner, "mh", False):
+            # Deposit the in-flight MH tenure mass across every device's
+            # stacked chain state (single-process only; make_engine
+            # rejects multi-process MH).
+            self.inner._flush_mh_tails(state)
         self.inner._worker.drain()
         local = self.inner._worker.hist
         if self.inner.split_threshold > 0:

@@ -59,7 +59,7 @@ class ShardedHistogramEngine:
             local = jax.tree.map(lambda x: x[0], state)
             hist_local = local.pop("hist_shard")
 
-            new_local, (cr, ci, it) = inner._classify_and_compact(
+            new_local, (cr, ci, it, _, _) = inner._classify_and_compact(
                 local, pass_index, ordinal
             )
             # Count this device's own orbit points before the gather so

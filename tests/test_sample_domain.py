@@ -129,7 +129,7 @@ def test_pallas_emissions_seeded_in_domain():
     state = eng.init_state(None)
     seen = 0
     for p in range(6):
-        state, (cr, ci, it) = eng._classify_and_compact(
+        state, (cr, ci, it, _, _) = eng._classify_and_compact(
             state, p, ordinal=jnp.uint32(0)
         )
         cr, ci, it = np.asarray(cr), np.asarray(ci), np.asarray(it)
