@@ -633,30 +633,34 @@ int64_t ReplayScatterImpl(const SampleT* cr, const SampleT* ci,
 // per-thread private histograms). Emissions whose replay trajectory
 // deposits nothing forfeit their intended mass into `lost` so the
 // accounting stays visible.
-template <bool kBurningShip, typename HistT>
-void ReplayRangeMh(const float* cr, const float* ci, const int32_t* iters,
-                   const int32_t* reps, const int32_t* vks, int64_t begin,
-                   int64_t end, const Canvas& cv, uint32_t scale,
-                   HistT* hist, ThreadResult* out,
-                   std::vector<int32_t>& bins) {
-  const float min_r = static_cast<float>(cv.min_real);
-  const float min_i = static_cast<float>(cv.min_imag);
-  const float inv_dr = static_cast<float>(1.0 / cv.delta_real);
-  const float inv_di = static_cast<float>(1.0 / cv.delta_imag);
+template <bool kBurningShip, typename SampleT, typename HistT>
+void ReplayRangeMh(const SampleT* cr, const SampleT* ci,
+                   const int32_t* iters, const int32_t* reps,
+                   const int32_t* vks, int64_t begin, int64_t end,
+                   const Canvas& cv, uint32_t scale, HistT* hist,
+                   ThreadResult* out, std::vector<int32_t>& bins) {
+  // SampleT selects the orbit/binning precision: float for the f32 MH
+  // kernel's payloads, double for extended (df32 deep-zoom) MH, where
+  // c is reconstructed in f64 from window-grid indices and canvas
+  // deltas are far below f32 resolution.
+  const SampleT min_r = static_cast<SampleT>(cv.min_real);
+  const SampleT min_i = static_cast<SampleT>(cv.min_imag);
+  const SampleT inv_dr = static_cast<SampleT>(1.0 / cv.delta_real);
+  const SampleT inv_di = static_cast<SampleT>(1.0 / cv.delta_imag);
   for (int64_t i = begin; i < end; ++i) {
     const int32_t limit = iters[i];
     if (limit < 0) continue;
     out->points += static_cast<uint64_t>(limit) + 1;
     bins.clear();
-    float zr = cr[i], zi = ci[i];
+    SampleT zr = cr[i], zi = ci[i];
     for (int32_t s = 0; s <= limit; ++s) {
-      float r = zr, im = zi;
+      SampleT r = zr, im = zi;
       if (kBurningShip) {
         r = r < 0 ? -r : r;
         im = im < 0 ? -im : im;
       }
-      const float nr = r * r - im * im + cr[i];
-      const float ni = 2.0f * r * im + ci[i];
+      const SampleT nr = r * r - im * im + cr[i];
+      const SampleT ni = static_cast<SampleT>(2.0) * r * im + ci[i];
       zr = nr;
       zi = ni;
       // Low-boundary guard before the truncating divide
@@ -697,8 +701,8 @@ void ReplayRangeMh(const float* cr, const float* ci, const int32_t* iters,
   }
 }
 
-template <typename HistT>
-int64_t ReplayScatterMhImpl(const float* cr, const float* ci,
+template <typename SampleT, typename HistT>
+int64_t ReplayScatterMhImpl(const SampleT* cr, const SampleT* ci,
                             const int32_t* iters, const int32_t* reps,
                             const int32_t* vks,
                             int64_t n, int32_t w, int32_t h, double min_real,
@@ -887,6 +891,34 @@ int64_t tpubrot_replay_scatter_mh64(const float* cr, const float* ci,
                                     int32_t scale, uint64_t* hist,
                                     uint64_t* points_total,
                                     uint64_t* lost_weight) {
+  return ReplayScatterMhImpl(cr, ci, iters, reps, vks, n, w, h, min_real,
+                             min_imag, delta_real, delta_imag, flags,
+                             num_threads, scale, hist, points_total,
+                             lost_weight);
+}
+
+// Double-precision MH replay for extended (df32) deep-zoom importance
+// sampling: c values arrive reconstructed in f64 from window-grid
+// indices; orbit iteration and binning run in hardware double. Same
+// weighted-deposit contract as tpubrot_replay_scatter_mh.
+int64_t tpubrot_replay_scatter_mh_f64(
+    const double* cr, const double* ci, const int32_t* iters,
+    const int32_t* reps, const int32_t* vks, int64_t n, int32_t w,
+    int32_t h, double min_real, double min_imag, double delta_real,
+    double delta_imag, int32_t flags, int32_t num_threads, int32_t scale,
+    uint32_t* hist, uint64_t* points_total, uint64_t* lost_weight) {
+  return ReplayScatterMhImpl(cr, ci, iters, reps, vks, n, w, h, min_real,
+                             min_imag, delta_real, delta_imag, flags,
+                             num_threads, scale, hist, points_total,
+                             lost_weight);
+}
+
+int64_t tpubrot_replay_scatter_mh_f64_64(
+    const double* cr, const double* ci, const int32_t* iters,
+    const int32_t* reps, const int32_t* vks, int64_t n, int32_t w,
+    int32_t h, double min_real, double min_imag, double delta_real,
+    double delta_imag, int32_t flags, int32_t num_threads, int32_t scale,
+    uint64_t* hist, uint64_t* points_total, uint64_t* lost_weight) {
   return ReplayScatterMhImpl(cr, ci, iters, reps, vks, n, w, h, min_real,
                              min_imag, delta_real, delta_imag, flags,
                              num_threads, scale, hist, points_total,

@@ -141,6 +141,7 @@ TPU-native extensions:
              uniform one. Restores signal on deep crops where uniform
              sampling starves; histogram counts are in 1/256 units —
              recorded in checkpoints — and tone mapping is unaffected.
+             Composes with --precision extended for deep-zoom windows.
              Pallas engine + native host replay only.)
   --mh-restart <n>: MH uniform-restart mixture weight in 1/256ths
              (default 16 = 1/16 of proposals are global draws).

@@ -309,11 +309,11 @@ class EngineOptions:
         if self.sampler not in ("uniform", "mh"):
             raise ConfigError(f"Unknown sampler: {self.sampler}")
         if self.sampler == "mh":
-            if self.precision != "float32":
+            if self.precision == "float64":
                 raise ConfigError(
-                    "--sampler mh currently supports float32 precision "
-                    "only (the MH kernel rides the f32 grid; extended-"
-                    "precision MH is a planned extension)"
+                    "--sampler mh supports float32 and extended "
+                    "precision (the MH chains live in the pallas "
+                    "kernels; float64 is the oracle engine's precision)"
                 )
             if self.escape_tracking == "step":
                 raise ConfigError(

@@ -162,15 +162,29 @@ class HostReplayWorker:
             # commutes) and invalid lanes cost nothing.
             batch = np.concatenate(list(batch), axis=1)
         if self.mh_decode is not None:
-            # MH payload: [k_re, k_im, iters, rep, v] rows. Reconstruct c
-            # exactly as the kernel's refill did (k * 2^-24 * span + lo,
-            # pallas_kernels_mh._make_kernel_mh) so replay trajectories
-            # match classification bit-for-bit at dispatch.
-            r0, span_r, i0, span_i = self.mh_decode[:4]
+            # MH payload: [k_re, k_im, iters, rep, v] rows.
             batch = batch.astype(np.float32, copy=False)
-            inv24 = np.float32(5.9604644775390625e-08)
-            cr = batch[0] * inv24 * np.float32(span_r) + np.float32(r0)
-            ci = batch[1] * inv24 * np.float32(span_i) + np.float32(i0)
+            if self.grid_decode is not None:
+                # Extended (deep-zoom) MH: indices live on the sample
+                # WINDOW grid; reconstruct c in f64 exactly as the
+                # non-MH extended decode does (f32 offset + f64 center)
+                # and replay through the native double MH path.
+                c_r64, c_i64, step_r, step_i = self.grid_decode
+                two23 = np.float32(8388608.0)
+                off_r = (batch[0] - two23) * np.float32(step_r)
+                off_i = (batch[1] - two23) * np.float32(step_i)
+                cr = c_r64 + off_r.astype(np.float64)
+                ci = c_i64 + off_i.astype(np.float64)
+            else:
+                # f32 MH: reconstruct c exactly as the kernel's refill
+                # did (k * 2^-24 * span + lo,
+                # pallas_kernels_mh._make_kernel_mh) so replay
+                # trajectories match classification bit-for-bit at
+                # dispatch.
+                r0, span_r, i0, span_i = self.mh_decode[:4]
+                inv24 = np.float32(5.9604644775390625e-08)
+                cr = batch[0] * inv24 * np.float32(span_r) + np.float32(r0)
+                ci = batch[1] * inv24 * np.float32(span_i) + np.float32(i0)
             iters = batch[2].astype(np.int32)
             reps = batch[3].astype(np.int32)
             vks = batch[4].astype(np.int32)

@@ -901,8 +901,16 @@ class PallasEngine:
 
         if self.mh:
             cv = cfg.canvas
-            result = pkm.classify_pass_mh(
-                pkm.MhLaneState(*state["lanes"]),
+            mh_fn = (
+                pkm.classify_pass_ext_mh if self.extended
+                else pkm.classify_pass_mh
+            )
+            mh_state = (
+                pkm.ExtMhLaneState(*state["lanes"]) if self.extended
+                else pkm.MhLaneState(*state["lanes"])
+            )
+            result = mh_fn(
+                mh_state,
                 seed,
                 None,
                 fractal=self.fractal,
@@ -1127,7 +1135,14 @@ class PallasEngine:
                 if hist0 is None
                 else jnp.asarray(hist0, jnp.uint32)
             )
-        if self.extended:
+        if self.extended and self.mh:
+            state = {
+                "hist": hist,
+                "lanes": tuple(
+                    pkm.init_ext_mh_lane_state(self.lane_rows)
+                ),
+            }
+        elif self.extended:
             state = {
                 "hist": hist,
                 "lanes": tuple(pke.init_ext_lane_state(self.lane_rows)),
@@ -1168,7 +1183,9 @@ class PallasEngine:
         tn = self.tuning
         hist = cv.num_pixels * 4
         lane_cls = pk.LaneState
-        if self.extended:
+        if self.extended and self.mh:
+            lane_cls = pkm.ExtMhLaneState
+        elif self.extended:
             lane_cls = pke.ExtLaneState
         elif self.mh:
             lane_cls = pkm.MhLaneState
@@ -1241,17 +1258,28 @@ class PallasEngine:
         the seahorse test crop before this flush existed."""
         from cudabrot_tpu.io import native
 
-        lanes = pkm.MhLaneState(*state["lanes"])
+        lanes_cls = pkm.ExtMhLaneState if self.extended else pkm.MhLaneState
+        lanes = lanes_cls(*state["lanes"])
         xv = np.asarray(lanes.xv).reshape(-1)
         rep = np.asarray(lanes.rep).reshape(-1)
         live = (xv > 0) & (rep > 0)
         if live.any():
-            r0, r1, i0, i1 = self.cfg.sample_domain
-            inv24 = np.float32(5.9604644775390625e-08)
             kr = np.asarray(lanes.xkr).reshape(-1)[live].astype(np.float32)
             ki = np.asarray(lanes.xki).reshape(-1)[live].astype(np.float32)
-            cr = kr * inv24 * np.float32(r1 - r0) + np.float32(r0)
-            ci = ki * inv24 * np.float32(i1 - i0) + np.float32(i0)
+            if self.extended:
+                # Window-grid indices -> f64 c (the extended decode).
+                two23 = np.float32(8388608.0)
+                cr = df32.to_float64(*self._df_center[0]) + (
+                    (kr - two23) * np.float32(self._df_step[0])
+                ).astype(np.float64)
+                ci = df32.to_float64(*self._df_center[1]) + (
+                    (ki - two23) * np.float32(self._df_step[1])
+                ).astype(np.float64)
+            else:
+                r0, r1, i0, i1 = self.cfg.sample_domain
+                inv24 = np.float32(5.9604644775390625e-08)
+                cr = kr * inv24 * np.float32(r1 - r0) + np.float32(r0)
+                ci = ki * inv24 * np.float32(i1 - i0) + np.float32(i0)
             xit = np.asarray(lanes.xit).reshape(-1)[live].astype(np.int32)
             reps = rep[live].astype(np.int32)
             vks = xv[live].astype(np.int32)

@@ -137,6 +137,26 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_uint64),  # points_total out
                 ctypes.POINTER(ctypes.c_uint64),  # lost_weight out
             ]
+            # Double-precision variants (extended deep-zoom MH).
+            _mh_common_f64 = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+            ] + _mh_common[2:]
+            lib.tpubrot_replay_scatter_mh_f64.restype = ctypes.c_int64
+            lib.tpubrot_replay_scatter_mh_f64.argtypes = _mh_common_f64 + [
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_uint64),
+            ]
+            lib.tpubrot_replay_scatter_mh_f64_64.restype = ctypes.c_int64
+            lib.tpubrot_replay_scatter_mh_f64_64.argtypes = (
+                _mh_common_f64
+                + [
+                    ctypes.POINTER(ctypes.c_uint64),
+                    ctypes.POINTER(ctypes.c_uint64),
+                    ctypes.POINTER(ctypes.c_uint64),
+                ]
+            )
         lib.tpubrot_write_pgm16.restype = ctypes.c_int32
         lib.tpubrot_write_pgm16.argtypes = [
             ctypes.c_char_p,
@@ -269,23 +289,36 @@ def replay_scatter_mh(
     lib = _load()
     if lib is None or not hasattr(lib, "tpubrot_replay_scatter_mh"):
         raise RuntimeError("native MH replay unavailable")
-    cr = np.ascontiguousarray(cr, np.float32)
-    ci = np.ascontiguousarray(ci, np.float32)
+    # Sample dtype selects precision: float64 inputs (extended deep-zoom
+    # MH — c reconstructed from window-grid indices) run the f64 orbit/
+    # binning path; everything else runs f32.
+    deep = np.asarray(cr).dtype == np.float64
+    sample_t = np.float64 if deep else np.float32
+    cptr_t = ctypes.c_double if deep else ctypes.c_float
+    cr = np.ascontiguousarray(cr, sample_t)
+    ci = np.ascontiguousarray(ci, sample_t)
     iters = np.ascontiguousarray(iters, np.int32)
     reps = np.ascontiguousarray(reps, np.int32)
     vks = np.ascontiguousarray(vks, np.int32)
     assert hist.dtype in (np.uint32, np.uint64) and hist.flags.c_contiguous
-    fn = (
-        lib.tpubrot_replay_scatter_mh64
-        if hist.dtype == np.uint64
-        else lib.tpubrot_replay_scatter_mh
-    )
+    if deep:
+        fn = (
+            lib.tpubrot_replay_scatter_mh_f64_64
+            if hist.dtype == np.uint64
+            else lib.tpubrot_replay_scatter_mh_f64
+        )
+    else:
+        fn = (
+            lib.tpubrot_replay_scatter_mh64
+            if hist.dtype == np.uint64
+            else lib.tpubrot_replay_scatter_mh
+        )
     ptr_t = ctypes.c_uint64 if hist.dtype == np.uint64 else ctypes.c_uint32
     points = ctypes.c_uint64(0)
     lost = ctypes.c_uint64(0)
     hits = fn(
-        cr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        ci.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cr.ctypes.data_as(ctypes.POINTER(cptr_t)),
+        ci.ctypes.data_as(ctypes.POINTER(cptr_t)),
         iters.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         reps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         vks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -156,6 +156,127 @@ def init_mh_lane_state(lane_rows: int) -> MhLaneState:
     )
 
 
+def _mh_boundary(
+    fin, v_prop, needed, kr, ki,
+    xkr, xki, xv, xit, rep,
+    p_kr, p_ki, p_it, p_rep, p_v,
+    rb_a, rb_b, rep_cap,
+):
+    """Shared chain-boundary logic (pure, mask-vectorized): Metropolis
+    acceptance, tenure emission with weighted-reservoir collision
+    merging, and the chain-state update. Used verbatim by the f32 and
+    extended (df32) MH kernels so the subtle parts exist exactly once.
+    Returns (accept, chain regs..., pending regs..., stat increments).
+    See the step-level comments in the module docstring for the
+    estimator arguments."""
+    # Metropolis acceptance: u * v(x) < v(c') with u uniform in [0,1).
+    u24 = jax.lax.shift_right_logical(
+        rb_a, jnp.uint32(8)
+    ).astype(jnp.int32).astype(jnp.float32) * jnp.float32(_INV24)
+    accept = fin & (
+        v_prop.astype(jnp.float32) > u24 * xv.astype(jnp.float32)
+    )
+
+    # Emission: retire the old tenure on accept; force-emit at the rep
+    # cap so tenures cannot grow unbounded.
+    rep_rej = rep + 1
+    emit = accept & (xv > 0) & (rep > 0)
+    force = fin & ~accept & (xv > 0) & (rep_rej >= jnp.int32(rep_cap))
+    emit_any = emit | force
+    rep_used = jnp.where(emit, rep, rep_rej)
+    # Pending-slot collision => WEIGHTED RESERVOIR MERGE, not an
+    # overwrite: keep the NEW record with probability
+    # rep_new / (mass_old + rep_new) and carry the summed mass either
+    # way. E[mass credited to each state] equals its true rep (weighted
+    # reservoir sampling), and the realized total is conserved exactly
+    # — a plain last-writer-wins overwrite measured a 14.5% tenure-mass
+    # loss at a high-acceptance (48%) easy crop, where no single-slot
+    # flush sizing can keep collisions rare. Merges only trade deposit
+    # identity between temporally-adjacent chain states (a variance
+    # cost), counted in the stats.
+    occupied = p_it >= 0
+    merged = emit_any & occupied
+    tot = p_rep + rep_used
+    u12 = (
+        jax.lax.shift_right_logical(rb_b, jnp.uint32(20))
+        & jnp.uint32(0xFFF)
+    ).astype(jnp.int32).astype(jnp.float32)
+    take_new = ~occupied | (
+        u12 * tot.astype(jnp.float32)
+        < jnp.float32(4096.0) * rep_used.astype(jnp.float32)
+    )
+    upd = emit_any & take_new
+    d_merges = jnp.where(merged, jnp.int32(1), 0)
+    d_merged_rep = jnp.where(merged, jnp.minimum(p_rep, rep_used), 0)
+    p_kr = jnp.where(upd, xkr, p_kr)
+    p_ki = jnp.where(upd, xki, p_ki)
+    p_it = jnp.where(upd, xit, p_it)
+    p_v = jnp.where(upd, xv, p_v)
+    p_rep = jnp.where(emit_any, jnp.where(occupied, tot, rep_used), p_rep)
+
+    # Chain update.
+    xkr = jnp.where(accept, kr, xkr)
+    xki = jnp.where(accept, ki, xki)
+    xv = jnp.where(accept, v_prop, xv)
+    xit = jnp.where(accept, needed, xit)
+    rep = jnp.where(
+        accept,
+        jnp.int32(1),
+        jnp.where(fin, jnp.where(force, jnp.int32(0), rep_rej), rep),
+    )
+    return (accept, xkr, xki, xv, xit, rep,
+            p_kr, p_ki, p_it, p_rep, p_v, d_merges, d_merged_rep)
+
+
+def _mh_propose(xkr, xki, xv, rb_r, rb_i, rb_b, restart256: int):
+    """Shared proposal draw (pure): symmetric multi-scale integer
+    mutation of the chain's grid indices mixed with a uniform restart
+    (forced while the chain is unseeded). Returns
+    (nk_r, nk_i [i32, clipped in-range], oob) — out-of-domain locals
+    keep an in-range index (exact f32 conversion) but must resolve as
+    dead rejections."""
+    m24_r = jax.lax.shift_right_logical(rb_r, jnp.uint32(8)).astype(
+        jnp.int32
+    )
+    m24_i = jax.lax.shift_right_logical(rb_i, jnp.uint32(8)).astype(
+        jnp.int32
+    )
+    sign_r = (rb_b & jnp.uint32(1)) != 0
+    sign_i = (rb_b & jnp.uint32(2)) != 0
+    sh_r = jnp.minimum(
+        jax.lax.shift_right_logical(rb_b, jnp.uint32(2)) & jnp.uint32(31),
+        jnp.uint32(23),
+    )
+    sh_i = jnp.minimum(
+        jax.lax.shift_right_logical(rb_b, jnp.uint32(7)) & jnp.uint32(31),
+        jnp.uint32(23),
+    )
+    off_r = jax.lax.shift_right_logical(
+        m24_r.astype(jnp.uint32), sh_r
+    ).astype(jnp.int32)
+    off_i = jax.lax.shift_right_logical(
+        m24_i.astype(jnp.uint32), sh_i
+    ).astype(jnp.int32)
+    dk_r = jnp.where(sign_r, -off_r, off_r)
+    dk_i = jnp.where(sign_i, -off_i, off_i)
+    restart8 = (
+        jax.lax.shift_right_logical(rb_b, jnp.uint32(12))
+        & jnp.uint32(255)
+    ).astype(jnp.int32)
+    restart = (restart8 < jnp.int32(restart256)) | (xv == 0)
+    loc_r = xkr.astype(jnp.int32) + dk_r
+    loc_i = xki.astype(jnp.int32) + dk_i
+    nk_r = jnp.where(restart, m24_r, loc_r)
+    nk_i = jnp.where(restart, m24_i, loc_i)
+    oob = ~restart & (
+        (loc_r < 0) | (loc_r >= jnp.int32(_TWO24))
+        | (loc_i < 0) | (loc_i >= jnp.int32(_TWO24))
+    )
+    nk_r = jnp.clip(nk_r, 0, jnp.int32(_TWO24 - 1))
+    nk_i = jnp.clip(nk_i, 0, jnp.int32(_TWO24 - 1))
+    return nk_r, nk_i, oob
+
+
 def _make_kernel_mh(
     fractal: FractalMap,
     *,
@@ -313,66 +434,18 @@ def _make_kernel_mh(
                 rb_a = bits_ref[0, widx, 2]
                 rb_b = bits_ref[0, widx, 3]
 
-            # --- Metropolis acceptance: u * v(x) < v(c') ---
-            u24 = jax.lax.shift_right_logical(
-                rb_a, jnp.uint32(8)
-            ).astype(jnp.int32).astype(jnp.float32) * jnp.float32(_INV24)
-            accept = fin & (
-                v_prop.astype(jnp.float32) > u24 * xv.astype(jnp.float32)
+            # --- acceptance + reservoir emission + chain update (the
+            # shared core, _mh_boundary) ---
+            (accept, xkr, xki, xv, xit, rep,
+             p_kr, p_ki, p_it, p_rep, p_v,
+             d_merges, d_merged) = _mh_boundary(
+                fin, v_prop, needed, kr, ki,
+                xkr, xki, xv, xit, rep,
+                p_kr, p_ki, p_it, p_rep, p_v,
+                rb_a, rb_b, rep_cap,
             )
-
-            # --- emission: retire the old tenure on accept; force-emit
-            # at the rep cap so tenures cannot grow unbounded ---
-            rep_rej = rep + 1
-            emit = accept & (xv > 0) & (rep > 0)
-            force = fin & ~accept & (xv > 0) & (rep_rej >= jnp.int32(rep_cap))
-            emit_any = emit | force
-            rep_used = jnp.where(emit, rep, rep_rej)
-            # Pending-slot collision => WEIGHTED RESERVOIR MERGE, not an
-            # overwrite: keep the NEW record with probability
-            # rep_new / (mass_old + rep_new) and carry the summed mass
-            # either way. E[mass credited to each state] equals its true
-            # rep (weighted reservoir sampling), and the realized total
-            # is conserved exactly — a plain last-writer-wins overwrite
-            # measured a 14.5% tenure-mass loss at a high-acceptance
-            # (48%) easy crop, where no single-slot flush sizing can
-            # keep collisions rare. Merges only trade deposit identity
-            # between temporally-adjacent chain states (a variance
-            # cost), counted in the stats.
-            occupied = p_it >= 0
-            merged = emit_any & occupied
-            tot = p_rep + rep_used
-            u12 = (
-                jax.lax.shift_right_logical(rb_b, jnp.uint32(20))
-                & jnp.uint32(0xFFF)
-            ).astype(jnp.int32).astype(jnp.float32)
-            take_new = ~occupied | (
-                u12 * tot.astype(jnp.float32)
-                < jnp.float32(4096.0) * rep_used.astype(jnp.float32)
-            )
-            upd = emit_any & take_new
-            n_ovw = n_ovw + jnp.where(merged, jnp.int32(1), 0)
-            n_lost = n_lost + jnp.where(merged, jnp.minimum(p_rep, rep_used), 0)
-            p_kr = jnp.where(upd, xkr, p_kr)
-            p_ki = jnp.where(upd, xki, p_ki)
-            p_it = jnp.where(upd, xit, p_it)
-            p_v = jnp.where(upd, xv, p_v)
-            p_rep = jnp.where(
-                emit_any, jnp.where(occupied, tot, rep_used), p_rep
-            )
-
-            # --- chain update ---
-            xkr = jnp.where(accept, kr, xkr)
-            xki = jnp.where(accept, ki, xki)
-            xv = jnp.where(accept, v_prop, xv)
-            xit = jnp.where(accept, needed, xit)
-            rep = jnp.where(
-                accept,
-                jnp.int32(1),
-                jnp.where(
-                    fin, jnp.where(force, jnp.int32(0), rep_rej), rep
-                ),
-            )
+            n_ovw = n_ovw + d_merges
+            n_lost = n_lost + d_merged
 
             # --- Brent checkpoint (boundary schedule, as the base
             # kernel) ---
@@ -384,50 +457,10 @@ def _make_kernel_mh(
             else:
                 sr2, si2, sv2 = sr, si, sv
 
-            # --- proposal draw for finished lanes ---
-            m24_r = jax.lax.shift_right_logical(
-                rb_r, jnp.uint32(8)
-            ).astype(jnp.int32)
-            m24_i = jax.lax.shift_right_logical(
-                rb_i, jnp.uint32(8)
-            ).astype(jnp.int32)
-            sign_r = (rb_b & jnp.uint32(1)) != 0
-            sign_i = (rb_b & jnp.uint32(2)) != 0
-            sh_r = jnp.minimum(
-                jax.lax.shift_right_logical(rb_b, jnp.uint32(2))
-                & jnp.uint32(31),
-                jnp.uint32(23),
+            # --- proposal draw for finished lanes (_mh_propose) ---
+            nk_r, nk_i, oob = _mh_propose(
+                xkr, xki, xv, rb_r, rb_i, rb_b, restart256
             )
-            sh_i = jnp.minimum(
-                jax.lax.shift_right_logical(rb_b, jnp.uint32(7))
-                & jnp.uint32(31),
-                jnp.uint32(23),
-            )
-            off_r = jax.lax.shift_right_logical(
-                m24_r.astype(jnp.uint32), sh_r
-            ).astype(jnp.int32)
-            off_i = jax.lax.shift_right_logical(
-                m24_i.astype(jnp.uint32), sh_i
-            ).astype(jnp.int32)
-            dk_r = jnp.where(sign_r, -off_r, off_r)
-            dk_i = jnp.where(sign_i, -off_i, off_i)
-            restart8 = (
-                jax.lax.shift_right_logical(rb_b, jnp.uint32(12))
-                & jnp.uint32(255)
-            ).astype(jnp.int32)
-            restart = (restart8 < jnp.int32(restart256)) | (xv == 0)
-            loc_r = xkr.astype(jnp.int32) + dk_r
-            loc_i = xki.astype(jnp.int32) + dk_i
-            nk_r = jnp.where(restart, m24_r, loc_r)
-            nk_i = jnp.where(restart, m24_i, loc_i)
-            oob = ~restart & (
-                (loc_r < 0) | (loc_r >= jnp.int32(_TWO24))
-                | (loc_i < 0) | (loc_i >= jnp.int32(_TWO24))
-            )
-            # Out-of-domain proposals keep an in-range index (so the f32
-            # conversion stays exact) but resolve as dead rejections.
-            nk_r = jnp.clip(nk_r, 0, jnp.int32(_TWO24 - 1))
-            nk_i = jnp.clip(nk_i, 0, jnp.int32(_TWO24 - 1))
             nkr_f = nk_r.astype(jnp.float32)
             nki_f = nk_i.astype(jnp.float32)
             # c reconstruction: the exact refill arithmetic of
@@ -709,6 +742,542 @@ def classify_pass_mh(
     )(*inputs)
 
     new_state = MhLaneState(*out[:n_state])
+    return MhClassifyResult(
+        state=new_state,
+        emit_k=out[n_state],
+        emit_it=out[n_state + 1],
+        emit_rep=out[n_state + 2],
+        emit_v=out[n_state + 3],
+        stats=out[n_state + 4],
+    )
+
+
+# ----------------------------------------------------------------------
+# Extended-precision (df32) MH: deep-zoom importance sampling. The same
+# chain machinery (_mh_boundary/_mh_propose — proposals already live on
+# a 2^24 grid in both kernels) over the df32 orbit arithmetic of
+# ops/pallas_kernels_ext, so MH signal recovery reaches the deep-zoom
+# windows (1e-4 .. ~1e-11) where uniform sampling starves hardest.
+# Emissions carry the window-grid indices plus (iters, rep, v); the
+# host reconstructs c in f64 and runs the weighted double-precision
+# native replay (tpubrot_replay_scatter_mh_f64).
+# ----------------------------------------------------------------------
+
+
+class ExtMhLaneState(NamedTuple):
+    """Per-lane df32 chain + proposal state, (R, 128) each."""
+
+    kr: jax.Array  # f32 proposal window-grid index (real)
+    ki: jax.Array
+    crh: jax.Array  # df32 proposal c
+    crl: jax.Array
+    cih: jax.Array
+    cil: jax.Array
+    zr: jax.Array  # df32 orbit position
+    zrl: jax.Array
+    zi: jax.Array
+    zil: jax.Array
+    sr: jax.Array  # f32 Brent saved point (hi components)
+    si: jax.Array
+    it: jax.Array  # i32
+    sv: jax.Array  # i32
+    dead: jax.Array  # i32
+    vcnt: jax.Array  # i32 in-window updated positions (hi compare)
+    xkr: jax.Array  # f32 chain state window-grid index
+    xki: jax.Array
+    xv: jax.Array  # i32
+    xit: jax.Array  # i32
+    rep: jax.Array  # i32
+
+
+def init_ext_mh_lane_state(lane_rows: int) -> ExtMhLaneState:
+    shape = (lane_rows, 128)
+    f = lambda v: jnp.full(shape, v, jnp.float32)
+    i = lambda v: jnp.full(shape, v, jnp.int32)
+    return ExtMhLaneState(
+        kr=f(0.0), ki=f(0.0),
+        crh=f(0.0), crl=f(0.0), cih=f(0.0), cil=f(0.0),
+        zr=f(0.0), zrl=f(0.0), zi=f(0.0), zil=f(0.0),
+        sr=f(_BIG), si=f(_BIG),
+        it=i(0), sv=i(_SAVE0),
+        dead=i(1), vcnt=i(0),
+        xkr=f(0.0), xki=f(0.0), xv=i(0), xit=i(-1), rep=i(0),
+    )
+
+
+def _make_kernel_ext_mh(
+    fractal: FractalMap,
+    *,
+    min_it: int,
+    max_it: int,
+    steps_per_flush: int,
+    cycle_detection: bool,
+    rng: str,
+    inner_unroll: int,
+    sample_domain: tuple,
+    window: tuple,
+    restart256: int,
+    rep_cap: int,
+):
+    """df32 MH kernel body: the ext kernel's inner window/refill
+    structure (pallas_kernels_ext._make_kernel_ext — SMEM-riding df32
+    center constants, sealed products) with the MH chain boundary of
+    _mh_boundary/_mh_propose. Window hits test hi components only: the
+    ~2^-24-relative slop only perturbs v by a borderline-point class,
+    which acceptance AND weights share (same divisor), so the estimator
+    calibration is unaffected."""
+    from cudabrot_tpu.ops import df32 as df32_ops
+    from cudabrot_tpu.ops import pallas_kernels_ext as pke_mod
+
+    detect = cycle_detection and fractal.cycle_detect
+    use_cull = fractal.use_cull
+    fold_abs = fractal.fold_abs
+    if fractal.emit != "escape":
+        raise ValueError("MH sampling supports escape-emit fractals only")
+    n_windows = steps_per_flush // inner_unroll
+    _, _, step_r, step_i = pke_mod.grid_params(sample_domain)
+    two23 = pke_mod._TWO23
+
+    def kernel(*refs):
+        if rng != "bits":
+            (seed_ref, cref,
+             *_ins,
+             kr_ref, ki_ref, crh_ref, crl_ref, cih_ref, cil_ref,
+             zr_ref, zrl_ref, zi_ref, zil_ref, sr_ref, si_ref,
+             it_ref, sv_ref, dead_ref, vcnt_ref,
+             xkr_ref, xki_ref, xv_ref, xit_ref, rep_ref,
+             emit_k_ref, emit_it_ref, emit_rep_ref, emit_v_ref,
+             stats_ref,
+             pend_kr, pend_ki, pend_it, pend_rep, pend_v,
+             counters) = refs
+            bits_ref = None
+        else:
+            (seed_ref, cref, bits_ref,
+             *_ins,
+             kr_ref, ki_ref, crh_ref, crl_ref, cih_ref, cil_ref,
+             zr_ref, zrl_ref, zi_ref, zil_ref, sr_ref, si_ref,
+             it_ref, sv_ref, dead_ref, vcnt_ref,
+             xkr_ref, xki_ref, xv_ref, xit_ref, rep_ref,
+             emit_k_ref, emit_it_ref, emit_rep_ref, emit_v_ref,
+             stats_ref,
+             pend_kr, pend_ki, pend_it, pend_rep, pend_v,
+             counters) = refs
+        chunk = pl.program_id(0)
+        c0rh_ = cref[0]
+        c0rl_ = cref[1]
+        c0ih_ = cref[2]
+        c0il_ = cref[3]
+        rtz = cref[4]
+        if rng == "hardware":
+            pltpu.prng_seed(window_seed(seed_ref[0], chunk))
+
+        @pl.when(chunk == 0)
+        def _init_scratch():
+            pend_kr[...] = jnp.zeros_like(pend_kr)
+            pend_ki[...] = jnp.zeros_like(pend_ki)
+            pend_it[...] = jnp.full_like(pend_it, -1)
+            pend_rep[...] = jnp.zeros_like(pend_rep)
+            pend_v[...] = jnp.zeros_like(pend_v)
+            counters[...] = jnp.zeros_like(counters)
+
+        min_i = jnp.int32(min_it)
+        max_i = jnp.int32(max_it)
+        shape = kr_ref.shape
+        if rng == "threefry":
+            lane_iota = (
+                jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+                * jnp.uint32(shape[1])
+                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+            )
+            tf_k0 = seed_ref[0].astype(jnp.uint32)
+            tf_k1 = seed_ref[1].astype(jnp.uint32)
+        wx0, wx1, wy0, wy1 = (jnp.float32(v) for v in window)
+
+        def step(widx, s):
+            (kr, ki, crh, crl, cih, cil,
+             zr, zrl, zi, zil, sr, si, it, sv, dead, vcnt,
+             xkr, xki, xv, xit, rep,
+             p_kr, p_ki, p_it, p_rep, p_v,
+             n_drawn, n_cull, n_band, n_cyc, n_waste,
+             n_acc, n_ovw, n_lost) = s
+
+            # --- inner window: df32 updates + thin tracking + window
+            # counting on hi components ---
+            azr, azrl, azi, azil = zr, zrl, zi, zil
+            nesc = jnp.zeros_like(it)
+            w_cnt = jnp.zeros_like(it)
+            for _ in range(inner_unroll):
+                azr, azrl, azi, azil, mag2 = df32_ops.complex_sqr_add(
+                    azr, azrl, azi, azil, crh, crl, cih, cil, rtz,
+                    fold_abs=fold_abs,
+                )
+                nesc = nesc + (mag2 <= 4.0).astype(jnp.int32)
+                w_cnt = w_cnt + (
+                    (azr >= wx0) & (azr < wx1)
+                    & (azi >= wy0) & (azi < wy1)
+                ).astype(jnp.int32)
+            vcnt_new = vcnt + w_cnt
+            esc_mask = nesc < jnp.int32(inner_unroll)
+            needed = it + nesc
+            if detect:
+                cyc_mask = (azr == sr) & (azi == si) & ~esc_mask
+            else:
+                cyc_mask = jnp.zeros(azr.shape, bool)
+
+            it_new = it + inner_unroll
+
+            # --- boundary: proposal resolution ---
+            maxed = it_new >= max_i
+            deadb = dead != 0
+            fin = esc_mask | cyc_mask | maxed | deadb
+            cand = (
+                esc_mask & ~deadb & (needed >= min_i) & (needed < max_i)
+            )
+            v_prop = jnp.where(cand, vcnt_new, 0)
+
+            # --- boundary randomness (4 words) ---
+            if rng == "threefry":
+                gwin = (
+                    chunk * jnp.int32(n_windows) + widx
+                ).astype(jnp.uint32)
+                rb_r, rb_i = threefry2x32(tf_k0, tf_k1, lane_iota, gwin)
+                rb_a, rb_b = threefry2x32(
+                    tf_k0, tf_k1,
+                    lane_iota | jnp.uint32(0x40000000), gwin,
+                )
+            elif rng == "hardware_rw":
+                gwin = (
+                    chunk * jnp.int32(n_windows) + widx
+                ).astype(jnp.uint32)
+                pltpu.prng_seed(window_seed(seed_ref[0], gwin))
+                draw = lambda: pltpu.bitcast(
+                    pltpu.prng_random_bits(shape), jnp.uint32
+                )
+                rb_r, rb_i, rb_a, rb_b = draw(), draw(), draw(), draw()
+            elif rng == "hardware":
+                draw = lambda: pltpu.bitcast(
+                    pltpu.prng_random_bits(shape), jnp.uint32
+                )
+                rb_r, rb_i, rb_a, rb_b = draw(), draw(), draw(), draw()
+            else:
+                rb_r = bits_ref[0, widx, 0]
+                rb_i = bits_ref[0, widx, 1]
+                rb_a = bits_ref[0, widx, 2]
+                rb_b = bits_ref[0, widx, 3]
+
+            # --- shared chain core ---
+            (accept, xkr, xki, xv, xit, rep,
+             p_kr, p_ki, p_it, p_rep, p_v,
+             d_merges, d_merged) = _mh_boundary(
+                fin, v_prop, needed, kr, ki,
+                xkr, xki, xv, xit, rep,
+                p_kr, p_ki, p_it, p_rep, p_v,
+                rb_a, rb_b, rep_cap,
+            )
+            n_ovw = n_ovw + d_merges
+            n_lost = n_lost + d_merged
+
+            # --- Brent checkpoint (hi components) ---
+            if detect:
+                at_save = (it_new >= sv) & ~fin
+                sr2 = jnp.where(at_save, azr, sr)
+                si2 = jnp.where(at_save, azi, si)
+                sv2 = jnp.where(at_save, sv * 2, sv)
+            else:
+                sr2, si2, sv2 = sr, si, sv
+
+            # --- proposal draw: grid mutation + df32 c reconstruction
+            # (the ext kernel's own refill arithmetic, sealed) ---
+            nk_r, nk_i, oob = _mh_propose(
+                xkr, xki, xv, rb_r, rb_i, rb_b, restart256
+            )
+            nkr_f = nk_r.astype(jnp.float32)
+            nki_f = nk_i.astype(jnp.float32)
+            off_r = (nkr_f - jnp.float32(two23)) * jnp.float32(step_r) + rtz
+            off_i = (nki_f - jnp.float32(two23)) * jnp.float32(step_i) + rtz
+            ncrh, ncrl = df32_ops.add_f(c0rh_, c0rl_, off_r)
+            ncih, ncil = df32_ops.add_f(c0ih_, c0il_, off_i)
+            if use_cull:
+                # Approximate c suffices (pallas_kernels_ext rationale).
+                ca_r = c0rh_ + off_r
+                ca_i = c0ih_ + off_i
+                imag_sq = ca_i * ca_i
+                q = (ca_r - 0.25)
+                q = q * q + imag_sq
+                card = q * (q + (ca_r - 0.25)) < imag_sq * 0.25
+                t = ca_r + 1.0
+                bulb = (t * t + imag_sq) < 0.0625
+                ncull = card | bulb | oob
+            else:
+                ncull = oob
+
+            kr = jnp.where(fin, nkr_f, kr)
+            ki = jnp.where(fin, nki_f, ki)
+            crh = jnp.where(fin, ncrh, crh)
+            crl = jnp.where(fin, ncrl, crl)
+            cih = jnp.where(fin, ncih, cih)
+            cil = jnp.where(fin, ncil, cil)
+            zr = jnp.where(fin, ncrh, azr)
+            zrl = jnp.where(fin, ncrl, azrl)
+            zi = jnp.where(fin, ncih, azi)
+            zil = jnp.where(fin, ncil, azil)
+            it = jnp.where(fin, 0, it_new)
+            sr = jnp.where(fin, jnp.float32(_BIG), sr2)
+            si = jnp.where(fin, jnp.float32(_BIG), si2)
+            sv = jnp.where(fin, jnp.int32(_SAVE0), sv2)
+            dead = jnp.where(fin, ncull.astype(jnp.int32), dead)
+            vcnt = jnp.where(fin, 0, vcnt_new)
+
+            one = jnp.int32(1)
+            zero = jnp.int32(0)
+            unroll = jnp.int32(inner_unroll)
+            n_drawn = n_drawn + jnp.where(fin, one, zero)
+            n_cull = n_cull + jnp.where(fin & ncull, one, zero)
+            n_band = n_band + jnp.where(v_prop > 0, one, zero)
+            n_cyc = n_cyc + jnp.where(cyc_mask & ~deadb, one, zero)
+            n_waste = n_waste + jnp.where(deadb, unroll, zero)
+            n_waste = n_waste + jnp.where(
+                esc_mask & ~deadb, it_new - needed - 1, zero
+            )
+            n_acc = n_acc + jnp.where(accept, one, zero)
+            return (kr, ki, crh, crl, cih, cil,
+                    zr, zrl, zi, zil, sr, si, it, sv, dead, vcnt,
+                    xkr, xki, xv, xit, rep,
+                    p_kr, p_ki, p_it, p_rep, p_v,
+                    n_drawn, n_cull, n_band, n_cyc, n_waste,
+                    n_acc, n_ovw, n_lost)
+
+        carry = (
+            kr_ref[...], ki_ref[...],
+            crh_ref[...], crl_ref[...], cih_ref[...], cil_ref[...],
+            zr_ref[...], zrl_ref[...], zi_ref[...], zil_ref[...],
+            sr_ref[...], si_ref[...], it_ref[...], sv_ref[...],
+            dead_ref[...], vcnt_ref[...],
+            xkr_ref[...], xki_ref[...], xv_ref[...], xit_ref[...],
+            rep_ref[...],
+            pend_kr[...], pend_ki[...], pend_it[...], pend_rep[...],
+            pend_v[...],
+            counters[STAT_DRAWN], counters[STAT_CULLED],
+            counters[STAT_IN_BAND], counters[STAT_CYCLES],
+            counters[STAT_WASTED], counters[STAT_MH_ACCEPT],
+            counters[STAT_MH_MERGE], counters[STAT_MH_MERGED_REP],
+        )
+        carry = jax.lax.fori_loop(
+            0, steps_per_flush // inner_unroll, step, carry
+        )
+        (kr, ki, crh, crl, cih, cil,
+         zr, zrl, zi, zil, sr, si, it, sv, dead, vcnt,
+         xkr, xki, xv, xit, rep,
+         p_kr, p_ki, p_it, p_rep, p_v,
+         n_drawn, n_cull, n_band, n_cyc, n_waste,
+         n_acc, n_ovw, n_lost) = carry
+
+        kr_ref[...] = kr
+        ki_ref[...] = ki
+        crh_ref[...] = crh
+        crl_ref[...] = crl
+        cih_ref[...] = cih
+        cil_ref[...] = cil
+        zr_ref[...] = zr
+        zrl_ref[...] = zrl
+        zi_ref[...] = zi
+        zil_ref[...] = zil
+        sr_ref[...] = sr
+        si_ref[...] = si
+        it_ref[...] = it
+        sv_ref[...] = sv
+        dead_ref[...] = dead
+        vcnt_ref[...] = vcnt
+        xkr_ref[...] = xkr
+        xki_ref[...] = xki
+        xv_ref[...] = xv
+        xit_ref[...] = xit
+        rep_ref[...] = rep
+        counters[STAT_DRAWN] = n_drawn
+        counters[STAT_CULLED] = n_cull
+        counters[STAT_IN_BAND] = n_band
+        counters[STAT_CYCLES] = n_cyc
+        counters[STAT_WASTED] = n_waste
+        counters[STAT_MH_ACCEPT] = n_acc
+        counters[STAT_MH_MERGE] = n_ovw
+        counters[STAT_MH_MERGED_REP] = n_lost
+        stats_ref[...] = counters[...]
+
+        emit_k_ref[0, 0] = p_kr
+        emit_k_ref[0, 1] = p_ki
+        emit_it_ref[0] = p_it
+        emit_rep_ref[0] = p_rep
+        emit_v_ref[0] = p_v
+        pend_kr[...] = p_kr * 0.0
+        pend_ki[...] = p_ki * 0.0
+        pend_it[...] = jnp.full_like(p_it, -1)
+        pend_rep[...] = jnp.zeros_like(p_rep)
+        pend_v[...] = jnp.zeros_like(p_v)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fractal", "min_it", "max_it", "steps_per_pass", "steps_per_flush",
+        "cycle_detection", "interpret", "inner_unroll", "rng",
+        "sample_domain", "window", "restart256", "rep_cap",
+    ),
+    donate_argnums=(0,),
+)
+def classify_pass_ext_mh(
+    state: ExtMhLaneState,
+    seed: jax.Array,
+    bits: jax.Array | None = None,
+    *,
+    fractal: FractalMap,
+    min_it: int,
+    max_it: int,
+    steps_per_pass: int,
+    steps_per_flush: int,
+    cycle_detection: bool = True,
+    interpret: bool = False,
+    inner_unroll: int = 1,
+    rng: str | None = None,
+    sample_domain: tuple = (-2.0, 2.0, -2.0, 2.0),
+    window: tuple = (-2.0, 2.0, -2.0, 2.0),
+    restart256: int = 16,
+    rep_cap: int = 4096,
+) -> MhClassifyResult:
+    """Extended-precision MH chain pass: classify_pass_mh's contract
+    with df32 orbit state (emissions carry window-grid indices whose c
+    reconstruction lives in the f64 host replay decode)."""
+    if steps_per_pass % steps_per_flush != 0:
+        raise ValueError("steps_per_pass must be a multiple of steps_per_flush")
+    if steps_per_flush % inner_unroll != 0:
+        raise ValueError("steps_per_flush must be a multiple of inner_unroll")
+    if not (0 <= restart256 <= 256):
+        raise ValueError("restart256 must be in [0, 256]")
+    if rep_cap < 2:
+        raise ValueError("rep_cap must be at least 2")
+    from cudabrot_tpu.ops import pallas_kernels_ext as pke_mod
+
+    chunks = steps_per_pass // steps_per_flush
+    windows = steps_per_flush // inner_unroll
+    lane_rows = state.kr.shape[0]
+    shape = (lane_rows, 128)
+    if rng is None:
+        rng = "bits" if bits is not None else "threefry"
+    if rng not in ("threefry", "hardware", "hardware_rw", "bits"):
+        raise ValueError(f"Unknown rng mode: {rng}")
+    if (rng == "bits") != (bits is not None):
+        raise ValueError("bits must be supplied iff rng == 'bits'")
+
+    kernel = _make_kernel_ext_mh(
+        fractal,
+        min_it=min_it,
+        max_it=max_it,
+        steps_per_flush=steps_per_flush,
+        cycle_detection=cycle_detection,
+        rng=rng,
+        inner_unroll=inner_unroll,
+        sample_domain=sample_domain,
+        window=window,
+        restart256=restart256,
+        rep_cap=rep_cap,
+    )
+
+    f32 = jnp.float32
+    i32 = jnp.int32
+    n_state = len(ExtMhLaneState._fields)
+    int_fields = ("it", "sv", "dead", "vcnt", "xv", "xit", "rep")
+    state_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_state
+    out_state_shapes = [
+        jax.ShapeDtypeStruct(shape, i32 if f in int_fields else f32)
+        for f in ExtMhLaneState._fields
+    ]
+
+    seed = jnp.asarray(seed)
+    if seed.ndim == 0:
+        words = [
+            seed.astype(jnp.uint32),
+            seed.astype(jnp.uint32) ^ jnp.uint32(0x3C6EF372),
+        ]
+    else:
+        s2 = seed.reshape((-1,)).astype(jnp.uint32)
+        words = [s2[0], s2[1]]
+    # SMEM df32 constants: window-center components + the sealing zero
+    # (see pallas_kernels_ext.classify_pass_ext for the rationale).
+    (c0r, c0i, _sr, _si) = pke_mod.grid_params(sample_domain)
+    consts = jnp.asarray(
+        [c0r[0], c0r[1], c0i[0], c0i[1], 0.0], jnp.float32
+    )
+    seed_arr = jnp.stack(words)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (2,)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # df consts (5,) f32
+    ]
+    inputs = [seed_arr.astype(jnp.int32), consts]
+    if rng == "bits":
+        if bits.shape != (chunks, windows, 4, lane_rows, 128):
+            raise ValueError(f"bits has wrong shape {bits.shape}")
+        in_specs.append(
+            pl.BlockSpec(
+                (1, windows, 4, lane_rows, 128),
+                lambda i: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(bits.astype(jnp.uint32))
+    in_specs.extend(state_specs)
+    inputs.extend(state)
+    state_in_base = len(in_specs) - n_state
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(chunks,),
+        in_specs=in_specs,
+        out_specs=[
+            *state_specs,
+            pl.BlockSpec(
+                (1, 2, lane_rows, 128),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, lane_rows, 128),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, lane_rows, 128),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, lane_rows, 128),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # stats (revisited)
+        ],
+        out_shape=[
+            *out_state_shapes,
+            jax.ShapeDtypeStruct((chunks, 2, lane_rows, 128), f32),
+            jax.ShapeDtypeStruct((chunks, lane_rows, 128), i32),
+            jax.ShapeDtypeStruct((chunks, lane_rows, 128), i32),
+            jax.ShapeDtypeStruct((chunks, lane_rows, 128), i32),
+            jax.ShapeDtypeStruct((MH_STATS_ROWS, lane_rows, 128), i32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(shape, f32),  # pend_kr
+            pltpu.VMEM(shape, f32),  # pend_ki
+            pltpu.VMEM(shape, i32),  # pend_it
+            pltpu.VMEM(shape, i32),  # pend_rep
+            pltpu.VMEM(shape, i32),  # pend_v
+            pltpu.VMEM((MH_STATS_ROWS,) + shape, i32),  # counters
+        ],
+        input_output_aliases={state_in_base + i: i for i in range(n_state)},
+        interpret=interpret,
+    )(*inputs)
+
+    new_state = ExtMhLaneState(*out[:n_state])
     return MhClassifyResult(
         state=new_state,
         emit_k=out[n_state],

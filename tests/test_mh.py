@@ -78,8 +78,10 @@ def _run(engine, passes):
 def test_validation_rejects_bad_combinations():
     with pytest.raises(ConfigError, match="sampler"):
         EngineOptions(sampler="metropolis").validate()
-    with pytest.raises(ConfigError, match="float32"):
-        EngineOptions(sampler="mh", precision="extended").validate()
+    with pytest.raises(ConfigError, match="float64"):
+        EngineOptions(sampler="mh", precision="float64").validate()
+    # Extended (df32) MH is supported.
+    EngineOptions(sampler="mh", precision="extended").validate()
     with pytest.raises(ConfigError, match="thin"):
         EngineOptions(sampler="mh", escape_tracking="step").validate()
     with pytest.raises(ConfigError, match="canvas"):
@@ -389,3 +391,119 @@ def test_reservoir_merge_conserves_mass():
     # trajectories with zero on-canvas points, tracked separately).
     assert int(h.sum()) == s["on_canvas_points"]
     assert s["mh_lost_weight"] >= 0
+
+
+# ------------------------------------------------- extended (df32) MH
+
+
+_SEAHORSE = (-0.743643887, 0.131825904)
+
+
+def _deep_cfg(span, sampler="mh", precision="extended", **kw):
+    cx, cy = _SEAHORSE
+    h = span / 2.0
+    opts = dict(
+        sampler=sampler,
+        precision=precision,
+        lane_rows=2,
+        steps_per_pass=4096,
+        steps_per_flush=256,
+        inner_unroll=4,
+        mh_burnin_passes=0,
+    )
+    opts.update(kw.pop("options", {}))
+    if sampler != "mh":
+        opts.pop("sampler")
+        opts.pop("mh_burnin_passes")
+        opts.setdefault("replay", "host")
+        opts.setdefault("replay_capacity", 1 << 16)
+    return RenderConfig(
+        canvas=Canvas(
+            width=32, height=32,
+            min_real=cx - h, max_real=cx + h,
+            min_imag=cy - h, max_imag=cy + h,
+        ),
+        band=IterationBand(
+            max_escape_iterations=kw.pop("max_it", 1500),
+            min_escape_iterations=kw.pop("min_it", 50),
+        ),
+        sample_domain=(cx - 2 * span, cx + 2 * span,
+                       cy - 2 * span, cy + 2 * span),
+        seconds_to_run=-1.0,
+        options=EngineOptions(**opts),
+    )
+
+
+@needs_native
+def test_ext_mh_accounting_and_determinism():
+    """Extended MH at a 2e-5 window (far below f32's usable floor):
+    exact deposit accounting and bitwise reproducibility, like the f32
+    sampler."""
+    cfg = _deep_cfg(2e-5, max_it=3000, min_it=100)
+    h1, s1 = _run(PallasEngine(cfg), 3)
+    assert int(h1.sum()) == s1["on_canvas_points"]
+    assert int(h1.sum()) > 0
+    assert s1["replay_dropped"] == 0
+    h2, _ = _run(PallasEngine(cfg), 3)
+    np.testing.assert_array_equal(h1, h2)
+
+
+@needs_native
+def test_ext_mh_signal_dominates_uniform_at_deep_window():
+    """The point of deep-zoom MH: at a 1e-4 window even a 4x-window
+    sample domain starves uniform sampling (measured 20 counts vs
+    2.8e6/256 reps at 8 passes during development); MH must deposit
+    orders of magnitude more mass at equal passes."""
+    mh_h, mh_s = _run(PallasEngine(_deep_cfg(1e-4)), 6)
+    un_h, un_s = _run(
+        PallasEngine(_deep_cfg(1e-4, sampler="uniform")), 6
+    )
+    mh_mass = int(mh_h.sum()) / pkm.WEIGHT_SCALE
+    un_mass = int(un_h.sum())
+    assert mh_mass > 50 * max(un_mass, 1), (mh_mass, un_mass)
+
+
+@needs_native
+def test_ext_mh_matches_f32_mh_measure():
+    """Cross-precision consistency: at a 1e-3 window (above f32's
+    quantization floor) the df32 MH render must agree with the f32 MH
+    render as a distribution — same estimator, same chains'
+    stationary law, different orbit arithmetic."""
+    span = 1e-3
+    common = dict(
+        lane_rows=8,
+        steps_per_pass=8192,
+        steps_per_flush=512,
+        inner_unroll=4,
+        mh_burnin_passes=1,
+        mh_restart=48,
+    )
+    f32_h, _ = _run(
+        PallasEngine(
+            _deep_cfg(span, precision="float32",
+                      max_it=1000, options=common)
+        ),
+        12,
+    )
+    ext_h, _ = _run(
+        PallasEngine(
+            _deep_cfg(span, precision="extended",
+                      max_it=1000, options=common)
+        ),
+        12,
+    )
+
+    def block(x, b=8):
+        x = x.astype(np.float64)
+        x = x.reshape(32 // b, b, 32 // b, b).sum(axis=(1, 3))
+        return x / x.sum()
+
+    u = block(f32_h)
+    m = block(ext_h)
+    corr = np.corrcoef(u.ravel(), m.ravel())[0, 1]
+    # Both runs carry independent chain noise; measured 0.80 at these
+    # settings with a flat bright-half ratio (0.992).
+    assert corr > 0.55, corr
+    bright = u > np.median(u)
+    ratio = m[bright].sum() / u[bright].sum()
+    assert abs(ratio - 1) < 0.15, ratio
