@@ -215,6 +215,41 @@ def main() -> int:
     )
     deep = measure(deep_cfg, max(seconds / 2, 3.0), n_segments=3)
 
+    # MH importance sampling (the r6 feature): same 1e-5 canvas window
+    # with an 8x-wide sample domain — the realistic crop ask ("render
+    # THIS window; contributors may seed anywhere nearby"), which is
+    # exactly where uniform sampling starves (in-band-and-visiting
+    # fraction falls with the window/domain area ratio) and the chains
+    # don't. Figure of merit: DEPOSITED on-canvas mass per second (MH
+    # counts are fixed-point 1/256 units; normalized here), against a
+    # uniform run of the IDENTICAL config.
+    mh_domain = (
+        _cx - 4 * _span, _cx + 4 * _span,
+        _cy - 4 * _span, _cy + 4 * _span,
+    )
+    mh_cfg = deep_cfg.replace(
+        sample_domain=mh_domain,
+        options=EngineOptions(precision="extended", sampler="mh"),
+    )
+    mh = measure(mh_cfg, max(seconds / 2, 3.0), n_segments=3)
+    mh["deposited_mass_per_sec"] = round(
+        mh["histogram_mass"] / 256.0 / mh["elapsed_seconds"], 1
+    )
+    uni_cfg = deep_cfg.replace(
+        sample_domain=mh_domain,
+        options=EngineOptions(precision="extended"),
+    )
+    uni = measure(uni_cfg, max(seconds / 4, 2.0), n_segments=2)
+    mh["uniform_same_config_mass_per_sec"] = round(
+        uni["histogram_mass"] / uni["elapsed_seconds"], 1
+    )
+    if uni["histogram_mass"] > 0:
+        mh["signal_vs_uniform"] = round(
+            mh["deposited_mass_per_sec"]
+            * uni["elapsed_seconds"] / uni["histogram_mass"],
+            2,
+        )
+
     print(
         json.dumps(
             {
@@ -227,6 +262,7 @@ def main() -> int:
                 "default_band": default,
                 "fine_band": fine,
                 "deep_zoom": deep,
+                "mh_zoom": mh,
             }
         )
     )

@@ -245,6 +245,13 @@ class DataParallelHostReplayEngine(DataParallelEngine):
 
     def run_pass(self, state, pass_index: int):
         state, n_valid, payload = self._pass_fn(state, pass_index)
+        if (
+            getattr(self.inner, "mh", False)
+            and pass_index < self.cfg.options.mh_burnin_passes
+        ):
+            # MH chain burn-in: advance every device's chains, discard
+            # the emissions (PallasEngine.run_pass does the same).
+            return state
         if jax.process_count() > 1:
             # Only this process's shards are addressable; each process
             # replays its own devices' emissions on its own worker.

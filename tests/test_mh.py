@@ -507,3 +507,28 @@ def test_ext_mh_matches_f32_mh_measure():
     bright = u > np.median(u)
     ratio = m[bright].sum() / u[bright].sum()
     assert abs(ratio - 1) < 0.15, ratio
+
+
+# ------------------------------------------------- multi-device MH
+
+
+@needs_native
+def test_mh_data_parallel_accounting():
+    """MH under multi-device data parallelism: per-device chains with
+    distinct RNG ordinals stream to the shared worker; deposit
+    accounting stays exact (histogram() includes the tenure-tail flush
+    across the stacked device states) and burn-in is honored."""
+    from cudabrot_tpu.engines import make_engine
+
+    cfg = _mh_cfg(
+        options={"num_devices": 2, "mh_burnin_passes": 1}
+    )
+    eng = make_engine(cfg)
+    h, s = _run(eng, 3)
+    assert int(h.sum()) > 0
+    assert int(h.sum()) == s["on_canvas_points"]
+    # Two devices' chains both contribute moves.
+    assert s["mh_accepts"] > 0
+    # Determinism holds across the DP path too.
+    h2, _ = _run(make_engine(cfg), 3)
+    np.testing.assert_array_equal(h, h2)
