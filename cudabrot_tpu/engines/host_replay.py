@@ -105,11 +105,13 @@ class HostReplayWorker:
         self._pending: collections.deque[cf.Future] = collections.deque()
 
     def submit(self, n_valid, payload) -> None:
-        """Queue one emission batch. ``payload`` is either a (2, K) u32
-        device array of packed emissions (24-bit RNG index per axis +
-        split 16-bit iters+1; see pallas_engine's host_pass) or the
-        legacy (3, K) f32 layout [cr; ci; iters-as-f32]. Only the first
-        ``n_valid`` columns are live. Multi-device engines pass stacked
+        """Queue one emission batch. ``payload`` is one of: a (2, K)
+        u32 device array of packed emissions (24-bit RNG index per axis
+        + split 16-bit iters+1; see pallas_engine's host_pass), the
+        (3, K) f32 layout [cr; ci; iters-as-f32] (also used for
+        extended-precision window-grid indices), or the (5, K) f32 MH
+        layout [k_re; k_im; iters; rep; v]. Only the first ``n_valid``
+        columns are live. Multi-device engines pass stacked
         (D, C, K) payloads; multi-process engines pass a *list* of the
         process's addressable (d_local, C, K) shards (plus the matching
         n_valid list)."""

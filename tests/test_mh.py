@@ -532,3 +532,20 @@ def test_mh_data_parallel_accounting():
     # Determinism holds across the DP path too.
     h2, _ = _run(make_engine(cfg), 3)
     np.testing.assert_array_equal(h, h2)
+
+
+@needs_native
+def test_mh_burning_ship():
+    """MH over the burning-ship map: fold_abs rides the inner loop and
+    the native weighted replay's kBurningShip path; no cycle detection
+    (the registry disables it). Accounting must stay exact."""
+    cfg = _mh_cfg(
+        fractal="burning-ship",
+        canvas=Canvas(
+            width=40, height=40,
+            min_real=-1.8, max_real=-1.6, min_imag=-0.1, max_imag=0.1,
+        ),
+    )
+    h, s = _run(PallasEngine(cfg), 3)
+    assert int(h.sum()) > 0
+    assert int(h.sum()) == s["on_canvas_points"]
