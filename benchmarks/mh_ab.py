@@ -96,7 +96,8 @@ def measure(sampler: str, span: float, seconds: float, seed: int = 1337):
         "max_bin": float(hist.max()) / scale,
         "accepts": stats.get("mh_accepts"),
         "samples": stats["samples"],
-        "lost_rep": stats.get("mh_lost_rep"),
+        "merged_rep": stats.get("mh_merged_rep"),
+        "lost_weight": stats.get("mh_lost_weight"),
         "replay_dropped": stats["replay_dropped"],
     }, hist.astype(np.float64) / max(scale, 1)
 

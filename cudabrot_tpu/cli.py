@@ -157,9 +157,13 @@ TPU-native extensions:
              memory and scatter throughput scale with devices).
   --progress <seconds>: log a progress line every N seconds.
   --profile-dir <dir>: capture a jax.profiler trace of the render loop.
-  --lane-rows <n> / --steps-per-pass <n> / --pipeline <n>: engine tuning
-             (analogs of the reference's block size/count/samples-per-
-             thread constants).
+  --lane-rows <n> / --steps-per-pass <n> / --steps-per-flush <n> /
+  --inner-unroll <n> / --pipeline <n>: engine tuning (analogs of the
+             reference's block size/count/samples-per-thread
+             constants); all default to band-adaptive auto-tuning.
+             Off-TPU (interpret mode) prefer --inner-unroll <= 8: the
+             auto-chosen 16-32 windows compile pathologically on the
+             XLA CPU backend (TPU compiles are fine).
   --replay-capacity <n>: per-pass emission/replay batch capacity
              (default: auto from the band model; raise it if the
              driver warns about emission-capacity overflow drops).
@@ -411,6 +415,12 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
             i += 2
         elif arg == "--steps-per-pass":
             opt["steps_per_pass"] = _parse_int(argv, i)
+            i += 2
+        elif arg == "--steps-per-flush":
+            opt["steps_per_flush"] = _parse_int(argv, i)
+            i += 2
+        elif arg == "--inner-unroll":
+            opt["inner_unroll"] = _parse_int(argv, i)
             i += 2
         elif arg == "--replay-capacity":
             # One knob for both engines: the pallas compaction batch and

@@ -710,6 +710,14 @@ class PallasEngine:
                     "--sampler mh requires the native host replay "
                     "engine (build it with `make -C csrc`)"
                 )
+            if (
+                cfg.options.precision == "extended"
+                and not native.supports_mh_f64()
+            ):
+                raise ConfigError(
+                    "extended-precision --sampler mh needs the f64 MH "
+                    "replay entry points (rebuild with `make -C csrc`)"
+                )
             if o.replay_device_share > 0:
                 raise ConfigError(
                     "--replay-device-share does not apply to --sampler "
@@ -909,6 +917,22 @@ class PallasEngine:
                 pkm.ExtMhLaneState(*state["lanes"]) if self.extended
                 else pkm.MhLaneState(*state["lanes"])
             )
+            if self.extended:
+                # The df32 MH kernel tests window membership in
+                # CENTER-RELATIVE coordinates (absolute f32 bounds
+                # collapse below the center's ulp — the deep-zoom
+                # regime); hand it the canvas bounds relative to the
+                # exact f64 value of the df32 window center.
+                c_r = df32.to_float64(*self._df_center[0])
+                c_i = df32.to_float64(*self._df_center[1])
+                mh_window = (
+                    cv.min_real - c_r, cv.max_real - c_r,
+                    cv.min_imag - c_i, cv.max_imag - c_i,
+                )
+            else:
+                mh_window = (
+                    cv.min_real, cv.max_real, cv.min_imag, cv.max_imag
+                )
             result = mh_fn(
                 mh_state,
                 seed,
@@ -923,9 +947,7 @@ class PallasEngine:
                 inner_unroll=tn.inner_unroll,
                 rng=self.refill_rng,
                 sample_domain=cfg.sample_domain,
-                window=(
-                    cv.min_real, cv.max_real, cv.min_imag, cv.max_imag
-                ),
+                window=mh_window,
                 restart256=o.mh_restart,
                 rep_cap=o.mh_rep_cap,
             )
@@ -1235,6 +1257,13 @@ class PallasEngine:
                 # emissions — the standard transient discard (early
                 # tenures are biased toward the uniform-restart draw
                 # distribution, not the stationary v-weighted one).
+                # On the last burn-in pass also zero the retention
+                # counters: in-flight tenure mass accumulated during
+                # burn-in would otherwise deposit later via the tail
+                # flush or the first post-burn-in emission (measured
+                # 142848 leaked units on a one-pass burn-in run).
+                if pass_index == self.cfg.options.mh_burnin_passes - 1:
+                    self._reset_mh_reps(state)
                 return state
             # Schedule the device->host copies now (they start the moment
             # the pass completes), so the worker finds the data already
@@ -1244,6 +1273,20 @@ class PallasEngine:
             self._worker.submit(n_valid, payload)
             return state
         return self._pass_fn(state, pass_index)
+
+    def _reset_mh_reps(self, state) -> None:
+        """Zero every chain's retention counter WITHOUT depositing —
+        the discard half of the tenure split. Used at the end of
+        burn-in so transient-biased tenure mass accumulated during the
+        discarded passes cannot leak into the histogram later (via
+        _flush_mh_tails or the first post-burn-in emission)."""
+        lanes_cls = pkm.ExtMhLaneState if self.extended else pkm.MhLaneState
+        lanes = lanes_cls(*state["lanes"])
+        rep0 = jnp.zeros(lanes.rep.shape, lanes.rep.dtype)
+        sharding = getattr(lanes.rep, "sharding", None)
+        if sharding is not None:
+            rep0 = jax.device_put(rep0, sharding)
+        state["lanes"] = tuple(lanes._replace(rep=rep0))
 
     def _flush_mh_tails(self, state) -> None:
         """Deposit the in-flight MH tenure mass and reset the retention
@@ -1300,13 +1343,8 @@ class PallasEngine:
             w.lost_weight += lost
         # Reset every retention counter (device-side): the flushed share
         # is deposited; the remainder of each tenure re-counts from 0
-        # and is emitted at its eventual retirement as usual. Preserve
-        # the sharding so multi-device states keep their layout.
-        rep0 = jnp.zeros(lanes.rep.shape, lanes.rep.dtype)
-        sharding = getattr(lanes.rep, "sharding", None)
-        if sharding is not None:
-            rep0 = jax.device_put(rep0, sharding)
-        state["lanes"] = tuple(lanes._replace(rep=rep0))
+        # and is emitted at its eventual retirement as usual.
+        self._reset_mh_reps(state)
 
     def histogram(self, state) -> np.ndarray:
         if self.mh and self._worker is not None:

@@ -137,7 +137,13 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_uint64),  # points_total out
                 ctypes.POINTER(ctypes.c_uint64),  # lost_weight out
             ]
-            # Double-precision variants (extended deep-zoom MH).
+        # Double-precision MH variants (extended deep-zoom MH), guarded
+        # separately: a stale library built with only the f32 MH entry
+        # points must still load (the module contract: every entry
+        # point falls back / degrades, never breaks _load()).
+        if hasattr(lib, "tpubrot_replay_scatter_mh") and hasattr(
+            lib, "tpubrot_replay_scatter_mh_f64"
+        ):
             _mh_common_f64 = [
                 ctypes.POINTER(ctypes.c_double),
                 ctypes.POINTER(ctypes.c_double),
@@ -260,6 +266,16 @@ def supports_mh() -> bool:
     return lib is not None and hasattr(lib, "tpubrot_replay_scatter_mh")
 
 
+def supports_mh_f64() -> bool:
+    """Whether the double-precision MH entry points are present
+    (extended-precision --sampler mh needs them; a stale library can
+    have the f32 set only)."""
+    lib = _load()
+    return lib is not None and hasattr(
+        lib, "tpubrot_replay_scatter_mh_f64"
+    )
+
+
 def replay_scatter_mh(
     cr: np.ndarray,
     ci: np.ndarray,
@@ -293,6 +309,8 @@ def replay_scatter_mh(
     # MH — c reconstructed from window-grid indices) run the f64 orbit/
     # binning path; everything else runs f32.
     deep = np.asarray(cr).dtype == np.float64
+    if deep and not hasattr(lib, "tpubrot_replay_scatter_mh_f64"):
+        raise RuntimeError("native f64 MH replay unavailable")
     sample_t = np.float64 if deep else np.float32
     cptr_t = ctypes.c_double if deep else ctypes.c_float
     cr = np.ascontiguousarray(cr, sample_t)

@@ -38,7 +38,9 @@ register emission):
     window counts in-window updated positions (vcnt) alongside the
     survival counter; at the boundary a finished proposal's
     v' = vcnt gates acceptance: accept iff u * v < v' (u uniform).
-    The window is the exact canvas bounds, so v' matches what replay
+    The window is the exact canvas bounds (the df32 kernel tests it in
+    CENTER-RELATIVE coordinates — absolute f32 bounds collapse below
+    the center's ulp), so v' matches what replay
     will deposit (modulo the documented f32 replay-drift class and
     post-escape coast positions, which for any window inside |z| <= 2
     are provably out of window: escape means |z| > 2 with monotone
@@ -228,6 +230,38 @@ def _mh_boundary(
             p_kr, p_ki, p_it, p_rep, p_v, d_merges, d_merged_rep)
 
 
+def _mh_bits(
+    rng, chunk, widx, n_windows, shape,
+    seed_ref, bits_ref, lane_iota, tf_k0, tf_k1,
+):
+    """Shared boundary randomness: four u32 words per boundary —
+    mutation mantissas (2), the acceptance word, and the control word.
+    The second threefry call partitions the counter space with bit 30
+    (lane ids are < 2^24, so the spaces are disjoint); keeping this in
+    one place keeps the f32 and df32 kernels' streams aligned."""
+    if rng == "threefry":
+        gwin = (chunk * jnp.int32(n_windows) + widx).astype(jnp.uint32)
+        rb_r, rb_i = threefry2x32(tf_k0, tf_k1, lane_iota, gwin)
+        rb_a, rb_b = threefry2x32(
+            tf_k0, tf_k1, lane_iota | jnp.uint32(0x40000000), gwin
+        )
+        return rb_r, rb_i, rb_a, rb_b
+    if rng == "hardware_rw":
+        gwin = (chunk * jnp.int32(n_windows) + widx).astype(jnp.uint32)
+        pltpu.prng_seed(window_seed(seed_ref[0], gwin))
+    if rng in ("hardware", "hardware_rw"):
+        draw = lambda: pltpu.bitcast(
+            pltpu.prng_random_bits(shape), jnp.uint32
+        )
+        return draw(), draw(), draw(), draw()
+    return (
+        bits_ref[0, widx, 0],
+        bits_ref[0, widx, 1],
+        bits_ref[0, widx, 2],
+        bits_ref[0, widx, 3],
+    )
+
+
 def _mh_propose(xkr, xki, xv, rb_r, rb_i, rb_b, restart256: int):
     """Shared proposal draw (pure): symmetric multi-scale integer
     mutation of the chain's grid indices mixed with a uniform restart
@@ -404,35 +438,14 @@ def _make_kernel_mh(
             )
             v_prop = jnp.where(cand, vcnt_new, 0)
 
-            # --- boundary randomness ---
-            if rng == "threefry":
-                gwin = (
-                    chunk * jnp.int32(n_windows) + widx
-                ).astype(jnp.uint32)
-                rb_r, rb_i = threefry2x32(tf_k0, tf_k1, lane_iota, gwin)
-                rb_a, rb_b = threefry2x32(
-                    tf_k0, tf_k1,
-                    lane_iota | jnp.uint32(0x40000000), gwin,
-                )
-            elif rng == "hardware_rw":
-                gwin = (
-                    chunk * jnp.int32(n_windows) + widx
-                ).astype(jnp.uint32)
-                pltpu.prng_seed(window_seed(seed_ref[0], gwin))
-                draw = lambda: pltpu.bitcast(
-                    pltpu.prng_random_bits(shape), jnp.uint32
-                )
-                rb_r, rb_i, rb_a, rb_b = draw(), draw(), draw(), draw()
-            elif rng == "hardware":
-                draw = lambda: pltpu.bitcast(
-                    pltpu.prng_random_bits(shape), jnp.uint32
-                )
-                rb_r, rb_i, rb_a, rb_b = draw(), draw(), draw(), draw()
-            else:
-                rb_r = bits_ref[0, widx, 0]
-                rb_i = bits_ref[0, widx, 1]
-                rb_a = bits_ref[0, widx, 2]
-                rb_b = bits_ref[0, widx, 3]
+            # --- boundary randomness (shared, _mh_bits) ---
+            rb_r, rb_i, rb_a, rb_b = _mh_bits(
+                rng, chunk, widx, n_windows, shape,
+                seed_ref, bits_ref,
+                lane_iota if rng == "threefry" else None,
+                tf_k0 if rng == "threefry" else None,
+                tf_k1 if rng == "threefry" else None,
+            )
 
             # --- acceptance + reservoir emission + chain update (the
             # shared core, _mh_boundary) ---
@@ -891,6 +904,12 @@ def _make_kernel_ext_mh(
             )
             tf_k0 = seed_ref[0].astype(jnp.uint32)
             tf_k1 = seed_ref[1].astype(jnp.uint32)
+        # ``window`` arrives CENTER-RELATIVE (canvas bounds minus the
+        # exact f64 value of the df32 sample-window center): absolute
+        # f32 bounds collapse to an empty predicate once the span drops
+        # below the f32 ulp of the center (~1e-7 full span near the
+        # seahorse valley — exactly the regime this kernel exists for).
+        # The orbit-side difference below stays sharp at ANY span.
         wx0, wx1, wy0, wy1 = (jnp.float32(v) for v in window)
 
         def step(widx, s):
@@ -902,7 +921,7 @@ def _make_kernel_ext_mh(
              n_acc, n_ovw, n_lost) = s
 
             # --- inner window: df32 updates + thin tracking + window
-            # counting on hi components ---
+            # counting in center-relative coordinates ---
             azr, azrl, azi, azil = zr, zrl, zi, zil
             nesc = jnp.zeros_like(it)
             w_cnt = jnp.zeros_like(it)
@@ -912,9 +931,16 @@ def _make_kernel_ext_mh(
                     fold_abs=fold_abs,
                 )
                 nesc = nesc + (mag2 <= 4.0).astype(jnp.int32)
+                # z - center, hi difference + lo residual: near the
+                # window |azr - c0rh| is span-scale so the hi subtract
+                # is exact (Sterbenz) and the lo terms carry the fine
+                # part — the test resolves windows down to the df32
+                # floor; far away it fails robustly either way.
+                dr = (azr - c0rh_) + (azrl - c0rl_)
+                di = (azi - c0ih_) + (azil - c0il_)
                 w_cnt = w_cnt + (
-                    (azr >= wx0) & (azr < wx1)
-                    & (azi >= wy0) & (azi < wy1)
+                    (dr >= wx0) & (dr < wx1)
+                    & (di >= wy0) & (di < wy1)
                 ).astype(jnp.int32)
             vcnt_new = vcnt + w_cnt
             esc_mask = nesc < jnp.int32(inner_unroll)
@@ -935,35 +961,14 @@ def _make_kernel_ext_mh(
             )
             v_prop = jnp.where(cand, vcnt_new, 0)
 
-            # --- boundary randomness (4 words) ---
-            if rng == "threefry":
-                gwin = (
-                    chunk * jnp.int32(n_windows) + widx
-                ).astype(jnp.uint32)
-                rb_r, rb_i = threefry2x32(tf_k0, tf_k1, lane_iota, gwin)
-                rb_a, rb_b = threefry2x32(
-                    tf_k0, tf_k1,
-                    lane_iota | jnp.uint32(0x40000000), gwin,
-                )
-            elif rng == "hardware_rw":
-                gwin = (
-                    chunk * jnp.int32(n_windows) + widx
-                ).astype(jnp.uint32)
-                pltpu.prng_seed(window_seed(seed_ref[0], gwin))
-                draw = lambda: pltpu.bitcast(
-                    pltpu.prng_random_bits(shape), jnp.uint32
-                )
-                rb_r, rb_i, rb_a, rb_b = draw(), draw(), draw(), draw()
-            elif rng == "hardware":
-                draw = lambda: pltpu.bitcast(
-                    pltpu.prng_random_bits(shape), jnp.uint32
-                )
-                rb_r, rb_i, rb_a, rb_b = draw(), draw(), draw(), draw()
-            else:
-                rb_r = bits_ref[0, widx, 0]
-                rb_i = bits_ref[0, widx, 1]
-                rb_a = bits_ref[0, widx, 2]
-                rb_b = bits_ref[0, widx, 3]
+            # --- boundary randomness (shared, _mh_bits) ---
+            rb_r, rb_i, rb_a, rb_b = _mh_bits(
+                rng, chunk, widx, n_windows, shape,
+                seed_ref, bits_ref,
+                lane_iota if rng == "threefry" else None,
+                tf_k0 if rng == "threefry" else None,
+                tf_k1 if rng == "threefry" else None,
+            )
 
             # --- shared chain core ---
             (accept, xkr, xki, xv, xit, rep,
@@ -1147,7 +1152,10 @@ def classify_pass_ext_mh(
 ) -> MhClassifyResult:
     """Extended-precision MH chain pass: classify_pass_mh's contract
     with df32 orbit state (emissions carry window-grid indices whose c
-    reconstruction lives in the f64 host replay decode)."""
+    reconstruction lives in the f64 host replay decode). NOTE ``window``
+    is CENTER-RELATIVE here — canvas bounds minus the exact f64 value
+    of the df32 sample-window center (pallas_engine computes it) —
+    because absolute f32 bounds collapse below the center's ulp."""
     if steps_per_pass % steps_per_flush != 0:
         raise ValueError("steps_per_pass must be a multiple of steps_per_flush")
     if steps_per_flush % inner_unroll != 0:

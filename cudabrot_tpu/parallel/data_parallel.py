@@ -250,7 +250,11 @@ class DataParallelHostReplayEngine(DataParallelEngine):
             and pass_index < self.cfg.options.mh_burnin_passes
         ):
             # MH chain burn-in: advance every device's chains, discard
-            # the emissions (PallasEngine.run_pass does the same).
+            # the emissions, and zero the retention counters on the
+            # last burn-in pass so in-flight tenure mass cannot leak
+            # (PallasEngine.run_pass does the same).
+            if pass_index == self.cfg.options.mh_burnin_passes - 1:
+                self.inner._reset_mh_reps(state)
             return state
         if jax.process_count() > 1:
             # Only this process's shards are addressable; each process

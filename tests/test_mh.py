@@ -146,6 +146,17 @@ def test_burnin_discards_early_deposits():
 
 
 @needs_native
+def test_burnin_only_run_deposits_nothing():
+    """A run that never leaves burn-in must leave a ZERO histogram: the
+    payload discard alone is not enough — in-flight tenure mass (rep
+    counters) accumulated during burn-in must not leak through the
+    tail flush (142,848 units leaked before the last-burn-in-pass rep
+    reset existed)."""
+    h, s = _run(PallasEngine(_mh_cfg(options={"mh_burnin_passes": 1})), 1)
+    assert int(h.sum()) == 0, int(h.sum())
+
+
+@needs_native
 def test_native_weight_split_exact():
     """The native weighted replay distributes rep * scale exactly over
     the orbit's on-canvas points (base + spread remainder), including
@@ -172,10 +183,27 @@ def test_native_weight_split_exact():
     assert lost == 0
     assert hits == 256  # floor(31 * 256 / 31): all deposited
     assert int(hist.sum()) == 256
-    counts = hist[hist > 0]
-    assert counts.sum() == 256
-    # Bresenham spread: every point within one unit of 256/31.
-    base = 256 // 31
+    # Bresenham spread, asserted for real: replay the same orbit in
+    # numpy (same f32 expression as the native scalar path) to learn
+    # the exact per-bin visit counts, then require every bin's deposit
+    # to be its visits * (256/31) within one unit per visit.
+    base, = (256 // 31,)
+    zr, zi = np.float32(cr[0]), np.float32(ci[0])
+    visits: dict[int, int] = {}
+    for _ in range(31):
+        nzr = zr * zr - zi * zi + np.float32(cr[0])
+        nzi = np.float32(2.0) * zr * zi + np.float32(ci[0])
+        zr, zi = nzr, nzi
+        col = int((zr - np.float32(-2.0)) / np.float32(4.0 / 64))
+        row = int((zi - np.float32(-2.0)) / np.float32(4.0 / 64))
+        if 0 <= col < 64 and 0 <= row < 64:
+            b = row * 64 + col
+            visits[b] = visits.get(b, 0) + 1
+    assert sum(visits.values()) == 31
+    flat = hist.reshape(-1)
+    for b, k in visits.items():
+        assert k * base <= int(flat[b]) <= k * (base + 1), (b, k, flat[b])
+    assert set(np.flatnonzero(flat)) == set(visits)
 
     # A mismatched v (kernel saw more in-window points than replay
     # deposits) scales the total down proportionally: 31 points at
@@ -189,7 +217,6 @@ def test_native_weight_split_exact():
     )
     assert hits2 == (31 * 256) // 62 == int(hist2.sum())
     assert lost2 == 0
-    assert base >= 1  # keep the flake-proof shape of the first check
 
 
 @needs_native
@@ -549,3 +576,34 @@ def test_mh_burning_ship():
     h, s = _run(PallasEngine(cfg), 3)
     assert int(h.sum()) > 0
     assert int(h.sum()) == s["on_canvas_points"]
+
+
+def test_ext_mh_window_test_resolves_below_f32_ulp():
+    """The regression the center-relative window test exists for: at
+    spans below the f32 ulp of the center (~6e-8 near the seahorse
+    valley) the ABSOLUTE f32 canvas bounds collapse to an empty
+    interval, silently zeroing every v — no chain could ever seed.
+    The kernel now computes dr = (z_hi - c_hi) + (z_lo - c_lo) against
+    CENTER-RELATIVE bounds; this pins that arithmetic: df32 positions
+    offset from the center by +-2e-9 must classify in/out of a 1e-8
+    window correctly, where the absolute comparison cannot even
+    represent the bounds. (An end-to-end chain test at this depth is
+    physically impossible at CPU scale: v > 0 states are found by
+    uniform restarts, and orbit visits to a 1e-8 window are ~1e-6x
+    rarer than at the 1e-5 flagship — the discovery phase needs
+    TPU-scale step budgets or staged zooming.)"""
+    from cudabrot_tpu.ops import df32
+
+    cx, _cy = _SEAHORSE
+    span = 1e-8
+    half = span / 2.0
+    assert np.float32(cx - half) == np.float32(cx + half)  # collapse
+    c_hi, c_lo = df32.from_float(cx)
+    for offset, inside in ((2e-9, True), (-2e-9, True),
+                           (7e-9, False), (-7e-9, False)):
+        z_hi, z_lo = df32.from_float(cx + offset)
+        dr = (np.float32(z_hi) - np.float32(c_hi)) + (
+            np.float32(z_lo) - np.float32(c_lo)
+        )
+        hit = (dr >= np.float32(-half)) and (dr < np.float32(half))
+        assert hit == inside, (offset, dr)
