@@ -46,7 +46,12 @@ def main() -> int:
     p.add_argument("-m", dest="max_it", type=int, default=500)
     p.add_argument("-c", dest="min_it", type=int, default=20)
     p.add_argument("--passes", type=int, default=4)
-    p.add_argument("--engines", nargs=2, default=["pallas", "oracle"])
+    p.add_argument(
+        "--engines", nargs=2, default=["pallas", "oracle"],
+        help="engine names; the spelling 'mh' selects the pallas "
+        "engine with --sampler mh (pair as `--engines pallas mh "
+        "--null-calibrated` so the null pair is mh-vs-mh — the MH "
+        "estimator's own chain-correlated variance, not uniform's)")
     p.add_argument("--seeds", nargs=2, type=int, default=[1337, 1337])
     p.add_argument(
         "--null-calibrated", action="store_true",
@@ -94,6 +99,11 @@ def main() -> int:
         sample_domain = SAMPLE_DOMAIN
 
     def render(engine: str, seed: int):
+        # The 'mh' spelling = pallas engine + Metropolis-Hastings
+        # sampling; its histogram is in 1/256 fixed-point units
+        # (normalized out below — every reported statistic is
+        # distribution-level).
+        sampler = "mh" if engine == "mh" else "uniform"
         cfg = RenderConfig(
             canvas=Canvas(width=args.w, height=args.height, **canvas_kw),
             band=IterationBand(
@@ -105,7 +115,8 @@ def main() -> int:
             max_passes=args.passes,
             seed=seed,
             options=EngineOptions(
-                engine=engine,
+                engine="pallas" if engine == "mh" else engine,
+                sampler=sampler,
                 precision=args.precision,
                 # Comparable per-pass sample volumes keep Monte-Carlo
                 # noise from dominating the comparison.
@@ -113,8 +124,9 @@ def main() -> int:
             ),
         )
         res = driver.run_render(cfg, log=lambda s: None)
+        scale = int(res.stats.get("weight_scale", 1))
         print(
-            f"{engine}(seed={seed}): mass={res.histogram.sum()} "
+            f"{engine}(seed={seed}): mass={res.histogram.sum() // scale} "
             f"samples={res.stats.get('samples')} "
             f"in_band={res.stats.get('in_band')}"
         )
