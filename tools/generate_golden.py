@@ -34,6 +34,15 @@ CASES = {
                     max_imag=0.75),
     "burning_ship": dict(width=64, height=64, max_it=100, min_it=20,
                          fractal="burning-ship"),
+    # Metropolis-Hastings crop (pallas engine — MH has no oracle): pins
+    # the chain mechanics + weighted deposit pipeline end-to-end.
+    # Geometry is explicit so the tuning (and therefore the Threefry
+    # window schedule) cannot drift the stream.
+    "mh_crop": dict(width=40, height=40, max_it=300, min_it=20,
+                    min_real=-0.78, max_real=-0.72,
+                    min_imag=0.05, max_imag=0.11,
+                    sampler="mh", lane_rows=8, steps_per_pass=8192,
+                    steps_per_flush=128, inner_unroll=4),
 }
 PASSES = 4
 
@@ -49,15 +58,34 @@ def render(case: dict) -> np.ndarray:
     canvas_keys = (
         "width", "height", "min_real", "max_real", "min_imag", "max_imag"
     )
+    mh = case.get("sampler") == "mh"
+    if mh:
+        opts = EngineOptions(
+            engine="pallas",
+            sampler="mh",
+            lane_rows=case["lane_rows"],
+            steps_per_pass=case["steps_per_pass"],
+            steps_per_flush=case["steps_per_flush"],
+            inner_unroll=case["inner_unroll"],
+            mh_burnin_passes=1,
+        )
+    else:
+        opts = EngineOptions(engine="oracle",
+                             oracle_samples_per_pass=1 << 15)
     cfg = RenderConfig(
         canvas=Canvas(**{k: v for k, v in case.items() if k in canvas_keys}),
         band=IterationBand(max_escape_iterations=case["max_it"],
                            min_escape_iterations=case["min_it"]),
         fractal=case.get("fractal", "buddhabrot"),
-        options=EngineOptions(engine="oracle",
-                              oracle_samples_per_pass=1 << 15),
+        seconds_to_run=-1.0,
+        options=opts,
     )
-    eng = OracleEngine(cfg)
+    if mh:
+        from cudabrot_tpu.engines.pallas_engine import PallasEngine
+
+        eng = PallasEngine(cfg)
+    else:
+        eng = OracleEngine(cfg)
     state = eng.init_state(None)
     for p in range(PASSES):
         state = eng.run_pass(state, p)
