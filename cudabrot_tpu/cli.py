@@ -89,7 +89,10 @@ TPU-native extensions:
   --center <re,im> / --span <s>: zoom shorthand — one window centered
              at re+im*i with real extent s (imag extent scaled by the
              h/w pixel aspect) becomes BOTH the canvas bounds and the
-             sample domain. The deep-zoom spelling:
+             sample domain (with --sampler mh the sample domain is 8x
+             the window instead — MH seeds contributors from AROUND
+             the crop; that is the point of the chains). The deep-zoom
+             spelling:
              --precision extended --center -0.743644,0.131826 --span 1e-5
   --engine <name>: auto (default), pallas, or oracle.
   --scatter <name>: histogram accumulation backend: auto (default)
@@ -496,9 +499,23 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
         half_i = half_r * vals["h"] / vals["w"]
         vals["min_real"], vals["max_real"] = cx - half_r, cx + half_r
         vals["min_imag"], vals["max_imag"] = cy - half_i, cy + half_i
-        vals["sample_domain"] = (
-            cx - half_r, cx + half_r, cy - half_i, cy + half_i
-        )
+        if opt.get("sampler") == "mh":
+            # MH renders the window but SEEDS contributors from around
+            # it (orbits passing through the canvas mostly start
+            # outside it — finding them is what the chains are for), so
+            # a domain == canvas would cripple the sampler. 8x the
+            # window (clamped to the reference domain) keeps the
+            # out-of-window contributors reachable while the 2^24
+            # sample grid stays ~1000x finer than the canvas pixels —
+            # the measured bench geometry (benchmarks/PERF_NOTES.md).
+            vals["sample_domain"] = (
+                max(cx - 8 * half_r, -2.0), min(cx + 8 * half_r, 2.0),
+                max(cy - 8 * half_i, -2.0), min(cy + 8 * half_i, 2.0),
+            )
+        else:
+            vals["sample_domain"] = (
+                cx - half_r, cx + half_r, cy - half_i, cy + half_i
+            )
     try:
         from cudabrot_tpu.config import SAMPLE_DOMAIN
 
