@@ -162,11 +162,16 @@ class Tuning:
         #: still counted (replay_dropped) and warned on.
         self.mh = o.sampler == "mh"
         if self.mh:
-            mi_b = max(cfg.band.min_escape_iterations, 2)
-            ma_b = max(cfg.band.max_escape_iterations, mi_b + 1)
-            in_band_len = (mi_b * ma_b / (ma_b - mi_b)) * float(
-                np.log(ma_b / mi_b)
-            )
+            if fr.emit == "interior":
+                # Anti-Buddhabrot MH: every candidate orbit runs the
+                # full cap.
+                in_band_len = float(cfg.band.max_escape_iterations)
+            else:
+                mi_b = max(cfg.band.min_escape_iterations, 2)
+                ma_b = max(cfg.band.max_escape_iterations, mi_b + 1)
+                in_band_len = (mi_b * ma_b / (ma_b - mi_b)) * float(
+                    np.log(ma_b / mi_b)
+                )
             mh_lifetime = 0.5 * in_band_len + lifetime
             # Acceptance measured on the seahorse test crops: ~7% at a
             # [100,2000) band, ~45% at a friendly [20,300) crop. Size
@@ -637,14 +642,7 @@ class PallasEngine:
         self.mh = self.tuning.mh
         self.weight_scale = pkm.WEIGHT_SCALE if self.mh else 1
         self._stat_keys = STAT_KEYS + (MH_STAT_KEYS if self.mh else ())
-        if self.mh and self.fractal.emit != "escape":
-            from cudabrot_tpu.config import ConfigError
 
-            raise ConfigError(
-                "--sampler mh supports escape-emit fractals only (the "
-                "chain target is band-filtered canvas visits; interior "
-                "mode has no escape band)"
-            )
         # Canvas emit filter: classify additionally tracks whether each
         # orbit entered the canvas window, and only visitors are emitted
         # — same rendered measure (non-visitors deposit nothing), a

@@ -333,8 +333,7 @@ def _make_kernel_mh(
     detect = cycle_detection and fractal.cycle_detect
     use_cull = fractal.use_cull
     fold_abs = fractal.fold_abs
-    if fractal.emit != "escape":
-        raise ValueError("MH sampling supports escape-emit fractals only")
+    emit_interior = fractal.emit == "interior"
     n_windows = steps_per_flush // inner_unroll
     dom_r0, dom_r1, dom_i0, dom_i1 = sample_domain
     span_r = dom_r1 - dom_r0
@@ -433,9 +432,21 @@ def _make_kernel_mh(
             maxed = it_new >= max_i
             deadb = dead != 0
             fin = esc_mask | cyc_mask | maxed | deadb
-            cand = (
-                esc_mask & ~deadb & (needed >= min_i) & (needed < max_i)
-            )
+            if emit_interior:
+                # Anti-Buddhabrot: candidates are samples that finish
+                # WITHOUT escaping within the cap (proven periodic or
+                # capped — the base kernels' interior semantics incl.
+                # the window-overshoot guard); their target v is the
+                # in-window count over the full capped orbit, and the
+                # replay bound is max_it - 1 like the uniform engines.
+                esc_in_cap = esc_mask & (needed < max_i)
+                cand = (cyc_mask | maxed) & ~esc_in_cap & ~deadb
+                needed = jnp.where(cand, max_i - 1, needed)
+            else:
+                cand = (
+                    esc_mask & ~deadb
+                    & (needed >= min_i) & (needed < max_i)
+                )
             v_prop = jnp.where(cand, vcnt_new, 0)
 
             # --- boundary randomness (shared, _mh_bits) ---
@@ -845,8 +856,7 @@ def _make_kernel_ext_mh(
     detect = cycle_detection and fractal.cycle_detect
     use_cull = fractal.use_cull
     fold_abs = fractal.fold_abs
-    if fractal.emit != "escape":
-        raise ValueError("MH sampling supports escape-emit fractals only")
+    emit_interior = fractal.emit == "interior"
     n_windows = steps_per_flush // inner_unroll
     _, _, step_r, step_i = pke_mod.grid_params(sample_domain)
     two23 = pke_mod._TWO23
@@ -956,9 +966,21 @@ def _make_kernel_ext_mh(
             maxed = it_new >= max_i
             deadb = dead != 0
             fin = esc_mask | cyc_mask | maxed | deadb
-            cand = (
-                esc_mask & ~deadb & (needed >= min_i) & (needed < max_i)
-            )
+            if emit_interior:
+                # Anti-Buddhabrot: candidates are samples that finish
+                # WITHOUT escaping within the cap (proven periodic or
+                # capped — the base kernels' interior semantics incl.
+                # the window-overshoot guard); their target v is the
+                # in-window count over the full capped orbit, and the
+                # replay bound is max_it - 1 like the uniform engines.
+                esc_in_cap = esc_mask & (needed < max_i)
+                cand = (cyc_mask | maxed) & ~esc_in_cap & ~deadb
+                needed = jnp.where(cand, max_i - 1, needed)
+            else:
+                cand = (
+                    esc_mask & ~deadb
+                    & (needed >= min_i) & (needed < max_i)
+                )
             v_prop = jnp.where(cand, vcnt_new, 0)
 
             # --- boundary randomness (shared, _mh_bits) ---

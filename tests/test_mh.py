@@ -3,9 +3,8 @@
 Correctness structure:
 
   * Config/validation: the MH surface rejects every unsupported
-    combination loudly (oracle engine, extended precision, step
-    tracking, canvas emit filter, row sharding, interior fractals,
-    device replay).
+    combination loudly (oracle engine, float64 precision, step
+    tracking, canvas emit filter, row sharding, device replay).
   * Exact accounting: every deposited count is a fixed-point importance
     weight; the histogram total must equal the worker's deposited-mass
     tally exactly, and a run is bitwise reproducible at a fixed seed.
@@ -108,9 +107,40 @@ def test_make_engine_gates():
 
 
 @needs_native
-def test_interior_fractal_rejected():
-    with pytest.raises(ConfigError, match="escape"):
-        PallasEngine(_mh_cfg(fractal="anti-buddhabrot"))
+def test_anti_buddhabrot_mh():
+    """Interior-mode MH: chains target interior orbits' in-window
+    counts; every emission replays exactly max_it points and the
+    accounting stays exact."""
+    cfg = _mh_cfg(
+        fractal="anti-buddhabrot",
+        canvas=Canvas(
+            width=40, height=40,
+            min_real=-0.6, max_real=0.1, min_imag=-0.4, max_imag=0.3,
+        ),
+        band=IterationBand(max_escape_iterations=64,
+                           min_escape_iterations=0),
+    )
+    h, s = _run(PallasEngine(cfg), 3)
+    assert int(h.sum()) > 0
+    assert int(h.sum()) == s["on_canvas_points"]
+    assert s["mh_accepts"] > 0
+    # Measure check vs the uniform interior engine at the same crop.
+    ucfg = cfg.replace(
+        options=EngineOptions(
+            engine="pallas", lane_rows=8,
+            replay="host", replay_capacity=1 << 17,
+        )
+    )
+    uh, us = _run(PallasEngine(ucfg), 3)
+    assert us["replay_dropped"] == 0
+
+    def block(x, b=10):
+        x = x.astype(np.float64)
+        x = x.reshape(40 // b, b, 40 // b, b).sum(axis=(1, 3))
+        return x / x.sum()
+
+    corr = np.corrcoef(block(uh).ravel(), block(h).ravel())[0, 1]
+    assert corr > 0.95, corr
 
 
 def test_device_replay_rejected():
