@@ -260,9 +260,11 @@ Options:
         Per-band output is bitwise identical to sequential --passes runs.
   --engine/--scatter/--seed/--devices/--precision/--sample-domain/
   --fractal/--refill-rng/--replay-capacity/--sampler/--mh-restart/
-  --mh-rep-cap/--mh-burnin: forwarded to the renderer
-        (e.g. --precision extended + --sample-domain for color deep
-        zooms, or --sampler mh for importance-sampled color crops).
+  --mh-rep-cap/--mh-burnin/--replay/--replay-threads/--emit-filter/
+  --lane-rows/--steps-per-pass/--steps-per-flush/--inner-unroll:
+        forwarded to the renderer (e.g. --precision extended +
+        --sample-domain for color deep zooms, or --sampler mh for
+        importance-sampled color crops).
   --keep-bands: also save each band's grayscale PGM.
 """
 
@@ -306,7 +308,10 @@ def main(argv: list[str]) -> int:
         elif arg in ("--engine", "--scatter", "--seed", "--devices",
                      "--precision", "--sample-domain", "--fractal",
                      "--refill-rng", "--replay-capacity", "--sampler",
-                     "--mh-restart", "--mh-rep-cap", "--mh-burnin"):
+                     "--mh-restart", "--mh-rep-cap", "--mh-burnin",
+                     "--replay", "--replay-threads", "--emit-filter",
+                     "--lane-rows", "--steps-per-pass",
+                     "--steps-per-flush", "--inner-unroll"):
             engine_args += [arg, _val(f"Argument {arg} needs a value.")]
             i += 2
         elif arg == "--band":
