@@ -237,7 +237,9 @@ def main() -> int:
     )
     uni_cfg = deep_cfg.replace(
         sample_domain=mh_domain,
-        options=EngineOptions(precision="extended"),
+        # Best-vs-best: the uniform comparator gets its strongest crop
+        # mode (the canvas emit filter skips non-visiting replays).
+        options=EngineOptions(precision="extended", emit_filter="canvas"),
     )
     uni = measure(uni_cfg, max(seconds / 4, 2.0), n_segments=2)
     mh["uniform_same_config_mass_per_sec"] = round(
