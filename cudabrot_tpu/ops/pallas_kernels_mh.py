@@ -277,14 +277,19 @@ def _mh_propose(xkr, xki, xv, rb_r, rb_i, rb_b, restart256: int):
     )
     sign_r = (rb_b & jnp.uint32(1)) != 0
     sign_i = (rb_b & jnp.uint32(2)) != 0
+    # min in int32: Mosaic has no vector arith.minui lowering on TPU
+    # (observed "failed to legalize operation 'arith.minui'"); the
+    # operands are 5-bit values so signed min is bit-identical.
     sh_r = jnp.minimum(
-        jax.lax.shift_right_logical(rb_b, jnp.uint32(2)) & jnp.uint32(31),
-        jnp.uint32(23),
-    )
+        (jax.lax.shift_right_logical(rb_b, jnp.uint32(2))
+         & jnp.uint32(31)).astype(jnp.int32),
+        jnp.int32(23),
+    ).astype(jnp.uint32)
     sh_i = jnp.minimum(
-        jax.lax.shift_right_logical(rb_b, jnp.uint32(7)) & jnp.uint32(31),
-        jnp.uint32(23),
-    )
+        (jax.lax.shift_right_logical(rb_b, jnp.uint32(7))
+         & jnp.uint32(31)).astype(jnp.int32),
+        jnp.int32(23),
+    ).astype(jnp.uint32)
     off_r = jax.lax.shift_right_logical(
         m24_r.astype(jnp.uint32), sh_r
     ).astype(jnp.int32)
