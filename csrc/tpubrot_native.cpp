@@ -26,6 +26,7 @@
 #include <cstring>
 #include <string>
 #include <thread>
+#include <type_traits>
 #include <vector>
 
 #include <fcntl.h>
@@ -38,6 +39,41 @@
 namespace {
 
 constexpr int kLanes = 16;  // fixed SIMD width for the replay inner loops
+
+// ---- strict (contraction-proof) f32 orbit arithmetic ----------------
+//
+// The Mosaic TPU compiler lowers the classify kernels' f32 orbit step
+// with strict one-rounding-per-op semantics (measured:
+// benchmarks/fma_probe.py — Pallas-on-TPU bit-matches numpy-strict for
+// 512 iterations), while gcc at this library's -O3 contracts the same
+// expressions into FMAs (matching XLA's CPU emitter, which also
+// contracts). Workloads whose ESTIMATOR couples kernel-side selection
+// to replay-side deposits — Metropolis-Hastings acceptance driven by
+// the kernel's canvas-visit count, and the canvas emit filter's
+// visit-gated emissions — need the replayed trajectory to BIT-MATCH
+// the kernel stream, or the selection conditions on kernel-stream luck
+// the replay cannot reproduce (measured on silicon before this
+// variant: 44% of MH tenure mass lost, MH-vs-uniform histogram
+// correlation 0.008 at a 6e-3 crop where the CPU run of the identical
+// code measures ~1.0). Callers therefore pass flags bit 1 ("strict")
+// when and only when the payload was classified under strict
+// semantics: TPU-compiled kernels. CPU-compiled kernels (tests,
+// interpret mode) keep the default contracted path, which bit-matches
+// XLA CPU today. ValueBarrier pins a value into a register so the
+// compiler cannot substitute the unrounded product into a neighboring
+// add (zero instruction cost; works at any optimization level).
+inline void ValueBarrier(float& v) { asm("" : "+x"(v)); }
+#if defined(__AVX512F__)
+inline void ValueBarrier(__m512& v) { asm("" : "+v"(v)); }
+#endif
+// The f64 replay paths serve df32-classified payloads; a df32 stream
+// cannot be bit-matched by ANY f64 arithmetic, so they have no strict
+// variant (the df32<->f64 agreement contract is statistical and
+// measured — see engines/host_replay.py).
+inline void ValueBarrier(double&) {}
+
+constexpr int32_t kFlagShip = 1;    // flags bit 0: burning-ship fold
+constexpr int32_t kFlagStrict = 2;  // flags bit 1: strict f32 orbit
 
 struct Canvas {
   int32_t w;
@@ -52,7 +88,7 @@ struct Canvas {
 // (cudabrot.cu:323-324) and record every update including the escape point
 // (cudabrot.cu:352-364); the loop is bounded by the classification-reported
 // escape index instead of the reference's unbounded while(1).
-template <bool kBurningShip, typename HistT>
+template <bool kBurningShip, bool kStrict, typename HistT>
 uint64_t ReplayBlock(const float* cr, const float* ci, const int32_t* iters,
                      int count, const Canvas& cv, HistT* hist,
                      uint64_t* points_total) {
@@ -88,8 +124,27 @@ uint64_t ReplayBlock(const float* cr, const float* ci, const int32_t* iters,
       }
       const float cre = l < count ? cr[l] : 0.0f;
       const float cim = l < count ? ci[l] : 0.0f;
-      const float nr = r * r - im * im + cre;
-      const float ni = 2.0f * r * im + cim;
+      float nr, ni;
+      if (kStrict) {
+        // One rounding per op, matching the Pallas kernels' expression
+        // shape exactly: nr = RN(RN(RN(r^2) - RN(im^2)) + cre),
+        // ni = RN(RN(2r * im) + cim) (2r is exact). The barriers keep
+        // gcc from substituting unrounded products into the adds (FMA
+        // contraction); they also block auto-vectorization of this
+        // lane loop — acceptable, this scalar block is only the
+        // non-AVX512 fallback.
+        float r2 = r * r;
+        float i2 = im * im;
+        float q = (2.0f * r) * im;
+        ValueBarrier(r2);
+        ValueBarrier(i2);
+        ValueBarrier(q);
+        nr = (r2 - i2) + cre;
+        ni = q + cim;
+      } else {
+        nr = r * r - im * im + cre;
+        ni = 2.0f * r * im + cim;
+      }
       const bool rec = s <= limit[l];
       zr[l] = rec ? nr : zr[l];
       zi[l] = rec ? ni : zi[l];
@@ -246,7 +301,7 @@ inline void FlushIncrements(IncBuf& buf, HistT* hist) {
   buf.n = 0;
 }
 
-template <bool kBurningShip, bool kPrefetch, typename HistT>
+template <bool kBurningShip, bool kPrefetch, bool kStrict, typename HistT>
 uint64_t ReplayBlockAvx(const float* cr, const float* ci,
                         const int32_t* iters, int count, const Canvas& cv,
                         HistT* hist, uint64_t* points_total,
@@ -300,10 +355,21 @@ uint64_t ReplayBlockAvx(const float* cr, const float* ci,
         r = _mm512_and_ps(r, sign_clear);
         im = _mm512_and_ps(im, sign_clear);
       }
-      const __m512 nr = _mm512_add_ps(
-          _mm512_sub_ps(_mm512_mul_ps(r, r), _mm512_mul_ps(im, im)), vcr[g]);
-      const __m512 ni = _mm512_add_ps(
-          _mm512_mul_ps(_mm512_add_ps(r, r), im), vci[g]);
+      // (r+r)*im computes RN(2*r*im) exactly like the kernels'
+      // 2.0*zr*zi (the doubling is exact); in strict mode the barriers
+      // pin the rounded products so gcc cannot contract the mul+add
+      // pairs into FMAs (it fuses straight through these intrinsics —
+      // they lower to plain MULT/PLUS in GIMPLE).
+      __m512 r2 = _mm512_mul_ps(r, r);
+      __m512 i2 = _mm512_mul_ps(im, im);
+      __m512 q = _mm512_mul_ps(_mm512_add_ps(r, r), im);
+      if (kStrict) {
+        ValueBarrier(r2);
+        ValueBarrier(i2);
+        ValueBarrier(q);
+      }
+      const __m512 nr = _mm512_add_ps(_mm512_sub_ps(r2, i2), vcr[g]);
+      const __m512 ni = _mm512_add_ps(q, vci[g]);
       __mmask16 rec;
       if (s <= gmin[g]) {
         vzr[g] = nr;
@@ -449,7 +515,7 @@ uint64_t ReplayBlockAvxF64(const double* cr, const double* ci,
 
 #endif  // __AVX512F__ && __AVX512VL__
 
-template <bool kBurningShip, typename HistT>
+template <bool kBurningShip, bool kStrict, typename HistT>
 void ReplayRange(const float* cr, const float* ci, const int32_t* iters,
                  int64_t begin, int64_t end, const Canvas& cv, HistT* hist,
                  ThreadResult* out) {
@@ -463,12 +529,12 @@ void ReplayRange(const float* cr, const float* ci, const int32_t* iters,
     const int count =
         static_cast<int>(end - i < kLanesAvx ? end - i : kLanesAvx);
     out->hits +=
-        big ? ReplayBlockAvx<kBurningShip, true>(cr + i, ci + i, iters + i,
-                                                 count, cv, hist,
-                                                 &out->points, buf)
-            : ReplayBlockAvx<kBurningShip, false>(cr + i, ci + i, iters + i,
-                                                  count, cv, hist,
-                                                  &out->points, buf);
+        big ? ReplayBlockAvx<kBurningShip, true, kStrict>(
+                  cr + i, ci + i, iters + i, count, cv, hist,
+                  &out->points, buf)
+            : ReplayBlockAvx<kBurningShip, false, kStrict>(
+                  cr + i, ci + i, iters + i, count, cv, hist,
+                  &out->points, buf);
   }
   if (big) {
     FlushIncrements<true>(buf, hist);
@@ -478,8 +544,8 @@ void ReplayRange(const float* cr, const float* ci, const int32_t* iters,
 #else
   for (int64_t i = begin; i < end; i += kLanes) {
     const int count = static_cast<int>(end - i < kLanes ? end - i : kLanes);
-    out->hits += ReplayBlock<kBurningShip>(cr + i, ci + i, iters + i, count,
-                                           cv, hist, &out->points);
+    out->hits += ReplayBlock<kBurningShip, kStrict>(
+        cr + i, ci + i, iters + i, count, cv, hist, &out->points);
   }
 #endif
 }
@@ -535,7 +601,8 @@ int64_t ReplayScatterImpl(const SampleT* cr, const SampleT* ci,
                           uint64_t* points_total) {
   if (n <= 0 || w <= 0 || h <= 0) return 0;
   const Canvas cv{w, h, min_real, min_imag, delta_real, delta_imag};
-  const bool ship = (flags & 1) != 0;
+  const bool ship = (flags & kFlagShip) != 0;
+  const bool strict = (flags & kFlagStrict) != 0;
 
   int threads = num_threads;
   if (threads <= 0) {
@@ -569,12 +636,34 @@ int64_t ReplayScatterImpl(const SampleT* cr, const SampleT* ci,
   }
 
   std::vector<ThreadResult> results(threads);
-  if (threads == 1) {
-    if (ship) {
-      ReplayRange<true>(cr, ci, iters, 0, n, cv, hist, &results[0]);
+  // One range dispatcher so the strict bit is resolved in exactly one
+  // place. The f64 overload has no strict variant (see ValueBarrier
+  // notes); the bit is ignored there.
+  auto run = [&](int64_t b, int64_t e, HistT* th, ThreadResult* res) {
+    if constexpr (std::is_same<SampleT, float>::value) {
+      if (ship) {
+        if (strict) {
+          ReplayRange<true, true>(cr, ci, iters, b, e, cv, th, res);
+        } else {
+          ReplayRange<true, false>(cr, ci, iters, b, e, cv, th, res);
+        }
+      } else {
+        if (strict) {
+          ReplayRange<false, true>(cr, ci, iters, b, e, cv, th, res);
+        } else {
+          ReplayRange<false, false>(cr, ci, iters, b, e, cv, th, res);
+        }
+      }
     } else {
-      ReplayRange<false>(cr, ci, iters, 0, n, cv, hist, &results[0]);
+      if (ship) {
+        ReplayRange<true>(cr, ci, iters, b, e, cv, th, res);
+      } else {
+        ReplayRange<false>(cr, ci, iters, b, e, cv, th, res);
+      }
     }
+  };
+  if (threads == 1) {
+    run(0, n, hist, &results[0]);
   } else {
     // Per-thread private histograms: deterministic, no atomics.
     const size_t bins = static_cast<size_t>(w) * h;
@@ -586,21 +675,10 @@ int64_t ReplayScatterImpl(const SampleT* cr, const SampleT* ci,
       const int64_t b = t * chunk;
       const int64_t e = std::min<int64_t>(n, b + chunk);
       HistT* th = priv[t - 1].data();
-      pool.emplace_back([=, &results] {
-        if (ship) {
-          ReplayRange<true>(cr, ci, iters, b, e, cv, th, &results[t]);
-        } else {
-          ReplayRange<false>(cr, ci, iters, b, e, cv, th, &results[t]);
-        }
-      });
+      ThreadResult* res = &results[t];
+      pool.emplace_back([=] { run(b, e, th, res); });
     }
-    if (ship) {
-      ReplayRange<true>(cr, ci, iters, 0, std::min<int64_t>(n, chunk), cv,
-                        hist, &results[0]);
-    } else {
-      ReplayRange<false>(cr, ci, iters, 0, std::min<int64_t>(n, chunk), cv,
-                         hist, &results[0]);
-    }
+    run(0, std::min<int64_t>(n, chunk), hist, &results[0]);
     for (auto& th : pool) th.join();
     for (int t = 1; t < threads; ++t) {
       const HistT* src = priv[t - 1].data();
@@ -633,7 +711,7 @@ int64_t ReplayScatterImpl(const SampleT* cr, const SampleT* ci,
 // per-thread private histograms). Emissions whose replay trajectory
 // deposits nothing forfeit their intended mass into `lost` so the
 // accounting stays visible.
-template <bool kBurningShip, typename SampleT, typename HistT>
+template <bool kBurningShip, bool kStrict, typename SampleT, typename HistT>
 void ReplayRangeMh(const SampleT* cr, const SampleT* ci,
                    const int32_t* iters, const int32_t* reps,
                    const int32_t* vks, int64_t begin, int64_t end,
@@ -659,8 +737,25 @@ void ReplayRangeMh(const SampleT* cr, const SampleT* ci,
         r = r < 0 ? -r : r;
         im = im < 0 ? -im : im;
       }
-      const SampleT nr = r * r - im * im + cr[i];
-      const SampleT ni = static_cast<SampleT>(2.0) * r * im + ci[i];
+      SampleT nr, ni;
+      if (kStrict) {
+        // Strict one-rounding-per-op form, bit-matching the MH chain
+        // kernel's Mosaic-compiled f32 stream (only instantiated for
+        // SampleT = float; see the ValueBarrier notes). The MH
+        // estimator REQUIRES this agreement: acceptance conditioned on
+        // the kernel's visit count must find the same visits here.
+        SampleT r2 = r * r;
+        SampleT i2 = im * im;
+        SampleT q = (static_cast<SampleT>(2.0) * r) * im;
+        ValueBarrier(r2);
+        ValueBarrier(i2);
+        ValueBarrier(q);
+        nr = (r2 - i2) + cr[i];
+        ni = q + ci[i];
+      } else {
+        nr = r * r - im * im + cr[i];
+        ni = static_cast<SampleT>(2.0) * r * im + ci[i];
+      }
       zr = nr;
       zi = ni;
       // Low-boundary guard before the truncating divide
@@ -712,7 +807,8 @@ int64_t ReplayScatterMhImpl(const SampleT* cr, const SampleT* ci,
                             uint64_t* points_total, uint64_t* lost_weight) {
   if (n <= 0 || w <= 0 || h <= 0) return 0;
   const Canvas cv{w, h, min_real, min_imag, delta_real, delta_imag};
-  const bool ship = (flags & 1) != 0;
+  const bool ship = (flags & kFlagShip) != 0;
+  const bool strict = (flags & kFlagStrict) != 0;
   const uint32_t sc = scale > 0 ? static_cast<uint32_t>(scale) : 1u;
 
   int threads = num_threads;
@@ -742,12 +838,33 @@ int64_t ReplayScatterMhImpl(const SampleT* cr, const SampleT* ci,
   std::vector<ThreadResult> results(threads);
   auto run = [&](int64_t b, int64_t e, HistT* th, ThreadResult* res) {
     std::vector<int32_t> bins;
-    if (ship) {
-      ReplayRangeMh<true>(cr, ci, iters, reps, vks, b, e, cv, sc, th, res,
-                          bins);
+    if constexpr (std::is_same<SampleT, float>::value) {
+      if (ship) {
+        if (strict) {
+          ReplayRangeMh<true, true>(cr, ci, iters, reps, vks, b, e, cv, sc,
+                                    th, res, bins);
+        } else {
+          ReplayRangeMh<true, false>(cr, ci, iters, reps, vks, b, e, cv, sc,
+                                     th, res, bins);
+        }
+      } else {
+        if (strict) {
+          ReplayRangeMh<false, true>(cr, ci, iters, reps, vks, b, e, cv, sc,
+                                     th, res, bins);
+        } else {
+          ReplayRangeMh<false, false>(cr, ci, iters, reps, vks, b, e, cv,
+                                      sc, th, res, bins);
+        }
+      }
     } else {
-      ReplayRangeMh<false>(cr, ci, iters, reps, vks, b, e, cv, sc, th, res,
-                           bins);
+      // f64 MH replay (df32-classified payloads): no strict variant.
+      if (ship) {
+        ReplayRangeMh<true, false>(cr, ci, iters, reps, vks, b, e, cv, sc,
+                                   th, res, bins);
+      } else {
+        ReplayRangeMh<false, false>(cr, ci, iters, reps, vks, b, e, cv, sc,
+                                    th, res, bins);
+      }
     }
   };
   if (threads == 1) {

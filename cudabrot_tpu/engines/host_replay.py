@@ -38,7 +38,16 @@ class HostReplayWorker:
         dtype=np.uint32,
         grid_decode: tuple | None = None,
         mh_decode: tuple | None = None,
+        strict: bool = False,
     ):
+        #: Use the contraction-proof native f32 orbit variant, which
+        #: bit-matches Mosaic-compiled (TPU) classify kernels. The
+        #: engine sets this for TPU-classified payloads whose estimator
+        #: couples kernel-side selection to replay deposits (MH
+        #: acceptance, canvas emit filter); CPU-compiled kernels keep
+        #: the contracted default, which bit-matches XLA's CPU emitter
+        #: (csrc/tpubrot_native.cpp "strict"; benchmarks/fma_probe.py).
+        self.strict = strict
         #: Metropolis-Hastings payload decode parameters (min_real,
         #: span_real, min_imag, span_imag, weight_scale): payload rows
         #: are [k_re, k_im, iters, rep, v] with 24-bit sample-grid
@@ -249,6 +258,7 @@ class HostReplayWorker:
                 burning_ship=self.burning_ship,
                 num_threads=self.num_threads,
                 weight_scale=int(self.mh_decode[4]),
+                strict=self.strict,
             )
             self.hits += hits
             self.points += points
@@ -258,11 +268,12 @@ class HostReplayWorker:
         cr, ci, iters = decoded
         t1 = time.perf_counter()
         cv = self.canvas
-        replay = (
-            native.replay_scatter_f64
-            if cr.dtype == np.float64
-            else native.replay_scatter
-        )
+        if cr.dtype == np.float64:
+            replay = native.replay_scatter_f64
+            extra = {}
+        else:
+            replay = native.replay_scatter
+            extra = {"strict": self.strict}
         hits, points = replay(
             cr,
             ci,
@@ -276,6 +287,7 @@ class HostReplayWorker:
             delta_imag=cv.delta_imag,
             burning_ship=self.burning_ship,
             num_threads=self.num_threads,
+            **extra,
         )
         self.hits += hits
         self.points += points

@@ -771,6 +771,25 @@ class PallasEngine:
                 # arithmetic and runs the weighted native replay.
                 r0, r1, i0, i1 = cfg.sample_domain
                 mh_decode = (r0, r1 - r0, i0, i1 - i0, self.weight_scale)
+            # Strict (contraction-proof) native f32 orbit arithmetic is
+            # REQUIRED when the estimator conditions on the kernel's own
+            # trajectory — MH acceptance (driven by the kernel's canvas-
+            # visit count) and the canvas emit filter (visit-gated
+            # emissions) — AND the kernel compiles under Mosaic's strict
+            # one-rounding-per-op semantics (TPU). Without it the
+            # selection conditions on kernel-stream luck the contracted
+            # replay cannot reproduce: measured 44% MH tenure-mass loss
+            # and an MH-vs-uniform histogram correlation of 0.008 at a
+            # 6e-3 crop (benchmarks/mh_ab.py on silicon, 2026-08-18).
+            # CPU-compiled kernels bit-match the contracted default
+            # (benchmarks/fma_probe.py), so strict stays off there.
+            # Extended payloads replay in f64 (no strict variant; the
+            # df32<->f64 contract is statistical — measured 0.2% loss).
+            strict = (
+                jax.default_backend() == "tpu"
+                and not self.extended
+                and (self.mh or self.visit_window is not None)
+            )
             self._worker = HostReplayWorker(
                 cfg.canvas,
                 burning_ship=self.fractal.fold_abs,
@@ -778,6 +797,7 @@ class PallasEngine:
                 dtype=np.dtype(o.hist_dtype),
                 grid_decode=grid_decode,
                 mh_decode=mh_decode,
+                strict=strict,
             )
             # Auto share: 0 on LLC-resident canvases — the native host
             # replay (~7.6e8 pts/s/core) beats device XLA scatter
@@ -1335,6 +1355,7 @@ class PallasEngine:
                 burning_ship=self.fractal.fold_abs,
                 num_threads=w.num_threads,
                 weight_scale=self.weight_scale,
+                strict=w.strict,
             )
             w.hits += hits
             w.points += points

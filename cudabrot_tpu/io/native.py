@@ -208,14 +208,23 @@ def replay_scatter(
     delta_imag: float,
     burning_ship: bool = False,
     num_threads: int = 0,
+    strict: bool = False,
 ) -> tuple[int, int]:
     """Replay known-escaping samples into ``hist`` ((h, w) uint32 or
     uint64, mutated in place — the dtype selects the native entry point).
     Returns (on_canvas_hits, total_points). Raises RuntimeError if the
-    native library is unavailable — callers gate on available()."""
+    native library is unavailable — callers gate on available().
+
+    ``strict`` selects the contraction-proof f32 orbit variant that
+    bit-matches the Mosaic-compiled (TPU) classify kernels' stream; the
+    default contracted variant bit-matches XLA's CPU emitter. Pass
+    strict=True exactly when the payload was classified on TPU and the
+    estimator couples kernel-side selection to replay deposits (canvas
+    emit filter) — see csrc/tpubrot_native.cpp "strict" notes."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native replay library unavailable")
+    flags = (1 if burning_ship else 0) | (2 if strict else 0)
     cr = np.ascontiguousarray(cr, np.float32)
     ci = np.ascontiguousarray(ci, np.float32)
     iters = np.ascontiguousarray(iters, np.int32)
@@ -233,7 +242,7 @@ def replay_scatter(
             min_imag,
             delta_real,
             delta_imag,
-            1 if burning_ship else 0,
+            flags,
             num_threads,
             hist.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             ctypes.byref(points),
@@ -251,7 +260,7 @@ def replay_scatter(
         min_imag,
         delta_real,
         delta_imag,
-        1 if burning_ship else 0,
+        flags,
         num_threads,
         hist.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         ctypes.byref(points),
@@ -293,6 +302,7 @@ def replay_scatter_mh(
     burning_ship: bool = False,
     num_threads: int = 0,
     weight_scale: int = 256,
+    strict: bool = False,
 ) -> tuple[int, int, int]:
     """Weighted Metropolis-Hastings replay: each on-canvas orbit point
     of emission i deposits ``reps[i] * weight_scale / vks[i]`` (exact
@@ -301,7 +311,14 @@ def replay_scatter_mh(
     — ops/pallas_kernels_mh.py). Returns (deposited_mass, total_points,
     lost_mass); ``lost_mass`` is the intended mass of emissions whose
     replay trajectory deposited nothing. Callers gate on
-    supports_mh()."""
+    supports_mh().
+
+    ``strict`` (f32 payloads only) selects the contraction-proof orbit
+    variant that bit-matches Mosaic-compiled kernels — REQUIRED for
+    TPU-classified MH payloads, whose acceptance conditioned on the
+    kernel's visit counts must find the same visits here (see
+    csrc/tpubrot_native.cpp "strict"). Ignored for f64 payloads (the
+    df32<->f64 agreement contract is statistical)."""
     lib = _load()
     if lib is None or not hasattr(lib, "tpubrot_replay_scatter_mh"):
         raise RuntimeError("native MH replay unavailable")
@@ -347,7 +364,7 @@ def replay_scatter_mh(
         min_imag,
         delta_real,
         delta_imag,
-        1 if burning_ship else 0,
+        (1 if burning_ship else 0) | (2 if strict else 0),
         num_threads,
         weight_scale,
         hist.ctypes.data_as(ctypes.POINTER(ptr_t)),
