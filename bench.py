@@ -48,16 +48,25 @@ def measure(cfg, seconds: float, n_segments: int = 5) -> dict:
 
     engine = engines.make_engine(cfg)
 
-    # Warmup (compile) outside the timed region.
+    # Warmup (compile) outside the timed region. MH engines trace two
+    # pass variants (burn-in and steady-state, split at
+    # mh_burnin_passes); warm both or the first timed segment eats the
+    # steady-state compile (measured: two ~9 s segments at the mh_zoom
+    # line before this covered it).
     state = engine.init_state(None)
-    state = engine.run_pass(state, 0)
+    warm_passes = 1
+    if getattr(engine, "mh", False):
+        warm_passes = cfg.options.mh_burnin_passes + 1
+    passes = 0
+    for _ in range(warm_passes):
+        state = engine.run_pass(state, passes)
+        passes += 1
     jax.block_until_ready(state)
     if getattr(engine, "_worker", None) is not None:
         engine._worker.drain()
 
     seg_len = max(seconds / n_segments, 1.0)
     seg_rates = []
-    passes = 1
     prev = engine.stats(state)
     elapsed = 0.0
     classify = points = samples = 0

@@ -74,6 +74,14 @@ inline void ValueBarrier(double&) {}
 
 constexpr int32_t kFlagShip = 1;    // flags bit 0: burning-ship fold
 constexpr int32_t kFlagStrict = 2;  // flags bit 1: strict f32 orbit
+//: flags bit 2 (MH replay only): the shipped per-emission divisor is
+//: the ergodicity-bridge target t = 256*v + 1 rather than the visit
+//: count v (pallas_kernels_mh.py "ergodicity bridge"). The weight
+//: numerator is scaled by 256 so the per-visit deposit keeps its
+//: ~rep*scale/v granularity, and the intended-mass (lost) accounting
+//: recovers v = (t-1)/256 exactly.
+constexpr int32_t kFlagBridge = 4;
+constexpr uint32_t kBridgeUnit = 256;
 
 struct Canvas {
   int32_t w;
@@ -715,8 +723,9 @@ template <bool kBurningShip, bool kStrict, typename SampleT, typename HistT>
 void ReplayRangeMh(const SampleT* cr, const SampleT* ci,
                    const int32_t* iters, const int32_t* reps,
                    const int32_t* vks, int64_t begin, int64_t end,
-                   const Canvas& cv, uint32_t scale, HistT* hist,
-                   ThreadResult* out, std::vector<int32_t>& bins) {
+                   const Canvas& cv, uint32_t scale, bool bridge,
+                   HistT* hist, ThreadResult* out,
+                   std::vector<int32_t>& bins) {
   // SampleT selects the orbit/binning precision: float for the f32 MH
   // kernel's payloads, double for extended (df32 deep-zoom) MH, where
   // c is reconstructed in f64 from window-grid indices and canvas
@@ -768,12 +777,27 @@ void ReplayRangeMh(const SampleT* cr, const SampleT* ci,
       }
     }
     const uint64_t n = bins.size();
-    const uint64_t w =
-        static_cast<uint64_t>(reps[i]) * static_cast<uint64_t>(scale);
-    const uint64_t v = vks[i] > 0 ? static_cast<uint64_t>(vks[i])
-                                  : std::max<uint64_t>(n, 1);
+    // Bridge payloads (kFlagBridge) ship the chain target
+    // t = 256*v + 1 as the divisor; the numerator is scaled by the
+    // same 256 so per-visit deposits keep the ~rep*scale/v
+    // granularity, and the estimator divides by exactly the value
+    // that drove acceptance (unbiased for any positive target).
+    uint64_t w = static_cast<uint64_t>(reps[i]) * scale;
+    uint64_t intended = w;
+    uint64_t v = vks[i] > 0 ? static_cast<uint64_t>(vks[i])
+                            : std::max<uint64_t>(n, 1);
+    if (bridge) {
+      w *= kBridgeUnit;
+      if (vks[i] > 0) {
+        // v = (t - 1) / 256 exactly; intended mass = v * w / t, i.e.
+        // what a kernel-matched replay would deposit (in 1/scale
+        // units, same as the old divisor-v accounting).
+        const uint64_t kv = (v - 1) / kBridgeUnit;
+        intended = kv * w / v;
+      }
+    }
     if (n == 0) {
-      out->lost += w;
+      out->lost += intended;
       continue;
     }
     // Bresenham spread of W/v per point: base + carry walk, no
@@ -809,6 +833,7 @@ int64_t ReplayScatterMhImpl(const SampleT* cr, const SampleT* ci,
   const Canvas cv{w, h, min_real, min_imag, delta_real, delta_imag};
   const bool ship = (flags & kFlagShip) != 0;
   const bool strict = (flags & kFlagStrict) != 0;
+  const bool bridge = (flags & kFlagBridge) != 0;
   const uint32_t sc = scale > 0 ? static_cast<uint32_t>(scale) : 1u;
 
   int threads = num_threads;
@@ -842,28 +867,28 @@ int64_t ReplayScatterMhImpl(const SampleT* cr, const SampleT* ci,
       if (ship) {
         if (strict) {
           ReplayRangeMh<true, true>(cr, ci, iters, reps, vks, b, e, cv, sc,
-                                    th, res, bins);
+                                    bridge, th, res, bins);
         } else {
           ReplayRangeMh<true, false>(cr, ci, iters, reps, vks, b, e, cv, sc,
-                                     th, res, bins);
+                                     bridge, th, res, bins);
         }
       } else {
         if (strict) {
           ReplayRangeMh<false, true>(cr, ci, iters, reps, vks, b, e, cv, sc,
-                                     th, res, bins);
+                                     bridge, th, res, bins);
         } else {
           ReplayRangeMh<false, false>(cr, ci, iters, reps, vks, b, e, cv,
-                                      sc, th, res, bins);
+                                      sc, bridge, th, res, bins);
         }
       }
     } else {
       // f64 MH replay (df32-classified payloads): no strict variant.
       if (ship) {
         ReplayRangeMh<true, false>(cr, ci, iters, reps, vks, b, e, cv, sc,
-                                   th, res, bins);
+                                   bridge, th, res, bins);
       } else {
         ReplayRangeMh<false, false>(cr, ci, iters, reps, vks, b, e, cv, sc,
-                                    th, res, bins);
+                                    bridge, th, res, bins);
       }
     }
   };

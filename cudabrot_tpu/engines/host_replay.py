@@ -259,6 +259,9 @@ class HostReplayWorker:
                 num_threads=self.num_threads,
                 weight_scale=int(self.mh_decode[4]),
                 strict=self.strict,
+                # The chain kernels ship the ergodicity-bridge target
+                # t = 256*v + 1 as the divisor (pallas_kernels_mh.py).
+                bridge=True,
             )
             self.hits += hits
             self.points += points

@@ -1323,7 +1323,10 @@ class PallasEngine:
         lanes = lanes_cls(*state["lanes"])
         xv = np.asarray(lanes.xv).reshape(-1)
         rep = np.asarray(lanes.rep).reshape(-1)
-        live = (xv > 0) & (rep > 0)
+        # xv > 1: only tenures WITH visits carry depositable mass
+        # (xv == 1 is the in-band bridge epsilon — no visits, nothing
+        # to flush; ops/pallas_kernels_mh.py "ergodicity bridge").
+        live = (xv > 1) & (rep > 0)
         if live.any():
             kr = np.asarray(lanes.xkr).reshape(-1)[live].astype(np.float32)
             ki = np.asarray(lanes.xki).reshape(-1)[live].astype(np.float32)
@@ -1356,6 +1359,7 @@ class PallasEngine:
                 num_threads=w.num_threads,
                 weight_scale=self.weight_scale,
                 strict=w.strict,
+                bridge=True,
             )
             w.hits += hits
             w.points += points

@@ -303,6 +303,7 @@ def replay_scatter_mh(
     num_threads: int = 0,
     weight_scale: int = 256,
     strict: bool = False,
+    bridge: bool = False,
 ) -> tuple[int, int, int]:
     """Weighted Metropolis-Hastings replay: each on-canvas orbit point
     of emission i deposits ``reps[i] * weight_scale / vks[i]`` (exact
@@ -318,7 +319,13 @@ def replay_scatter_mh(
     TPU-classified MH payloads, whose acceptance conditioned on the
     kernel's visit counts must find the same visits here (see
     csrc/tpubrot_native.cpp "strict"). Ignored for f64 payloads (the
-    df32<->f64 agreement contract is statistical)."""
+    df32<->f64 agreement contract is statistical).
+
+    ``bridge``: the ``vks`` column holds the ergodicity-bridge target
+    t = 256*v + 1 instead of the raw visit count (the chain kernels
+    always ship this since the bridge landed — ops/pallas_kernels_mh.py
+    "ergodicity bridge"); the native replay scales the weight numerator
+    by the same 256 so per-visit deposits keep their granularity."""
     lib = _load()
     if lib is None or not hasattr(lib, "tpubrot_replay_scatter_mh"):
         raise RuntimeError("native MH replay unavailable")
@@ -364,7 +371,9 @@ def replay_scatter_mh(
         min_imag,
         delta_real,
         delta_imag,
-        (1 if burning_ship else 0) | (2 if strict else 0),
+        (1 if burning_ship else 0)
+        | (2 if strict else 0)
+        | (4 if bridge else 0),
         num_threads,
         weight_scale,
         hist.ctypes.data_as(ctypes.POINTER(ptr_t)),

@@ -61,6 +61,28 @@ register emission):
     With matching v the estimator is sum_t hits_p(c_t) / v(c_t),
     unbiased regardless of trajectory drift.
 
+  * **Ergodicity bridge (in-band epsilon mass).** A chain whose target
+    is v alone can only move BETWEEN visiting states (any proposal with
+    v' = 0 is rejected) and can only SEED by a uniform restart landing
+    directly on the visiting set — whose measure shrinks with the
+    window. Measured on silicon at a 6e-3 window over the full domain:
+    99.5% of all lane-steps were unseeded chains burning restarts
+    (overall acceptance 0.06%) while seeded states accepted local
+    moves at 13-55% (benchmarks/mh_scale_probe.py). The chains
+    therefore target t(c) = TARGET_VISIT * min(v, 65535) + 1[in-band]:
+    in-band non-visiting states carry 1/TARGET_VISIT of one visit's
+    stationary mass, which (a) turns seeding into "hit the in-band
+    set" — orders of magnitude easier than the visiting set — and (b)
+    lets chains traverse between visiting filaments through the
+    in-band bridge instead of requiring jumps that land exactly on
+    another filament. The estimator stays EXACTLY unbiased for any
+    positive target: deposits divide by the same t that drove
+    acceptance (E_pi[deposit] = sum_x pi(x) * w * visits(x) / t(x)
+    with pi = t/Z), the weight numerator is scaled by TARGET_VISIT to
+    keep the 1/WEIGHT_SCALE deposit granularity (native replay, flags
+    bit 2), and bridge states (t = 1) deposit nothing — they have no
+    visits — so their tenures retire without emission.
+
 Known, bounded deviations from the exact estimator (all surfaced as
 counters): pending-register collisions are resolved by weighted
 reservoir merging (expectation-preserving and exactly mass-conserving;
@@ -108,6 +130,15 @@ from cudabrot_tpu.ops.pallas_kernels import (
 #: so MH and uniform histograms can never be silently mixed.
 WEIGHT_SCALE = 256
 
+#: Chain-target units per canvas visit (the ergodicity bridge, module
+#: docstring): target t = TARGET_VISIT * min(v, _T_VCAP) + 1 for
+#: in-band states, 0 otherwise. The +1 is the in-band epsilon; the
+#: visit cap keeps t f32-exact (t < 2^24) for the acceptance compare —
+#: capping is harmless because acceptance and the deposit divisor use
+#: the SAME capped t (any positive target is unbiased).
+TARGET_VISIT = 256
+_T_VCAP = 65535
+
 #: Extra MH stat rows appended after the base kernel's five.
 STAT_MH_ACCEPT = 5  # accepted proposals (chain moves)
 STAT_MH_MERGE = 6  # pending-slot reservoir merges (identity trades)
@@ -135,7 +166,7 @@ class MhLaneState(NamedTuple):
     vcnt: jax.Array  # i32 in-window updated positions so far
     xkr: jax.Array  # f32 chain state grid index (real)
     xki: jax.Array  # f32 chain state grid index (imag)
-    xv: jax.Array  # i32 chain state target value v(x); 0 = unseeded
+    xv: jax.Array  # i32 chain target t(x) = 256*min(v,cap)+1[in-band]; 0 = unseeded
     xit: jax.Array  # i32 chain state escape index
     rep: jax.Array  # i32 chain steps the current state has been retained
 
@@ -171,7 +202,8 @@ def _mh_boundary(
     Returns (accept, chain regs..., pending regs..., stat increments).
     See the step-level comments in the module docstring for the
     estimator arguments."""
-    # Metropolis acceptance: u * v(x) < v(c') with u uniform in [0,1).
+    # Metropolis acceptance on the bridge target: accept iff
+    # u * t(x) < t(c') with u uniform in [0,1) (symmetric proposal).
     u24 = jax.lax.shift_right_logical(
         rb_a, jnp.uint32(8)
     ).astype(jnp.int32).astype(jnp.float32) * jnp.float32(_INV24)
@@ -180,10 +212,16 @@ def _mh_boundary(
     )
 
     # Emission: retire the old tenure on accept; force-emit at the rep
-    # cap so tenures cannot grow unbounded.
+    # cap so tenures cannot grow unbounded. Only tenures WITH visits
+    # emit (xv > 1, i.e. t >= TARGET_VISIT + 1): bridge states (t = 1,
+    # in-band but never visiting) have nothing to deposit — their
+    # tenures retire silently, and their rep still resets at the cap so
+    # a sticky bridge state cannot overflow the counter.
     rep_rej = rep + 1
-    emit = accept & (xv > 0) & (rep > 0)
-    force = fin & ~accept & (xv > 0) & (rep_rej >= jnp.int32(rep_cap))
+    emit_ok = xv > jnp.int32(1)
+    emit = accept & emit_ok & (rep > 0)
+    at_cap = fin & ~accept & (rep_rej >= jnp.int32(rep_cap))
+    force = at_cap & emit_ok
     emit_any = emit | force
     rep_used = jnp.where(emit, rep, rep_rej)
     # Pending-slot collision => WEIGHTED RESERVOIR MERGE, not an
@@ -224,7 +262,7 @@ def _mh_boundary(
     rep = jnp.where(
         accept,
         jnp.int32(1),
-        jnp.where(fin, jnp.where(force, jnp.int32(0), rep_rej), rep),
+        jnp.where(fin, jnp.where(at_cap, jnp.int32(0), rep_rej), rep),
     )
     return (accept, xkr, xki, xv, xit, rep,
             p_kr, p_ki, p_it, p_rep, p_v, d_merges, d_merged_rep)
@@ -452,7 +490,16 @@ def _make_kernel_mh(
                     esc_mask & ~deadb
                     & (needed >= min_i) & (needed < max_i)
                 )
-            v_prop = jnp.where(cand, vcnt_new, 0)
+            # Ergodicity-bridge target (module docstring): in-band
+            # states score TARGET_VISIT per (capped) visit plus the
+            # in-band epsilon of 1; never-visiting in-band states stay
+            # proposable bridge states instead of dead ends.
+            v_prop = jnp.where(
+                cand,
+                jnp.minimum(vcnt_new, jnp.int32(_T_VCAP))
+                * jnp.int32(TARGET_VISIT) + 1,
+                0,
+            )
 
             # --- boundary randomness (shared, _mh_bits) ---
             rb_r, rb_i, rb_a, rb_b = _mh_bits(
@@ -986,7 +1033,16 @@ def _make_kernel_ext_mh(
                     esc_mask & ~deadb
                     & (needed >= min_i) & (needed < max_i)
                 )
-            v_prop = jnp.where(cand, vcnt_new, 0)
+            # Ergodicity-bridge target (module docstring): in-band
+            # states score TARGET_VISIT per (capped) visit plus the
+            # in-band epsilon of 1; never-visiting in-band states stay
+            # proposable bridge states instead of dead ends.
+            v_prop = jnp.where(
+                cand,
+                jnp.minimum(vcnt_new, jnp.int32(_T_VCAP))
+                * jnp.int32(TARGET_VISIT) + 1,
+                0,
+            )
 
             # --- boundary randomness (shared, _mh_bits) ---
             rb_r, rb_i, rb_a, rb_b = _mh_bits(

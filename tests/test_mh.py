@@ -399,13 +399,19 @@ def test_mh_matches_uniform_measure():
         ),
     )
     uh, ustats = _run(PallasEngine(ucfg), passes)
-    mcfg = _mh_cfg(options={"mh_burnin_passes": 2})
-    mh, mstats = _run(PallasEngine(mcfg), passes)
-    assert uh.sum() > 0 and mh.sum() > 0
+    m1, mstats = _run(
+        PallasEngine(_mh_cfg(options={"mh_burnin_passes": 2})), passes
+    )
+    m2, mstats2 = _run(
+        PallasEngine(_mh_cfg(seed=4242, options={"mh_burnin_passes": 2})),
+        passes,
+    )
+    assert uh.sum() > 0 and m1.sum() > 0 and m2.sum() > 0
     # No accounting leaks in either run (a dropping run is biased, not
     # just noisy — see the capacity comment above).
     assert ustats["replay_dropped"] == 0
     assert mstats["replay_dropped"] == 0
+    assert mstats2["replay_dropped"] == 0
     # Compare at 8x8-block aggregation: the MH estimator has chain-
     # correlated per-pixel noise at test-scale run lengths, and a
     # pixel-level bright set chosen by u's own fluctuations regresses
@@ -420,10 +426,28 @@ def test_mh_matches_uniform_measure():
         return x / x.sum()
 
     u = block(uh)
-    m = block(mh)
-    corr = np.corrcoef(u.ravel(), m.ravel())[0, 1]
-    assert corr > 0.9, corr
+    b1 = block(m1)
+    b2 = block(m2)
+
+    def corr(a, b):
+        return float(np.corrcoef(a.ravel(), b.ravel())[0, 1])
+
+    # NULL-CALIBRATED equivalence: at test-scale run lengths the MH
+    # estimate is chain-noise dominated (measured across seeds:
+    # corr(mh, uniform) 0.69-0.93 for BOTH the pre-bridge and bridge
+    # samplers — a fixed absolute threshold just gambles on the seed).
+    # The calibrated statistic: for an UNBIASED estimator, averaging
+    # two independent chains' renders must track uniform at least as
+    # well as the chains track each other (bias is common to both
+    # chains and would cap corr(avg, u) BELOW their self-correlation;
+    # independent noise alone keeps it above).
+    self_corr = corr(b1, b2)
+    avg_corr = corr((b1 + b2) / 2, u)
+    assert avg_corr > self_corr - 0.05, (avg_corr, self_corr)
+    assert avg_corr > 0.6, (avg_corr, self_corr)  # gross-failure floor
+    # Bright-half mass ratio: scale-free first-moment check.
     bright = u > np.median(u)
+    m = (b1 + b2) / 2
     ratio = m[bright].sum() / u[bright].sum()
     assert abs(ratio - 1) < 0.1, ratio
 
@@ -589,6 +613,31 @@ def test_mh_data_parallel_accounting():
     # Determinism holds across the DP path too.
     h2, _ = _run(make_engine(cfg), 3)
     np.testing.assert_array_equal(h, h2)
+
+
+@needs_native
+def test_mh_bridge_seeds_tiny_window_from_full_domain():
+    """The ergodicity bridge's reason to exist
+    (ops/pallas_kernels_mh.py "ergodicity bridge"): at a tiny window
+    sampled from the FULL [-2,2] domain, seeding by restarts landing
+    directly on the visiting set is practically impossible (measured on
+    silicon pre-bridge: 99.5% of lane-steps burned by unseeded chains,
+    0.06% acceptance at a 6e-3 window). With the in-band epsilon,
+    chains seed by hitting the in-band set and random-walk to the
+    visiting filaments — this canary asserts deposits actually appear
+    at a window/domain area ratio of ~2.5e-7 within a few passes."""
+    cfg = _mh_cfg(
+        canvas=Canvas(
+            width=40, height=40,
+            min_real=-0.7446, max_real=-0.7426,
+            min_imag=0.1309, max_imag=0.1329,
+        ),
+        options={"mh_burnin_passes": 1},
+    )
+    h, s = _run(PallasEngine(cfg), 6)
+    assert s["mh_accepts"] > 0
+    assert int(h.sum()) > 0, "bridge chains failed to seed the window"
+    assert int(h.sum()) == s["on_canvas_points"]
 
 
 @needs_native
