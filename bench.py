@@ -261,19 +261,39 @@ def main() -> int:
             2,
         )
 
+    full = {
+        "metric": "complex_iterations_per_sec_per_chip",
+        **headline,
+        "vs_baseline": round(headline["value"] / BASELINE_ITERS_PER_SEC, 4),
+        "backend": jax.default_backend(),
+        "default_band": default,
+        "fine_band": fine,
+        "deep_zoom": deep,
+        "mh_zoom": mh,
+    }
+    print(json.dumps(full), flush=True)
+    # The round driver records only a bounded TAIL of this program's
+    # output; BENCH_r03.json lost the headline keys because the full
+    # object outgrew that window. The FINAL line is therefore a short,
+    # self-contained headline that can never be truncated away; the full
+    # object stays on the line above and in benchmarks/bench_last_full.json.
+    try:
+        with open("benchmarks/bench_last_full.json", "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
                 "metric": "complex_iterations_per_sec_per_chip",
-                **headline,
-                "vs_baseline": round(
-                    headline["value"] / BASELINE_ITERS_PER_SEC, 4
-                ),
-                "backend": jax.default_backend(),
-                "default_band": default,
-                "fine_band": fine,
-                "deep_zoom": deep,
-                "mh_zoom": mh,
+                "value": full["value"],
+                "unit": "iter/s",
+                "vs_baseline": full["vs_baseline"],
+                "segment_spread_pct": full["segment_spread_pct"],
+                "default_vs_reference_hw": default["vs_reference_hw"],
+                "fine_band_hw_rw": fine["hardware_rw"]["value"],
+                "deep_zoom": deep["value"],
+                "mh_signal_vs_uniform": mh.get("signal_vs_uniform"),
             }
         )
     )

@@ -72,6 +72,12 @@ def main() -> int:
         jax.block_until_ready(state)
         if engine._worker is not None:
             engine._worker.drain()
+        # Baseline AFTER the warmup drain: the warmup passes deposit mass
+        # before t0 (and auto steps_per_pass scales with steps_per_flush,
+        # so big-window legs would get proportionally more untimed
+        # deposit counted). Subtract this snapshot from end-of-leg values.
+        base_mass = float(engine._worker.hist.sum())
+        base_st = engine.stats(state)
 
         t0 = time.monotonic()
         p0 = p
@@ -83,9 +89,16 @@ def main() -> int:
             engine._worker.drain()
         wall = time.monotonic() - t0
 
-        st = engine.stats(state)
+        # histogram() FIRST: it runs _flush_mh_tails, whose replay adds
+        # hits/points/lost_weight to the worker — stats() read afterwards
+        # so the mh_lost_weight invariant covers the tail-flush path too.
         hist = engine.histogram(state)
+        st = engine.stats(state)
         scale = st.get("weight_scale", 1)
+
+        def delta(key):
+            a, b = st.get(key), base_st.get(key)
+            return a - b if a is not None and b is not None else a
         tn = engine.tuning
         lane_steps = (p - p0) * tn.steps_per_pass * engine.lanes
         row = {
@@ -96,13 +109,13 @@ def main() -> int:
             "wall_s": round(wall, 2),
             "lane_steps_per_s": round(lane_steps / wall, 1),
             "deposited_mass_per_s": round(
-                float(hist.sum()) / scale / wall, 1
+                (float(hist.sum()) - base_mass) / scale / wall, 1
             ),
-            "mh_accepts": st.get("mh_accepts"),
-            "mh_merges": st.get("mh_merges"),
-            "mh_merged_rep": st.get("mh_merged_rep"),
-            "mh_lost_weight": st.get("mh_lost_weight"),
-            "replay_dropped": st["replay_dropped"],
+            "mh_accepts": delta("mh_accepts"),
+            "mh_merges": delta("mh_merges"),
+            "mh_merged_rep": delta("mh_merged_rep"),
+            "mh_lost_weight": delta("mh_lost_weight"),
+            "replay_dropped": st["replay_dropped"] - base_st["replay_dropped"],
         }
         out.append(row)
         print(json.dumps(row), flush=True)
