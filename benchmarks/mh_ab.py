@@ -56,9 +56,10 @@ def _cfg(span: float, sampler: str, seed: int = 1337):
         seed=seed,
         options=EngineOptions(
             sampler=sampler,
-            replay="host",
-            # Uniform gets the canvas emit filter (its best crop mode);
-            # MH gates intrinsically.
+            # Uniform: native host replay with the canvas emit filter
+            # (its best crop mode). MH: the device bins-deposit path
+            # (production default) and intrinsic gating.
+            replay="host" if sampler == "uniform" else "auto",
             emit_filter="canvas" if sampler == "uniform" else "any",
         ),
     )

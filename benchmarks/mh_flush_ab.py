@@ -75,8 +75,10 @@ def main() -> int:
         # Baseline AFTER the warmup drain: the warmup passes deposit mass
         # before t0 (and auto steps_per_pass scales with steps_per_flush,
         # so big-window legs would get proportionally more untimed
-        # deposit counted). Subtract this snapshot from end-of-leg values.
-        base_mass = float(engine._worker.hist.sum())
+        # deposit counted). Subtract this snapshot from end-of-leg
+        # values. histogram() flushes/reset the in-flight tenure tails,
+        # so the timed window starts from a clean split point.
+        base_mass = float(engine.histogram(state).sum())
         base_st = engine.stats(state)
 
         t0 = time.monotonic()

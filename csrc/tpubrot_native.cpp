@@ -74,14 +74,9 @@ inline void ValueBarrier(double&) {}
 
 constexpr int32_t kFlagShip = 1;    // flags bit 0: burning-ship fold
 constexpr int32_t kFlagStrict = 2;  // flags bit 1: strict f32 orbit
-//: flags bit 2 (MH replay only): the shipped per-emission divisor is
-//: the ergodicity-bridge target t = 256*v + 1 rather than the visit
-//: count v (pallas_kernels_mh.py "ergodicity bridge"). The weight
-//: numerator is scaled by 256 so the per-visit deposit keeps its
-//: ~rep*scale/v granularity, and the intended-mass (lost) accounting
-//: recovers v = (t-1)/256 exactly.
-constexpr int32_t kFlagBridge = 4;
-constexpr uint32_t kBridgeUnit = 256;
+// (flags bit 4 was the removed MH replay's bridge marker: MH deposits
+// are kernel-recorded bins now — ops/pallas_kernels_mh.py — and never
+// replay on the host.)
 
 struct Canvas {
   int32_t w;
@@ -255,7 +250,6 @@ uint64_t ReplayBlockF64(const double* cr, const double* ci,
 struct ThreadResult {
   uint64_t hits = 0;
   uint64_t points = 0;
-  uint64_t lost = 0;  // MH replay only: weight with zero on-canvas points
 };
 
 #if defined(__AVX512F__)
@@ -296,9 +290,9 @@ inline void FlushIncrements(IncBuf& buf, HistT* hist) {
   int i = 0;
   if (kPrefetch) {
     // Software lookahead only pays when the histogram exceeds the LLC
-    // (production canvases, >1 GB: the RMW would otherwise serialize on
-    // DRAM); on cache-resident canvases the extra instructions are pure
-    // cost, so ReplayRange selects at compile time by histogram size.
+    // (the RMW would otherwise serialize on DRAM); on cache-resident
+    // canvases the extra instructions are pure cost, so the sink
+    // selects by histogram size.
     constexpr int kAhead = 24;
     for (; i < n - kAhead; ++i) {
       __builtin_prefetch(&hist[b[i + kAhead]], 1, 1);
@@ -309,10 +303,128 @@ inline void FlushIncrements(IncBuf& buf, HistT* hist) {
   buf.n = 0;
 }
 
-template <bool kBurningShip, bool kPrefetch, bool kStrict, typename HistT>
+// Radix-partitioned accumulation for histograms far beyond the LLC.
+// Direct (even prefetched) increments against a multi-GB histogram run
+// at the DRAM random-RMW floor — measured 5.6e7 inc/s at 20000^2 on
+// this host (csrc/bighist_bench.cpp, 4K pages) vs 1.5-1.6e8 inc/s for
+// 64-band counting-sort passes whose per-band histogram slice
+// (bins/64) stays LLC-resident while the partition passes stream.
+// Bin ids buffer into a large trace; each full chunk (2^26 ids — the
+// measured sweet spot, bigger chunks amortize nothing further) is
+// counted, scattered band-contiguous into scratch, and applied
+// band-by-band. Scratch is thread_local so its 512 MB faults once per
+// worker thread, not once per pass.
+constexpr int kBandBits = 6;
+constexpr int kBands = 1 << kBandBits;
+constexpr size_t kTraceCap = size_t{1} << 26;
+
+template <typename HistT>
+struct PartitionedAcc {
+  std::vector<int32_t> trace;
+  std::vector<int32_t> scratch;
+  size_t n = 0;
+  int shift = 0;
+  HistT* hist = nullptr;
+
+  void Begin(HistT* h, size_t bins) {
+    hist = h;
+    int bits = 0;
+    while ((size_t{1} << bits) < bins) ++bits;
+    shift = bits > kBandBits ? bits - kBandBits : 0;
+    if (trace.empty()) {
+      trace.resize(kTraceCap);
+      scratch.resize(kTraceCap);
+    }
+  }
+
+  void Append(IncBuf& buf) {
+    if (n + static_cast<size_t>(buf.n) > kTraceCap) Apply();
+    std::memcpy(trace.data() + n, buf.idx,
+                static_cast<size_t>(buf.n) * sizeof(int32_t));
+    n += static_cast<size_t>(buf.n);
+    buf.n = 0;
+  }
+
+  void Apply() {
+    if (n == 0) return;
+    int64_t counts[kBands] = {0};
+    const int32_t* b = trace.data();
+    for (size_t i = 0; i < n; ++i) {
+      ++counts[static_cast<uint32_t>(b[i]) >> shift];
+    }
+    int32_t* heads[kBands];
+    int64_t off = 0;
+    for (int k = 0; k < kBands; ++k) {
+      heads[k] = scratch.data() + off;
+      off += counts[k];
+    }
+    for (size_t i = 0; i < n; ++i) {
+      const int32_t v = b[i];
+      *heads[static_cast<uint32_t>(v) >> shift]++ = v;
+    }
+    const int32_t* s = scratch.data();
+    HistT* h = hist;
+    for (size_t i = 0; i < n; ++i) ++h[s[i]];
+    n = 0;
+  }
+};
+
+// Runtime increment sink: the replay blocks flush through this instead
+// of committing to one strategy at compile time (the branch runs once
+// per ~4K ids — negligible). Modes: 0 direct (LLC-resident), 1
+// prefetched direct (above-LLC but slice-friendly), 2 radix-partitioned
+// (multi-GB histograms).
+template <typename HistT>
+struct IncSink {
+  HistT* hist = nullptr;
+  int mode = 0;
+  PartitionedAcc<HistT>* acc = nullptr;
+
+  void Flush(IncBuf& buf) {
+    if (mode == 2) {
+      acc->Append(buf);
+    } else if (mode == 1) {
+      FlushIncrements<true>(buf, hist);
+    } else {
+      FlushIncrements<false>(buf, hist);
+    }
+  }
+
+  void Done(IncBuf& buf) {
+    Flush(buf);
+    if (mode == 2) acc->Apply();
+  }
+};
+
+// Pick the increment strategy from the histogram footprint: direct
+// below a conservative LLC floor, prefetched direct above it, and
+// radix-partitioned once the histogram dwarfs any LLC (measured
+// crossover data in csrc/bighist_bench.cpp). The partitioned
+// accumulator's scratch is thread_local: the host replay worker calls
+// from one long-lived thread, so the 512 MB faults once per render,
+// and the big-canvas thread cap (ReplayScatterImpl) keeps multi-thread
+// calls on the direct path's private histograms.
+template <typename HistT>
+IncSink<HistT> MakeSink(const Canvas& cv, HistT* hist) {
+  const size_t bins = static_cast<size_t>(cv.w) * cv.h;
+  const size_t bytes = bins * sizeof(HistT);
+  IncSink<HistT> sink;
+  sink.hist = hist;
+  if (bytes > (size_t{256} << 20)) {
+    static thread_local PartitionedAcc<HistT> acc;
+    acc.Begin(hist, bins);
+    sink.mode = 2;
+    sink.acc = &acc;
+  } else if (bytes > (size_t{16} << 20)) {
+    sink.mode = 1;
+  }
+  return sink;
+}
+
+template <bool kBurningShip, bool kStrict, typename HistT>
 uint64_t ReplayBlockAvx(const float* cr, const float* ci,
                         const int32_t* iters, int count, const Canvas& cv,
-                        HistT* hist, uint64_t* points_total,
+                        IncSink<HistT>& sink, uint64_t* points_total,
                         IncBuf& buf) {
   __m512 vzr[kGroups], vzi[kGroups], vcr[kGroups], vci[kGroups];
   __m512i vlim[kGroups];
@@ -410,7 +522,7 @@ uint64_t ReplayBlockAvx(const float* cr, const float* ci,
       buf.n += c;
       hits += static_cast<uint64_t>(c);
     }
-    if (buf.n > kBufCap - kLanesAvx) FlushIncrements<kPrefetch>(buf, hist);
+    if (buf.n > kBufCap - kLanesAvx) sink.Flush(buf);
   }
   return hits;
 }
@@ -429,10 +541,11 @@ uint64_t ReplayBlockAvx(const float* cr, const float* ci,
 constexpr int kGroupsF64 = 4;
 constexpr int kLanesF64Avx = kGroupsF64 * 8;
 
-template <bool kBurningShip, bool kPrefetch, typename HistT>
+template <bool kBurningShip, typename HistT>
 uint64_t ReplayBlockAvxF64(const double* cr, const double* ci,
                            const int32_t* iters, int count, const Canvas& cv,
-                           HistT* hist, uint64_t* points_total, IncBuf& buf) {
+                           IncSink<HistT>& sink, uint64_t* points_total,
+                           IncBuf& buf) {
   __m512d vzr[kGroupsF64], vzi[kGroupsF64], vcr[kGroupsF64], vci[kGroupsF64];
   __m256i vlim[kGroupsF64];
   int32_t gmax[kGroupsF64], gmin[kGroupsF64];
@@ -516,7 +629,7 @@ uint64_t ReplayBlockAvxF64(const double* cr, const double* ci,
       buf.n += c;
       hits += static_cast<uint64_t>(c);
     }
-    if (buf.n > kBufCap - kLanesF64Avx) FlushIncrements<kPrefetch>(buf, hist);
+    if (buf.n > kBufCap - kLanesF64Avx) sink.Flush(buf);
   }
   return hits;
 }
@@ -528,27 +641,15 @@ void ReplayRange(const float* cr, const float* ci, const int32_t* iters,
                  int64_t begin, int64_t end, const Canvas& cv, HistT* hist,
                  ThreadResult* out) {
 #if defined(__AVX512F__)
-  // Prefetching the histogram lines only pays once the histogram spills
-  // out of the last-level cache; 16 MiB is a conservative LLC estimate.
-  const bool big = static_cast<size_t>(cv.w) * cv.h * sizeof(HistT) >
-                   (16u << 20);
   IncBuf buf;
+  IncSink<HistT> sink = MakeSink(cv, hist);
   for (int64_t i = begin; i < end; i += kLanesAvx) {
     const int count =
         static_cast<int>(end - i < kLanesAvx ? end - i : kLanesAvx);
-    out->hits +=
-        big ? ReplayBlockAvx<kBurningShip, true, kStrict>(
-                  cr + i, ci + i, iters + i, count, cv, hist,
-                  &out->points, buf)
-            : ReplayBlockAvx<kBurningShip, false, kStrict>(
-                  cr + i, ci + i, iters + i, count, cv, hist,
-                  &out->points, buf);
+    out->hits += ReplayBlockAvx<kBurningShip, kStrict>(
+        cr + i, ci + i, iters + i, count, cv, sink, &out->points, buf);
   }
-  if (big) {
-    FlushIncrements<true>(buf, hist);
-  } else {
-    FlushIncrements<false>(buf, hist);
-  }
+  sink.Done(buf);
 #else
   for (int64_t i = begin; i < end; i += kLanes) {
     const int count = static_cast<int>(end - i < kLanes ? end - i : kLanes);
@@ -567,26 +668,15 @@ void ReplayRange(const double* cr, const double* ci, const int32_t* iters,
                  int64_t begin, int64_t end, const Canvas& cv, HistT* hist,
                  ThreadResult* out) {
 #if defined(__AVX512F__) && defined(__AVX512VL__)
-  const bool big = static_cast<size_t>(cv.w) * cv.h * sizeof(HistT) >
-                   (16u << 20);
   IncBuf buf;
+  IncSink<HistT> sink = MakeSink(cv, hist);
   for (int64_t i = begin; i < end; i += kLanesF64Avx) {
     const int count =
         static_cast<int>(end - i < kLanesF64Avx ? end - i : kLanesF64Avx);
-    out->hits +=
-        big ? ReplayBlockAvxF64<kBurningShip, true>(cr + i, ci + i,
-                                                    iters + i, count, cv,
-                                                    hist, &out->points, buf)
-            : ReplayBlockAvxF64<kBurningShip, false>(cr + i, ci + i,
-                                                     iters + i, count, cv,
-                                                     hist, &out->points,
-                                                     buf);
+    out->hits += ReplayBlockAvxF64<kBurningShip>(
+        cr + i, ci + i, iters + i, count, cv, sink, &out->points, buf);
   }
-  if (big) {
-    FlushIncrements<true>(buf, hist);
-  } else {
-    FlushIncrements<false>(buf, hist);
-  }
+  sink.Done(buf);
 #else
   for (int64_t i = begin; i < end; i += kLanesF64) {
     const int count =
@@ -703,229 +793,6 @@ int64_t ReplayScatterImpl(const SampleT* cr, const SampleT* ci,
   return static_cast<int64_t>(hits);
 }
 
-// Weighted (Metropolis-Hastings) replay. Each emission is one chain
-// tenure: a sample c retained for `rep` chain steps, each of whose
-// on-canvas orbit points must receive weight rep * scale / v — where v
-// is the CLASSIFY KERNEL's in-window count, shipped in the payload,
-// because it is the number that drove the chain's acceptance (dividing
-// by this replay's own count instead would tilt the estimator by
-// E[v_kernel / v_replay] != 1 wherever the two f32 trajectories
-// decorrelate — cudabrot_tpu/ops/pallas_kernels_mh.py). The weight is
-// spread as a Bresenham integer walk: point k gets
-// floor((k+1)*W/v) - floor(k*W/v) with W = rep*scale, so every point
-// is within one 1/scale unit of the exact rational weight, the
-// per-emission total is floor(n_points*W/v) exactly, and the
-// accumulation stays pure integer (deterministic, mergeable across the
-// per-thread private histograms). Emissions whose replay trajectory
-// deposits nothing forfeit their intended mass into `lost` so the
-// accounting stays visible.
-template <bool kBurningShip, bool kStrict, typename SampleT, typename HistT>
-void ReplayRangeMh(const SampleT* cr, const SampleT* ci,
-                   const int32_t* iters, const int32_t* reps,
-                   const int32_t* vks, int64_t begin, int64_t end,
-                   const Canvas& cv, uint32_t scale, bool bridge,
-                   HistT* hist, ThreadResult* out,
-                   std::vector<int32_t>& bins) {
-  // SampleT selects the orbit/binning precision: float for the f32 MH
-  // kernel's payloads, double for extended (df32 deep-zoom) MH, where
-  // c is reconstructed in f64 from window-grid indices and canvas
-  // deltas are far below f32 resolution.
-  const SampleT min_r = static_cast<SampleT>(cv.min_real);
-  const SampleT min_i = static_cast<SampleT>(cv.min_imag);
-  const SampleT inv_dr = static_cast<SampleT>(1.0 / cv.delta_real);
-  const SampleT inv_di = static_cast<SampleT>(1.0 / cv.delta_imag);
-  for (int64_t i = begin; i < end; ++i) {
-    const int32_t limit = iters[i];
-    if (limit < 0) continue;
-    out->points += static_cast<uint64_t>(limit) + 1;
-    bins.clear();
-    SampleT zr = cr[i], zi = ci[i];
-    for (int32_t s = 0; s <= limit; ++s) {
-      SampleT r = zr, im = zi;
-      if (kBurningShip) {
-        r = r < 0 ? -r : r;
-        im = im < 0 ? -im : im;
-      }
-      SampleT nr, ni;
-      if (kStrict) {
-        // Strict one-rounding-per-op form, bit-matching the MH chain
-        // kernel's Mosaic-compiled f32 stream (only instantiated for
-        // SampleT = float; see the ValueBarrier notes). The MH
-        // estimator REQUIRES this agreement: acceptance conditioned on
-        // the kernel's visit count must find the same visits here.
-        SampleT r2 = r * r;
-        SampleT i2 = im * im;
-        SampleT q = (static_cast<SampleT>(2.0) * r) * im;
-        ValueBarrier(r2);
-        ValueBarrier(i2);
-        ValueBarrier(q);
-        nr = (r2 - i2) + cr[i];
-        ni = q + ci[i];
-      } else {
-        nr = r * r - im * im + cr[i];
-        ni = static_cast<SampleT>(2.0) * r * im + ci[i];
-      }
-      zr = nr;
-      zi = ni;
-      // Low-boundary guard before the truncating divide
-      // (cudabrot.cu:305-310).
-      if (nr < min_r || ni < min_i) continue;
-      const int32_t col = static_cast<int32_t>((nr - min_r) * inv_dr);
-      const int32_t row = static_cast<int32_t>((ni - min_i) * inv_di);
-      if (row >= 0 && row < cv.h && col >= 0 && col < cv.w) {
-        bins.push_back(row * cv.w + col);
-      }
-    }
-    const uint64_t n = bins.size();
-    // Bridge payloads (kFlagBridge) ship the chain target
-    // t = 256*v + 1 as the divisor; the numerator is scaled by the
-    // same 256 so per-visit deposits keep the ~rep*scale/v
-    // granularity, and the estimator divides by exactly the value
-    // that drove acceptance (unbiased for any positive target).
-    uint64_t w = static_cast<uint64_t>(reps[i]) * scale;
-    uint64_t intended = w;
-    uint64_t v = vks[i] > 0 ? static_cast<uint64_t>(vks[i])
-                            : std::max<uint64_t>(n, 1);
-    if (bridge) {
-      w *= kBridgeUnit;
-      if (vks[i] > 0) {
-        // v = (t - 1) / 256 exactly; intended mass = v * w / t, i.e.
-        // what a kernel-matched replay would deposit (in 1/scale
-        // units, same as the old divisor-v accounting).
-        const uint64_t kv = (v - 1) / kBridgeUnit;
-        intended = kv * w / v;
-      }
-    }
-    if (n == 0) {
-      out->lost += intended;
-      continue;
-    }
-    // Bresenham spread of W/v per point: base + carry walk, no
-    // per-point division.
-    const HistT base = static_cast<HistT>(w / v);
-    const uint64_t rem = w % v;
-    uint64_t err = 0;
-    uint64_t total = 0;
-    for (uint64_t k = 0; k < n; ++k) {
-      err += rem;
-      HistT d = base;
-      if (err >= v) {
-        err -= v;
-        d += 1;
-      }
-      hist[bins[k]] += d;
-      total += d;
-    }
-    out->hits += total;
-  }
-}
-
-template <typename SampleT, typename HistT>
-int64_t ReplayScatterMhImpl(const SampleT* cr, const SampleT* ci,
-                            const int32_t* iters, const int32_t* reps,
-                            const int32_t* vks,
-                            int64_t n, int32_t w, int32_t h, double min_real,
-                            double min_imag, double delta_real,
-                            double delta_imag, int32_t flags,
-                            int32_t num_threads, int32_t scale, HistT* hist,
-                            uint64_t* points_total, uint64_t* lost_weight) {
-  if (n <= 0 || w <= 0 || h <= 0) return 0;
-  const Canvas cv{w, h, min_real, min_imag, delta_real, delta_imag};
-  const bool ship = (flags & kFlagShip) != 0;
-  const bool strict = (flags & kFlagStrict) != 0;
-  const bool bridge = (flags & kFlagBridge) != 0;
-  const uint32_t sc = scale > 0 ? static_cast<uint32_t>(scale) : 1u;
-
-  int threads = num_threads;
-  if (threads <= 0) {
-    threads = static_cast<int>(std::thread::hardware_concurrency());
-    if (threads <= 0) threads = 1;
-  }
-  const int64_t min_per_thread = 1024;
-  if (n / min_per_thread < threads) {
-    threads = static_cast<int>(n / min_per_thread);
-    if (threads < 1) threads = 1;
-  }
-  if (threads > 1) {
-    // Same private-histogram economics cap as ReplayScatterImpl.
-    uint64_t est_points = 0;
-    for (int64_t i = 0; i < n; ++i) {
-      if (iters[i] >= 0) est_points += static_cast<uint64_t>(iters[i]) + 1;
-    }
-    const double bins_d = static_cast<double>(w) * static_cast<double>(h);
-    const double n_opt =
-        std::sqrt(static_cast<double>(est_points) * 2e9 / (1e8 * bins_d));
-    int cap = static_cast<int>(n_opt) + 1;
-    if (cap < 1) cap = 1;
-    if (threads > cap) threads = cap;
-  }
-
-  std::vector<ThreadResult> results(threads);
-  auto run = [&](int64_t b, int64_t e, HistT* th, ThreadResult* res) {
-    std::vector<int32_t> bins;
-    if constexpr (std::is_same<SampleT, float>::value) {
-      if (ship) {
-        if (strict) {
-          ReplayRangeMh<true, true>(cr, ci, iters, reps, vks, b, e, cv, sc,
-                                    bridge, th, res, bins);
-        } else {
-          ReplayRangeMh<true, false>(cr, ci, iters, reps, vks, b, e, cv, sc,
-                                     bridge, th, res, bins);
-        }
-      } else {
-        if (strict) {
-          ReplayRangeMh<false, true>(cr, ci, iters, reps, vks, b, e, cv, sc,
-                                     bridge, th, res, bins);
-        } else {
-          ReplayRangeMh<false, false>(cr, ci, iters, reps, vks, b, e, cv,
-                                      sc, bridge, th, res, bins);
-        }
-      }
-    } else {
-      // f64 MH replay (df32-classified payloads): no strict variant.
-      if (ship) {
-        ReplayRangeMh<true, false>(cr, ci, iters, reps, vks, b, e, cv, sc,
-                                   bridge, th, res, bins);
-      } else {
-        ReplayRangeMh<false, false>(cr, ci, iters, reps, vks, b, e, cv, sc,
-                                    bridge, th, res, bins);
-      }
-    }
-  };
-  if (threads == 1) {
-    run(0, n, hist, &results[0]);
-  } else {
-    const size_t bins_n = static_cast<size_t>(w) * h;
-    std::vector<std::vector<HistT>> priv(threads - 1,
-                                         std::vector<HistT>(bins_n, 0));
-    std::vector<std::thread> pool;
-    const int64_t chunk = (n + threads - 1) / threads;
-    for (int t = 1; t < threads; ++t) {
-      const int64_t b = t * chunk;
-      const int64_t e = std::min<int64_t>(n, b + chunk);
-      HistT* th = priv[t - 1].data();
-      ThreadResult* res = &results[t];
-      pool.emplace_back([=] { run(b, e, th, res); });
-    }
-    run(0, std::min<int64_t>(n, chunk), hist, &results[0]);
-    for (auto& th : pool) th.join();
-    for (int t = 1; t < threads; ++t) {
-      const HistT* src = priv[t - 1].data();
-      for (size_t i = 0; i < bins_n; ++i) hist[i] += src[i];
-    }
-  }
-
-  uint64_t hits = 0, points = 0, lost = 0;
-  for (const auto& r : results) {
-    hits += r.hits;
-    points += r.points;
-    lost += r.lost;
-  }
-  if (points_total) *points_total = points;
-  if (lost_weight) *lost_weight = lost;
-  return static_cast<int64_t>(hits);
-}
-
 uint32_t crc_table[256];
 bool crc_table_ready = false;
 
@@ -998,73 +865,6 @@ int64_t tpubrot_replay_scatter_f64_64(const double* cr, const double* ci,
   return ReplayScatterImpl(cr, ci, iters, n, w, h, min_real, min_imag,
                            delta_real, delta_imag, flags, num_threads, hist,
                            points_total);
-}
-
-// Weighted Metropolis-Hastings replay (cudabrot_tpu/ops/
-// pallas_kernels_mh.py): each on-canvas orbit point of emission i gets
-// weight reps[i] * scale / vks[i] (Bresenham integer spread; vks is the
-// classify kernel's in-window count — see ReplayRangeMh). Returns the
-// total deposited mass (in 1/scale histogram units); `lost_weight`
-// (optional) receives the intended mass of emissions whose replay
-// deposited nothing.
-int64_t tpubrot_replay_scatter_mh(const float* cr, const float* ci,
-                                  const int32_t* iters, const int32_t* reps,
-                                  const int32_t* vks,
-                                  int64_t n, int32_t w, int32_t h,
-                                  double min_real, double min_imag,
-                                  double delta_real, double delta_imag,
-                                  int32_t flags, int32_t num_threads,
-                                  int32_t scale, uint32_t* hist,
-                                  uint64_t* points_total,
-                                  uint64_t* lost_weight) {
-  return ReplayScatterMhImpl(cr, ci, iters, reps, vks, n, w, h, min_real,
-                             min_imag, delta_real, delta_imag, flags,
-                             num_threads, scale, hist, points_total,
-                             lost_weight);
-}
-
-int64_t tpubrot_replay_scatter_mh64(const float* cr, const float* ci,
-                                    const int32_t* iters, const int32_t* reps,
-                                    const int32_t* vks,
-                                    int64_t n, int32_t w, int32_t h,
-                                    double min_real, double min_imag,
-                                    double delta_real, double delta_imag,
-                                    int32_t flags, int32_t num_threads,
-                                    int32_t scale, uint64_t* hist,
-                                    uint64_t* points_total,
-                                    uint64_t* lost_weight) {
-  return ReplayScatterMhImpl(cr, ci, iters, reps, vks, n, w, h, min_real,
-                             min_imag, delta_real, delta_imag, flags,
-                             num_threads, scale, hist, points_total,
-                             lost_weight);
-}
-
-// Double-precision MH replay for extended (df32) deep-zoom importance
-// sampling: c values arrive reconstructed in f64 from window-grid
-// indices; orbit iteration and binning run in hardware double. Same
-// weighted-deposit contract as tpubrot_replay_scatter_mh.
-int64_t tpubrot_replay_scatter_mh_f64(
-    const double* cr, const double* ci, const int32_t* iters,
-    const int32_t* reps, const int32_t* vks, int64_t n, int32_t w,
-    int32_t h, double min_real, double min_imag, double delta_real,
-    double delta_imag, int32_t flags, int32_t num_threads, int32_t scale,
-    uint32_t* hist, uint64_t* points_total, uint64_t* lost_weight) {
-  return ReplayScatterMhImpl(cr, ci, iters, reps, vks, n, w, h, min_real,
-                             min_imag, delta_real, delta_imag, flags,
-                             num_threads, scale, hist, points_total,
-                             lost_weight);
-}
-
-int64_t tpubrot_replay_scatter_mh_f64_64(
-    const double* cr, const double* ci, const int32_t* iters,
-    const int32_t* reps, const int32_t* vks, int64_t n, int32_t w,
-    int32_t h, double min_real, double min_imag, double delta_real,
-    double delta_imag, int32_t flags, int32_t num_threads, int32_t scale,
-    uint64_t* hist, uint64_t* points_total, uint64_t* lost_weight) {
-  return ReplayScatterMhImpl(cr, ci, iters, reps, vks, n, w, h, min_real,
-                             min_imag, delta_real, delta_imag, flags,
-                             num_threads, scale, hist, points_total,
-                             lost_weight);
 }
 
 // 16-bit binary PGM writer: P5 header + big-endian pixels

@@ -145,12 +145,18 @@ TPU-native extensions:
              sampling starves; histogram counts are in 1/256 units —
              recorded in checkpoints — and tone mapping is unaffected.
              Composes with --precision extended for deep-zoom windows.
-             Pallas engine + native host replay only.)
+             Deposits are kernel-recorded visit bins scattered fully
+             on-device (pallas engine; multi-device and multi-process
+             capable).
   --mh-restart <n>: MH uniform-restart mixture weight in 1/256ths
              (default 16 = 1/16 of proposals are global draws).
   --mh-rep-cap <n>: MH tenure batching cap (default 4096).
   --mh-burnin <n>: passes whose MH emissions are discarded as chain
              burn-in (default 1).
+  --mh-visit-slots <n>: MH visit-bin reservoir width (power of two in
+             [2,32], default 8): tenures with more canvas visits than
+             this deposit on a uniform reservoir subsample (full mass;
+             a variance knob, not a bias).
   --calibration <file>: machine-constant calibration JSON written by
              tools/calibrate.py; feeds the kernel cost model and the
              hybrid replay-share solver (also honored via the
@@ -458,6 +464,9 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
             i += 2
         elif arg == "--mh-burnin":
             opt["mh_burnin_passes"] = _parse_int(argv, i)
+            i += 2
+        elif arg == "--mh-visit-slots":
+            opt["mh_visit_slots"] = _parse_int(argv, i)
             i += 2
         elif arg == "--calibration":
             extras.calibration = _parse_str(

@@ -212,11 +212,18 @@ class EngineOptions:
     #: mutation). 16 = 1/16.
     mh_restart: int = 16
     #: MH tenure batching cap: a chain state retained this many steps is
-    #: force-emitted so end-of-render truncation stays bounded.
+    #: force-emitted so end-of-render truncation stays bounded. Bounded
+    #: <= 32767 so the integer deposit arithmetic stays u32-exact on
+    #: device (ops/binning.mh_deposit_weights documents the bounds).
     mh_rep_cap: int = 4096
     #: Passes whose emissions are discarded as chain burn-in before
     #: deposits begin (the chains still advance during them).
     mh_burnin_passes: int = 1
+    #: MH visit-bin reservoir width: the kernel records up to this many
+    #: canvas bins per tenure (a uniform reservoir subsample of ALL the
+    #: orbit's visits when it exceeds the width — full mass either way,
+    #: the subsample is purely a variance knob). Power of two in [2,32].
+    mh_visit_slots: int = 8
     #: Brent cycle detection for interior orbits (pallas engine). Disable
     #: for bitwise escape-count parity experiments with the reference,
     #: which always iterates interior points to the cap (cudabrot.cu:338).
@@ -327,10 +334,26 @@ class EngineOptions:
                 )
             if not (0 <= self.mh_restart <= 256):
                 raise ConfigError("mh_restart must be in [0, 256]")
-            if self.mh_rep_cap < 2 or self.mh_rep_cap > (1 << 20):
-                raise ConfigError("mh_rep_cap must be in [2, 2^20]")
+            if self.mh_rep_cap < 2 or self.mh_rep_cap > 32767:
+                # <= 32767 keeps v*rep < 2^32 and (k+1)*q < 2^32 in the
+                # u32 on-device deposit (ops/binning.mh_deposit_weights;
+                # merged pending reps add at most one flush window's
+                # boundary count, itself capped at 65536 below).
+                raise ConfigError("mh_rep_cap must be in [2, 32767]")
             if self.mh_burnin_passes < 0:
                 raise ConfigError("mh_burnin_passes must be non-negative")
+            v = self.mh_visit_slots
+            if v < 2 or v > 32 or (v & (v - 1)):
+                raise ConfigError(
+                    "mh_visit_slots must be a power of two in [2, 32]"
+                )
+            if self.steps_per_flush > (1 << 16):
+                raise ConfigError(
+                    "--sampler mh bounds steps_per_flush at 65536 (a "
+                    "pending slot's merged rep mass is capped by the "
+                    "flush window; larger windows could overflow the "
+                    "u32 deposit arithmetic)"
+                )
         if self.hist_dtype not in ("uint32", "uint64"):
             raise ConfigError(f"Unknown histogram dtype: {self.hist_dtype}")
         if self.steps_per_flush > 0 and (

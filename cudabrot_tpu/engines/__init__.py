@@ -51,16 +51,14 @@ def make_engine(cfg: RenderConfig) -> Engine:
         if cfg.options.histogram_sharding == "rows":
             raise ConfigError(
                 "--sampler mh is incompatible with row-sharded "
-                "histograms (weighted deposits run in the native host "
-                "replay engine, not the on-device sharded scatter)"
+                "histograms (MH deposits scatter into a full per-device "
+                "histogram replica; MH crops are small by construction "
+                "— use the replicated layout)"
             )
-        if jax.process_count() > 1:
-            raise ConfigError(
-                "--sampler mh does not support multi-process runs yet "
-                "(the tenure-tail flush reads the full chain state; "
-                "shard the work across processes with separate "
-                "single-process MH renders and merge checkpoints)"
-            )
+        # Multi-process MH is supported: deposits and the tenure-tail
+        # flush are on-device scatters of kernel-recorded bins
+        # (PallasEngine.core / mh_tail_core run per device under
+        # shard_map; nothing reads cross-process state).
     n = cfg.options.num_devices
     if n is None:
         n = len(jax.devices())
@@ -105,18 +103,34 @@ def make_engine(cfg: RenderConfig) -> Engine:
         # shards and the host histograms merge once at readback. Device
         # replay otherwise (the row-sharded engine does its scatter
         # on-device by design).
-        dp_host = (
-            n > 1
-            and cfg.options.histogram_sharding == "replicated"
-            and cfg.options.replay in ("auto", "host")
-            and native.available()
-            # Extended payloads need the f64 native replay entry points;
-            # without them multi-device extended runs device replay.
-            and (
-                cfg.options.precision != "extended"
-                or native.supports_f64()
+        if cfg.options.sampler == "mh":
+            # MH deposits are on-device scatters; multi-device MH runs
+            # the core() path (zero per-pass host traffic). The host
+            # worker variant exists only for uint64 histograms or an
+            # explicit --replay host.
+            dp_host = (
+                n > 1
+                and cfg.options.histogram_sharding == "replicated"
+                and (
+                    cfg.options.hist_dtype == "uint64"
+                    or cfg.options.replay == "host"
+                )
+                and native.available()
             )
-        )
+        else:
+            dp_host = (
+                n > 1
+                and cfg.options.histogram_sharding == "replicated"
+                and cfg.options.replay in ("auto", "host")
+                and native.available()
+                # Extended payloads need the f64 native replay entry
+                # points; without them multi-device extended runs
+                # device replay.
+                and (
+                    cfg.options.precision != "extended"
+                    or native.supports_f64()
+                )
+            )
         if n > 1 and not dp_host:
             inner = PallasEngine(cfg, replay_mode="device")
         elif n > 1:

@@ -25,6 +25,78 @@ from cudabrot_tpu.config import Canvas
 from cudabrot_tpu.io import native
 
 
+def alloc_hist(shape, dtype) -> np.ndarray:
+    """Host histogram allocation with transparent-huge-page backing.
+
+    A multi-GB histogram on 4 KiB pages misses the TLB on essentially
+    every random increment; MADV_HUGEPAGE backing alone measured
+    5.6e7 -> 9.2e7 inc/s at 20000^2 on this host, and the native
+    radix-partitioned accumulation on top reaches 1.5-1.6e8
+    (csrc/bighist_bench.cpp). Small histograms keep plain numpy
+    allocation — THP would only waste alignment padding there."""
+    n = 1
+    for s in shape:
+        n *= int(s)
+    nbytes = n * np.dtype(dtype).itemsize
+    if nbytes < (64 << 20):
+        return np.zeros(shape, dtype)
+    import ctypes
+    import mmap
+
+    align = 2 << 20
+    # MAP_PRIVATE is load-bearing: python's default is MAP_SHARED, and
+    # anonymous THP only backs private mappings (shmem THP is a separate
+    # knob, "never" on this host).
+    buf = mmap.mmap(
+        -1, nbytes + align, flags=mmap.MAP_PRIVATE | mmap.MAP_ANONYMOUS
+    )
+    addr = ctypes.addressof(ctypes.c_char.from_buffer(buf))
+    off = (-addr) % align
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        libc.madvise(
+            ctypes.c_void_p(addr + off),
+            ctypes.c_size_t(nbytes),
+            ctypes.c_int(14),  # MADV_HUGEPAGE
+        )
+    except OSError:  # pragma: no cover - madvise is advisory anyway
+        pass
+    # Anonymous mmap pages are zero-filled; no memset needed (first
+    # touch faults them in as huge pages thanks to the advice above).
+    return np.frombuffer(buf, dtype=dtype, count=n, offset=off).reshape(
+        shape
+    )
+
+
+def mh_deposit_numpy(hist: np.ndarray, bins, t, rep) -> tuple[int, int]:
+    """Apply MH tenure deposits to a host histogram.
+
+    The exact-u64 twin of ops/binning.mh_scatter (see there for the
+    weight accounting): ``bins`` i32 (V, N) kernel-recorded visit bins,
+    ``t``/``rep`` i32 (N,). Returns (hits, deposits) — total deposited
+    mass in 1/WEIGHT_SCALE units and recorded-bin count. Both paths
+    compute floor(v * rep * 65536 / t) spread by the same Bresenham, so
+    host and device deposits agree exactly."""
+    visit_slots = bins.shape[0]
+    valid = np.asarray(t) > 1
+    if not valid.any():
+        return 0, 0
+    t64 = np.asarray(t)[valid].astype(np.uint64)
+    v = (t64 - 1) // 256
+    rep64 = np.asarray(rep)[valid].astype(np.uint64)
+    q = (v * rep64 * 65536) // t64
+    n = np.minimum(v, np.uint64(visit_slots))
+    k = np.arange(visit_slots + 1, dtype=np.uint64)[:, None]
+    kk = np.minimum(k, n[None])
+    pref = (kk * q[None]) // n[None]
+    d = pref[1:] - pref[:-1]
+    mask = np.arange(visit_slots, dtype=np.uint64)[:, None] < n[None]
+    b = np.asarray(bins)[:, valid]
+    flat = hist.reshape(-1)
+    np.add.at(flat, b[mask], d[mask].astype(hist.dtype))
+    return int(d.sum()), int(mask.sum())
+
+
 class HostReplayWorker:
     """Single background worker feeding the native replay engine."""
 
@@ -37,7 +109,7 @@ class HostReplayWorker:
         max_queue: int = 3,
         dtype=np.uint32,
         grid_decode: tuple | None = None,
-        mh_decode: tuple | None = None,
+        mh_bins: int | None = None,
         strict: bool = False,
     ):
         #: Use the contraction-proof native f32 orbit variant, which
@@ -48,16 +120,15 @@ class HostReplayWorker:
         #: the contracted default, which bit-matches XLA's CPU emitter
         #: (csrc/tpubrot_native.cpp "strict"; benchmarks/fma_probe.py).
         self.strict = strict
-        #: Metropolis-Hastings payload decode parameters (min_real,
-        #: span_real, min_imag, span_imag, weight_scale): payload rows
-        #: are [k_re, k_im, iters, rep, v] with 24-bit sample-grid
-        #: indices and the kernel's in-window counts;
-        #: c is reconstructed with the kernel's exact refill arithmetic
-        #: and orbits run through the weighted native replay
-        #: (native.replay_scatter_mh). None = uniform sampling.
-        self.mh_decode = mh_decode
-        #: MH only: deposited weight lost to emissions whose replay
-        #: trajectory put no point on the canvas.
+        #: Metropolis-Hastings payload mode: the number of visit-bin
+        #: rows (visit_slots). Payload rows are i32
+        #: [iters, rep, t, bin_0..bin_{V-1}] — kernel-recorded canvas
+        #: bins, applied with mh_deposit_numpy (no replay of any kind;
+        #: the kernel's own trajectory already binned its visits).
+        #: None = uniform sampling.
+        self.mh_bins = mh_bins
+        #: MH: retained for stat compatibility — the bins deposit
+        #: conserves tenure mass by construction, so this stays 0.
         self.lost_weight = 0
         #: Extended-precision (deep-zoom) payload decode parameters
         #: (center_r64, center_i64, step_r32, step_i32): payload rows
@@ -74,7 +145,8 @@ class HostReplayWorker:
         self.max_queue = max_queue
         # uint64 bins for extreme-duration renders (EngineOptions
         # .hist_dtype); the native engine has entry points for both.
-        self.hist = np.zeros(canvas.shape, dtype)
+        # THP-backed at production sizes (alloc_hist).
+        self.hist = alloc_hist(canvas.shape, dtype)
         self.hits = 0
         self.points = 0
         #: Cumulative seconds the worker spent fetching payloads vs
@@ -172,35 +244,14 @@ class HostReplayWorker:
             # the lane axis — replay order is irrelevant (addition
             # commutes) and invalid lanes cost nothing.
             batch = np.concatenate(list(batch), axis=1)
-        if self.mh_decode is not None:
-            # MH payload: [k_re, k_im, iters, rep, v] rows.
-            batch = batch.astype(np.float32, copy=False)
-            if self.grid_decode is not None:
-                # Extended (deep-zoom) MH: indices live on the sample
-                # WINDOW grid; reconstruct c in f64 exactly as the
-                # non-MH extended decode does (f32 offset + f64 center)
-                # and replay through the native double MH path.
-                c_r64, c_i64, step_r, step_i = self.grid_decode
-                two23 = np.float32(8388608.0)
-                off_r = (batch[0] - two23) * np.float32(step_r)
-                off_i = (batch[1] - two23) * np.float32(step_i)
-                cr = c_r64 + off_r.astype(np.float64)
-                ci = c_i64 + off_i.astype(np.float64)
-            else:
-                # f32 MH: reconstruct c exactly as the kernel's refill
-                # did (k * 2^-24 * span + lo,
-                # pallas_kernels_mh._make_kernel_mh) so replay
-                # trajectories match classification bit-for-bit at
-                # dispatch.
-                r0, span_r, i0, span_i = self.mh_decode[:4]
-                inv24 = np.float32(5.9604644775390625e-08)
-                cr = batch[0] * inv24 * np.float32(span_r) + np.float32(r0)
-                ci = batch[1] * inv24 * np.float32(span_i) + np.float32(i0)
-            iters = batch[2].astype(np.int32)
-            reps = batch[3].astype(np.int32)
-            vks = batch[4].astype(np.int32)
+        if self.mh_bins is not None:
+            # MH payload: i32 rows [iters, rep, t, bin_0..bin_{V-1}].
+            batch = batch.astype(np.int32, copy=False)
+            reps = batch[1]
+            vks = batch[2]
+            bins = batch[3:]
             self.fetch_seconds += time.perf_counter() - t0
-            return cr, ci, iters, reps, vks
+            return reps, vks, bins
         if batch.dtype == np.uint32:
             # Packed layout: exact c reconstruction (k * 2^-22 - 2 is the
             # kernel's own sample quantization, bit-identical round trip).
@@ -238,34 +289,12 @@ class HostReplayWorker:
         decoded = fetched.result()
         if decoded is None:
             return
-        if self.mh_decode is not None:
-            cr, ci, iters, reps, vks = decoded
+        if self.mh_bins is not None:
+            reps, vks, bins = decoded
             t1 = time.perf_counter()
-            cv = self.canvas
-            hits, points, lost = native.replay_scatter_mh(
-                cr,
-                ci,
-                iters,
-                reps,
-                vks,
-                self.hist,
-                width=cv.width,
-                height=cv.height,
-                min_real=cv.min_real,
-                min_imag=cv.min_imag,
-                delta_real=cv.delta_real,
-                delta_imag=cv.delta_imag,
-                burning_ship=self.burning_ship,
-                num_threads=self.num_threads,
-                weight_scale=int(self.mh_decode[4]),
-                strict=self.strict,
-                # The chain kernels ship the ergodicity-bridge target
-                # t = 256*v + 1 as the divisor (pallas_kernels_mh.py).
-                bridge=True,
-            )
+            hits, points = mh_deposit_numpy(self.hist, bins, vks, reps)
             self.hits += hits
             self.points += points
-            self.lost_weight += lost
             self.replay_seconds += time.perf_counter() - t1
             return
         cr, ci, iters = decoded

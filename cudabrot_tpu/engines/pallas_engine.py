@@ -54,7 +54,9 @@ STAT_KEYS = (
 #: Extra per-state counters carried only by --sampler mh engines
 #: (chain moves, pending-slot reservoir merges, and the rep mass those
 #: merges traded between states — ops/pallas_kernels_mh.py).
-MH_STAT_KEYS = ("mh_accepts", "mh_merges", "mh_merged_rep")
+MH_STAT_KEYS = (
+    "mh_accepts", "mh_merges", "mh_merged_rep", "mh_deposited"
+)
 
 #: Extended boundary factor: 16 refill selects (vs 10) plus the df32
 #: center-add per refill. The inner-step multiplier lives in
@@ -213,11 +215,15 @@ class Tuning:
         # TPU so runs reproduce across backends.
         flush_cap = 4096 if rate > 1e-5 else 65536
         # Uniform sampling tolerates ~12% pending-overwrite loss (drops
-        # are an unbiased thinning — pallas_kernels module docstring);
-        # MH overwrites lose weighted tenure MASS, so the window targets
-        # 1/16 expected emissions per lane (measured: the 0.25 target
-        # lost 17.6% of deposit mass on a seahorse crop, 1/16 loses ~2%).
-        flush_target = 0.0625 if self.mh else 0.25
+        # are an unbiased thinning — pallas_kernels module docstring).
+        # MH pending collisions are weighted-reservoir MERGES — exactly
+        # mass-conserving, an identity-trade variance cost only — so the
+        # window can run far larger than the uniform path's: the r4
+        # silicon flush sweep (benchmarks/mh_flush_ab.py) measured
+        # lane-step rate rising 13.5x from the old 1/16-target window
+        # (256 steps) to 16384-step windows, with deposit spread staying
+        # acceptable at ~1 retirement per lane-window. Target 1.0.
+        flush_target = 1.0 if self.mh else 0.25
         self.steps_per_flush = (
             o.steps_per_flush
             if o.steps_per_flush > 0
@@ -690,45 +696,40 @@ class PallasEngine:
             "threefry" if interpret else cfg.options.refill_rng
         )
 
+        #: MH visit-bin reservoir width (static kernel shape).
+        self.visit_slots = o.mh_visit_slots
         mode = replay_mode or o.replay
-        if mode == "auto":
-            from cudabrot_tpu.io import native
-
-            mode = "host" if native.available() else "device"
         if self.mh:
-            from cudabrot_tpu.io import native
             from cudabrot_tpu.config import ConfigError
 
-            # The weighted deposit (rep * scale split over the orbit's
-            # on-canvas points) needs the orbit's point COUNT before any
-            # increment — a two-phase loop the native engine runs per
-            # sample. The device scatter path is one-phase by design.
-            if mode != "host" or not native.supports_mh():
-                raise ConfigError(
-                    "--sampler mh requires the native host replay "
-                    "engine (build it with `make -C csrc`)"
-                )
-            if (
-                cfg.options.precision == "extended"
-                and not native.supports_mh_f64()
-            ):
-                raise ConfigError(
-                    "extended-precision --sampler mh needs the f64 MH "
-                    "replay entry points (rebuild with `make -C csrc`)"
-                )
+            # MH deposits are kernel-recorded visit bins — a pure
+            # scatter, no orbit replay on EITHER side — so the natural
+            # home is the device (zero per-pass host traffic; composes
+            # with DP/multi-process/sharded wrappers via core()). The
+            # host worker applies the identical integer deposit in
+            # numpy and exists for uint64 histograms (device scatter
+            # accumulates in uint32) or an explicit --replay host.
+            if mode == "auto":
+                mode = "host" if o.hist_dtype == "uint64" else "device"
             if o.replay_device_share > 0:
                 raise ConfigError(
                     "--replay-device-share does not apply to --sampler "
-                    "mh (the weighted deposit runs on the host only)"
+                    "mh (deposits are kernel-recorded bins; there is no "
+                    "replay to split)"
                 )
-        if self.extended and mode == "host":
+        elif mode == "auto":
+            from cudabrot_tpu.io import native
+
+            mode = "host" if native.available() else "device"
+        if self.extended and mode == "host" and not self.mh:
             from cudabrot_tpu.io import native
 
             # Extended emissions are window-grid indices whose c
             # reconstruction needs the f64 native replay entry points;
             # fall back to the df32 device replay when the native
             # library predates them (deep-zoom bands are emission-light,
-            # so the device path costs little here).
+            # so the device path costs little here). MH host mode is
+            # exempt: its deposits are pre-binned (no native replay).
             if not native.available() or not native.supports_f64():
                 mode = "device"
         if self.extended and o.replay_device_share > 0:
@@ -742,6 +743,7 @@ class PallasEngine:
             )
         self.replay_mode = mode
         self._worker = None
+        self._tail_fn = None
         if o.hist_dtype == "uint64" and mode != "host":
             from cudabrot_tpu.config import ConfigError
 
@@ -764,39 +766,31 @@ class PallasEngine:
                     self._df_step[0],
                     self._df_step[1],
                 )
-            mh_decode = None
-            if self.mh:
-                # MH payload rows carry 24-bit sample-grid indices; the
-                # worker reconstructs c with the kernel's exact refill
-                # arithmetic and runs the weighted native replay.
-                r0, r1, i0, i1 = cfg.sample_domain
-                mh_decode = (r0, r1 - r0, i0, i1 - i0, self.weight_scale)
             # Strict (contraction-proof) native f32 orbit arithmetic is
             # REQUIRED when the estimator conditions on the kernel's own
-            # trajectory — MH acceptance (driven by the kernel's canvas-
-            # visit count) and the canvas emit filter (visit-gated
+            # trajectory — the canvas emit filter (visit-gated
             # emissions) — AND the kernel compiles under Mosaic's strict
             # one-rounding-per-op semantics (TPU). Without it the
             # selection conditions on kernel-stream luck the contracted
-            # replay cannot reproduce: measured 44% MH tenure-mass loss
-            # and an MH-vs-uniform histogram correlation of 0.008 at a
-            # 6e-3 crop (benchmarks/mh_ab.py on silicon, 2026-08-18).
-            # CPU-compiled kernels bit-match the contracted default
+            # replay cannot reproduce (measured on the old replay-based
+            # MH: 44% tenure-mass loss at a 6e-3 crop). CPU-compiled
+            # kernels bit-match the contracted default
             # (benchmarks/fma_probe.py), so strict stays off there.
-            # Extended payloads replay in f64 (no strict variant; the
-            # df32<->f64 contract is statistical — measured 0.2% loss).
+            # MH needs no strict mode at all anymore: its deposits are
+            # kernel-recorded bins, not replayed trajectories.
             strict = (
                 jax.default_backend() == "tpu"
                 and not self.extended
-                and (self.mh or self.visit_window is not None)
+                and not self.mh
+                and self.visit_window is not None
             )
             self._worker = HostReplayWorker(
                 cfg.canvas,
                 burning_ship=self.fractal.fold_abs,
                 num_threads=o.replay_threads,
                 dtype=np.dtype(o.hist_dtype),
-                grid_decode=grid_decode,
-                mh_decode=mh_decode,
+                grid_decode=None if self.mh else grid_decode,
+                mh_bins=self.visit_slots if self.mh else None,
                 strict=strict,
             )
             # Auto share: 0 on LLC-resident canvases — the native host
@@ -884,18 +878,15 @@ class PallasEngine:
         # in-flight pass) in a single transfer.
         n_valid = jnp.sum(it >= 0).astype(jnp.int32)
         if self.mh:
-            # MH rows: grid indices, escape index, tenure reps, and the
-            # kernel's in-window count (the weight divisor) — all exact
-            # in f32 (k < 2^24, iters < 2^24, rep <= rep_cap, v < 2^24).
-            payload = jnp.stack(
-                [
-                    cr,
-                    ci,
-                    it.astype(jnp.float32),
-                    rep.astype(jnp.float32),
-                    vks.astype(jnp.float32),
-                ]
-            )
+            # MH rows (i32): escape index (validity), tenure reps, the
+            # chain target t, and the kernel-recorded visit bins. The
+            # worker applies the deposit directly (mh_deposit_numpy) —
+            # rep is the compacted emit_rep and vks the target; ``cr``
+            # carries the (visit_slots, k) bins through the compaction
+            # plumbing.
+            payload = jnp.concatenate(
+                [jnp.stack([it, rep, vks]), cr], axis=0
+            ).astype(jnp.int32)
         elif self._packed_payload:
             scale = jnp.float32(4194304.0)  # 2^22
             k_r = ((cr + 2.0) * scale).astype(jnp.uint32)
@@ -968,6 +959,7 @@ class PallasEngine:
                 window=mh_window,
                 restart256=o.mh_restart,
                 rep_cap=o.mh_rep_cap,
+                canvas_wh=(cv.width, cv.height),
             )
         elif self.extended:
             result = pke.classify_pass_ext(
@@ -1010,10 +1002,14 @@ class PallasEngine:
         k = self.replay_capacity
         em_it = result.emit_it.reshape(-1)
         if self.mh:
-            em_cr = result.emit_k[:, 0].reshape(-1)
-            em_ci = result.emit_k[:, 1].reshape(-1)
+            # MH: compact by validity only (deposits are order-free
+            # scatters, not length-blocked replays). ``cr_c`` carries
+            # the (visit_slots, k) bin rows; ``ci_c`` is unused.
             em_rep = result.emit_rep.reshape(-1)
             em_v = result.emit_v.reshape(-1)
+            em_b = jnp.moveaxis(result.emit_bins, 1, 0).reshape(
+                self.visit_slots, -1
+            )
         else:
             em_cr = result.emit_c[:, 0].reshape(-1)
             em_ci = result.emit_c[:, 1].reshape(-1)
@@ -1021,8 +1017,12 @@ class PallasEngine:
         valid = em_it >= 0
         order = jnp.argsort(jnp.where(valid, -em_it, 1))
         take = order[:k]
-        cr_c = em_cr[take]
-        ci_c = em_ci[take]
+        if self.mh:
+            cr_c = em_b[:, take]
+            ci_c = None
+        else:
+            cr_c = em_cr[take]
+            ci_c = em_ci[take]
         it_c = em_it[take]
         rep_c = em_rep[take] if self.mh else None
         v_c = em_v[take] if self.mh else None
@@ -1065,6 +1065,9 @@ class PallasEngine:
             per_pass["mh_merged_rep"] = counters.u64_sum_i32(
                 st[pkm.STAT_MH_MERGED_REP]
             )
+            # Deposited mass is tallied where the deposit happens (core
+            # for the device path; the host worker otherwise).
+            per_pass["mh_deposited"] = zero_pair
         new_state = dict(state)
         new_state["lanes"] = tuple(result.state)
         for key_ in self._stat_keys:
@@ -1075,6 +1078,8 @@ class PallasEngine:
         # backends can skip them.
         it_c = jnp.where(valid_c, it_c, -1)
         if self.mh:
+            # t <= 1 marks non-depositing slots for the bins deposit.
+            v_c = jnp.where(valid_c, v_c, 0)
             return new_state, (cr_c, ci_c, it_c, rep_c, v_c)
 
         if device_prefix > 0:
@@ -1109,14 +1114,46 @@ class PallasEngine:
 
     def core(self, state, pass_index, ordinal):
         """Fully on-device pass (classify + replay + scatter) — the path
-        used for multi-chip data parallelism and by `__graft_entry__`."""
+        used for multi-chip data parallelism and by `__graft_entry__`.
+
+        MH: classify + compact + deposit the kernel-recorded visit bins
+        with ops/binning.mh_scatter — a <= visit_slots*capacity scatter
+        per pass, fully device-resident (nothing crosses to the host).
+        Chain burn-in is handled in-graph: deposits are zeroed while
+        pass_index < mh_burnin_passes and the retention counters reset
+        on the last burn-in pass, so every wrapper (DP, multi-process,
+        row-sharded) inherits correct burn-in for free."""
         cfg = self.cfg
         tn = self.tuning
         if self.mh:
-            raise RuntimeError(
-                "MH sampling has no on-device replay path (weighted "
-                "deposits run in the native host engine)"
+            new_state, (bins_c, _, it_c, rep_c, v_c) = (
+                self._classify_and_compact(state, pass_index, ordinal)
             )
+            o = cfg.options
+            burnin = jnp.int32(o.mh_burnin_passes)
+            p_idx = jnp.asarray(pass_index, jnp.int32)
+            t_eff = jnp.where(p_idx < burnin, 0, v_c)
+            hist_flat, deposits, mass = binning.mh_scatter(
+                new_state["hist"].reshape(-1), bins_c, t_eff, rep_c
+            )
+            new_state = dict(new_state)
+            new_state["hist"] = hist_flat.reshape(cfg.canvas.shape)
+            new_state["points"] = counters.u64_add_pair(
+                new_state["points"], counters.u64_sum_i32(deposits)
+            )
+            new_state["mh_deposited"] = counters.u64_add_pair(
+                new_state["mh_deposited"],
+                counters.u64_sum_i32(mass.astype(jnp.int32)),
+            )
+            # End of burn-in: zero every retention counter so transient-
+            # biased in-flight tenure mass cannot deposit later.
+            lanes_cls = (
+                pkm.ExtMhLaneState if self.extended else pkm.MhLaneState
+            )
+            lanes = lanes_cls(*new_state["lanes"])
+            rep0 = jnp.where(p_idx == burnin - 1, 0, lanes.rep)
+            new_state["lanes"] = tuple(lanes._replace(rep=rep0))
+            return new_state
         new_state, (cr_c, ci_c, it_c, _, _) = self._classify_and_compact(
             state, pass_index, ordinal
         )
@@ -1179,7 +1216,9 @@ class PallasEngine:
             state = {
                 "hist": hist,
                 "lanes": tuple(
-                    pkm.init_ext_mh_lane_state(self.lane_rows)
+                    pkm.init_ext_mh_lane_state(
+                        self.lane_rows, self.visit_slots
+                    )
                 ),
             }
         elif self.extended:
@@ -1205,7 +1244,9 @@ class PallasEngine:
         elif self.mh:
             state = {
                 "hist": hist,
-                "lanes": tuple(pkm.init_mh_lane_state(self.lane_rows)),
+                "lanes": tuple(
+                    pkm.init_mh_lane_state(self.lane_rows, self.visit_slots)
+                ),
             }
         else:
             state = {
@@ -1233,6 +1274,11 @@ class PallasEngine:
         lanes = self.lanes * n_fields * 4
         chunks = tn.steps_per_pass // tn.steps_per_flush
         emission = chunks * self.lanes * 12
+        if self.mh:
+            # vb/xb are (visit_slots, R, 128) each; emissions carry
+            # (3 + visit_slots) i32 rows.
+            lanes += self.lanes * 2 * (self.visit_slots - 1) * 4
+            emission = chunks * self.lanes * (3 + self.visit_slots) * 4
         payload_bytes = 8 if getattr(self, "_packed_payload", False) else 12
         device = (
             hist + lanes + emission * 2 + self.replay_capacity * payload_bytes
@@ -1306,6 +1352,41 @@ class PallasEngine:
             rep0 = jax.device_put(rep0, sharding)
         state["lanes"] = tuple(lanes._replace(rep=rep0))
 
+    def mh_tail_core(self, state):
+        """Pure device-side MH tail flush: deposit every chain's
+        in-flight tenure (its kernel-recorded visit bins, weighted by
+        the accumulated rep) into the state histogram and zero the
+        retention counters. Jittable and per-device-local, so the
+        data-parallel wrappers shard_map it directly — this is what
+        unlocks multi-process MH (the old implementation fetched the
+        full chain state to the host, which a multi-process run cannot
+        address)."""
+        lanes_cls = pkm.ExtMhLaneState if self.extended else pkm.MhLaneState
+        lanes = lanes_cls(*state["lanes"])
+        # xv > 1: only tenures WITH visits carry depositable mass
+        # (xv == 1 is the in-band bridge epsilon — no visits, nothing
+        # to flush; ops/pallas_kernels_mh.py "ergodicity bridge").
+        t = lanes.xv.reshape(-1)
+        rep = lanes.rep.reshape(-1)
+        t_eff = jnp.where(rep > 0, t, 0)
+        bins = lanes.xb.reshape(self.visit_slots, -1)
+        hist_flat, deposits, mass = binning.mh_scatter(
+            state["hist"].reshape(-1), bins, t_eff, rep
+        )
+        new_state = dict(state)
+        new_state["hist"] = hist_flat.reshape(state["hist"].shape)
+        new_state["points"] = counters.u64_add_pair(
+            state["points"], counters.u64_sum_i32(deposits)
+        )
+        new_state["mh_deposited"] = counters.u64_add_pair(
+            state["mh_deposited"],
+            counters.u64_sum_i32(mass.astype(jnp.int32)),
+        )
+        new_state["lanes"] = tuple(
+            lanes._replace(rep=jnp.zeros_like(lanes.rep))
+        )
+        return new_state
+
     def _flush_mh_tails(self, state) -> None:
         """Deposit the in-flight MH tenure mass and reset the retention
         counters (splitting each live tenure at the flush point — the
@@ -1317,60 +1398,43 @@ class PallasEngine:
         STICKIEST states (high v, many rejections), i.e. the brightest
         regions: measured as a systematic ~12% bright-half deficit on
         the seahorse test crop before this flush existed."""
-        from cudabrot_tpu.io import native
-
+        if self._worker is None:
+            # Device path: jitted in-place flush (state dict updated).
+            if self._tail_fn is None:
+                self._tail_fn = jax.jit(self.mh_tail_core)
+            state.update(self._tail_fn(state))
+            return
         lanes_cls = pkm.ExtMhLaneState if self.extended else pkm.MhLaneState
         lanes = lanes_cls(*state["lanes"])
         xv = np.asarray(lanes.xv).reshape(-1)
         rep = np.asarray(lanes.rep).reshape(-1)
-        # xv > 1: only tenures WITH visits carry depositable mass
-        # (xv == 1 is the in-band bridge epsilon — no visits, nothing
-        # to flush; ops/pallas_kernels_mh.py "ergodicity bridge").
         live = (xv > 1) & (rep > 0)
         if live.any():
-            kr = np.asarray(lanes.xkr).reshape(-1)[live].astype(np.float32)
-            ki = np.asarray(lanes.xki).reshape(-1)[live].astype(np.float32)
-            if self.extended:
-                # Window-grid indices -> f64 c (the extended decode).
-                two23 = np.float32(8388608.0)
-                cr = df32.to_float64(*self._df_center[0]) + (
-                    (kr - two23) * np.float32(self._df_step[0])
-                ).astype(np.float64)
-                ci = df32.to_float64(*self._df_center[1]) + (
-                    (ki - two23) * np.float32(self._df_step[1])
-                ).astype(np.float64)
-            else:
-                r0, r1, i0, i1 = self.cfg.sample_domain
-                inv24 = np.float32(5.9604644775390625e-08)
-                cr = kr * inv24 * np.float32(r1 - r0) + np.float32(r0)
-                ci = ki * inv24 * np.float32(i1 - i0) + np.float32(i0)
-            xit = np.asarray(lanes.xit).reshape(-1)[live].astype(np.int32)
-            reps = rep[live].astype(np.int32)
-            vks = xv[live].astype(np.int32)
+            from cudabrot_tpu.engines.host_replay import mh_deposit_numpy
+
+            # xb is (V, R, 128), or (D, V, R, 128) stacked by the DP
+            # host wrapper: fold any leading device axes, then bring V
+            # to the front so columns align with xv/rep's flattening.
+            xb = np.asarray(lanes.xb)
+            xb = xb.reshape((-1,) + xb.shape[-3:])
+            bins = np.moveaxis(xb, 1, 0).reshape(self.visit_slots, -1)
             w = self._worker
             w.drain()
-            cv = self.cfg.canvas
-            hits, points, lost = native.replay_scatter_mh(
-                cr, ci, xit, reps, vks, w.hist,
-                width=cv.width, height=cv.height,
-                min_real=cv.min_real, min_imag=cv.min_imag,
-                delta_real=cv.delta_real, delta_imag=cv.delta_imag,
-                burning_ship=self.fractal.fold_abs,
-                num_threads=w.num_threads,
-                weight_scale=self.weight_scale,
-                strict=w.strict,
-                bridge=True,
+            hits, points = mh_deposit_numpy(
+                w.hist,
+                bins[:, live],
+                xv[live].astype(np.int32),
+                rep[live].astype(np.int32),
             )
             w.hits += hits
             w.points += points
-            w.lost_weight += lost
         # Reset every retention counter (device-side): the flushed share
         # is deposited; the remainder of each tenure re-counts from 0
         # and is emitted at its eventual retirement as usual.
         self._reset_mh_reps(state)
 
     def histogram(self, state) -> np.ndarray:
-        if self.mh and self._worker is not None:
+        if self.mh:
             self._flush_mh_tails(state)
         if self._worker is not None and self.split_threshold == 0:
             # Pure host replay: the device histogram provably never gets a
@@ -1429,11 +1493,15 @@ class PallasEngine:
             )
             if self.mh:
                 # Weighted-deposit accounting: histogram counts are in
-                # 1/weight_scale units; lost mass = emissions whose
-                # replay trajectory deposited nothing (borderline
-                # kernel/replay drift — the documented class).
+                # 1/weight_scale units. The bins deposit conserves
+                # tenure mass by construction, so lost weight is
+                # identically zero (kept for dashboard compatibility).
                 out["weight_scale"] = self.weight_scale
                 out["mh_lost_weight"] = self._worker.lost_weight
         else:
             out["replay"] = "device"
+            if self.mh:
+                out["weight_scale"] = self.weight_scale
+                out["mh_lost_weight"] = 0
+                out["on_canvas_points"] = out["mh_deposited"]
         return out

@@ -105,64 +105,6 @@ def _load() -> ctypes.CDLL | None:
                     ctypes.POINTER(ctypes.c_uint64),  # points_total out
                 ]
             )
-        # Weighted Metropolis-Hastings replay entry points. Guarded like
-        # the f64 ones — engines probe via supports_mh().
-        if hasattr(lib, "tpubrot_replay_scatter_mh"):
-            _mh_common = [
-                ctypes.POINTER(ctypes.c_float),   # cr
-                ctypes.POINTER(ctypes.c_float),   # ci
-                ctypes.POINTER(ctypes.c_int32),   # iters
-                ctypes.POINTER(ctypes.c_int32),   # reps
-                ctypes.POINTER(ctypes.c_int32),   # vks (kernel v counts)
-                ctypes.c_int64,                   # n
-                ctypes.c_int32,                   # w
-                ctypes.c_int32,                   # h
-                ctypes.c_double,                  # min_real
-                ctypes.c_double,                  # min_imag
-                ctypes.c_double,                  # delta_real
-                ctypes.c_double,                  # delta_imag
-                ctypes.c_int32,                   # flags
-                ctypes.c_int32,                   # num_threads
-                ctypes.c_int32,                   # weight scale
-            ]
-            lib.tpubrot_replay_scatter_mh.restype = ctypes.c_int64
-            lib.tpubrot_replay_scatter_mh.argtypes = _mh_common + [
-                ctypes.POINTER(ctypes.c_uint32),  # hist
-                ctypes.POINTER(ctypes.c_uint64),  # points_total out
-                ctypes.POINTER(ctypes.c_uint64),  # lost_weight out
-            ]
-            lib.tpubrot_replay_scatter_mh64.restype = ctypes.c_int64
-            lib.tpubrot_replay_scatter_mh64.argtypes = _mh_common + [
-                ctypes.POINTER(ctypes.c_uint64),  # hist (64-bit bins)
-                ctypes.POINTER(ctypes.c_uint64),  # points_total out
-                ctypes.POINTER(ctypes.c_uint64),  # lost_weight out
-            ]
-        # Double-precision MH variants (extended deep-zoom MH), guarded
-        # separately: a stale library built with only the f32 MH entry
-        # points must still load (the module contract: every entry
-        # point falls back / degrades, never breaks _load()).
-        if hasattr(lib, "tpubrot_replay_scatter_mh") and hasattr(
-            lib, "tpubrot_replay_scatter_mh_f64"
-        ):
-            _mh_common_f64 = [
-                ctypes.POINTER(ctypes.c_double),
-                ctypes.POINTER(ctypes.c_double),
-            ] + _mh_common[2:]
-            lib.tpubrot_replay_scatter_mh_f64.restype = ctypes.c_int64
-            lib.tpubrot_replay_scatter_mh_f64.argtypes = _mh_common_f64 + [
-                ctypes.POINTER(ctypes.c_uint32),
-                ctypes.POINTER(ctypes.c_uint64),
-                ctypes.POINTER(ctypes.c_uint64),
-            ]
-            lib.tpubrot_replay_scatter_mh_f64_64.restype = ctypes.c_int64
-            lib.tpubrot_replay_scatter_mh_f64_64.argtypes = (
-                _mh_common_f64
-                + [
-                    ctypes.POINTER(ctypes.c_uint64),
-                    ctypes.POINTER(ctypes.c_uint64),
-                    ctypes.POINTER(ctypes.c_uint64),
-                ]
-            )
         lib.tpubrot_write_pgm16.restype = ctypes.c_int32
         lib.tpubrot_write_pgm16.argtypes = [
             ctypes.c_char_p,
@@ -266,121 +208,6 @@ def replay_scatter(
         ctypes.byref(points),
     )
     return int(hits), int(points.value)
-
-
-def supports_mh() -> bool:
-    """Whether the loaded library has the weighted Metropolis-Hastings
-    replay entry points (--sampler mh needs them)."""
-    lib = _load()
-    return lib is not None and hasattr(lib, "tpubrot_replay_scatter_mh")
-
-
-def supports_mh_f64() -> bool:
-    """Whether the double-precision MH entry points are present
-    (extended-precision --sampler mh needs them; a stale library can
-    have the f32 set only)."""
-    lib = _load()
-    return lib is not None and hasattr(
-        lib, "tpubrot_replay_scatter_mh_f64"
-    )
-
-
-def replay_scatter_mh(
-    cr: np.ndarray,
-    ci: np.ndarray,
-    iters: np.ndarray,
-    reps: np.ndarray,
-    vks: np.ndarray,
-    hist: np.ndarray,
-    *,
-    width: int,
-    height: int,
-    min_real: float,
-    min_imag: float,
-    delta_real: float,
-    delta_imag: float,
-    burning_ship: bool = False,
-    num_threads: int = 0,
-    weight_scale: int = 256,
-    strict: bool = False,
-    bridge: bool = False,
-) -> tuple[int, int, int]:
-    """Weighted Metropolis-Hastings replay: each on-canvas orbit point
-    of emission i deposits ``reps[i] * weight_scale / vks[i]`` (exact
-    Bresenham integer spread; ``vks`` is the classify kernel's
-    in-window count, the same number that drove the chain's acceptance
-    — ops/pallas_kernels_mh.py). Returns (deposited_mass, total_points,
-    lost_mass); ``lost_mass`` is the intended mass of emissions whose
-    replay trajectory deposited nothing. Callers gate on
-    supports_mh().
-
-    ``strict`` (f32 payloads only) selects the contraction-proof orbit
-    variant that bit-matches Mosaic-compiled kernels — REQUIRED for
-    TPU-classified MH payloads, whose acceptance conditioned on the
-    kernel's visit counts must find the same visits here (see
-    csrc/tpubrot_native.cpp "strict"). Ignored for f64 payloads (the
-    df32<->f64 agreement contract is statistical).
-
-    ``bridge``: the ``vks`` column holds the ergodicity-bridge target
-    t = 256*v + 1 instead of the raw visit count (the chain kernels
-    always ship this since the bridge landed — ops/pallas_kernels_mh.py
-    "ergodicity bridge"); the native replay scales the weight numerator
-    by the same 256 so per-visit deposits keep their granularity."""
-    lib = _load()
-    if lib is None or not hasattr(lib, "tpubrot_replay_scatter_mh"):
-        raise RuntimeError("native MH replay unavailable")
-    # Sample dtype selects precision: float64 inputs (extended deep-zoom
-    # MH — c reconstructed from window-grid indices) run the f64 orbit/
-    # binning path; everything else runs f32.
-    deep = np.asarray(cr).dtype == np.float64
-    if deep and not hasattr(lib, "tpubrot_replay_scatter_mh_f64"):
-        raise RuntimeError("native f64 MH replay unavailable")
-    sample_t = np.float64 if deep else np.float32
-    cptr_t = ctypes.c_double if deep else ctypes.c_float
-    cr = np.ascontiguousarray(cr, sample_t)
-    ci = np.ascontiguousarray(ci, sample_t)
-    iters = np.ascontiguousarray(iters, np.int32)
-    reps = np.ascontiguousarray(reps, np.int32)
-    vks = np.ascontiguousarray(vks, np.int32)
-    assert hist.dtype in (np.uint32, np.uint64) and hist.flags.c_contiguous
-    if deep:
-        fn = (
-            lib.tpubrot_replay_scatter_mh_f64_64
-            if hist.dtype == np.uint64
-            else lib.tpubrot_replay_scatter_mh_f64
-        )
-    else:
-        fn = (
-            lib.tpubrot_replay_scatter_mh64
-            if hist.dtype == np.uint64
-            else lib.tpubrot_replay_scatter_mh
-        )
-    ptr_t = ctypes.c_uint64 if hist.dtype == np.uint64 else ctypes.c_uint32
-    points = ctypes.c_uint64(0)
-    lost = ctypes.c_uint64(0)
-    hits = fn(
-        cr.ctypes.data_as(ctypes.POINTER(cptr_t)),
-        ci.ctypes.data_as(ctypes.POINTER(cptr_t)),
-        iters.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        reps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        vks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        len(cr),
-        width,
-        height,
-        min_real,
-        min_imag,
-        delta_real,
-        delta_imag,
-        (1 if burning_ship else 0)
-        | (2 if strict else 0)
-        | (4 if bridge else 0),
-        num_threads,
-        weight_scale,
-        hist.ctypes.data_as(ctypes.POINTER(ptr_t)),
-        ctypes.byref(points),
-        ctypes.byref(lost),
-    )
-    return int(hits), int(points.value), int(lost.value)
 
 
 def replay_scatter_f64(

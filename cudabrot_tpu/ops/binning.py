@@ -179,3 +179,83 @@ def scatter_ids(hist_flat, ids, backend: str):
     if backend == "xla":
         return scatter_xla(hist_flat, ids)
     raise ValueError(f"Unknown scatter backend: {backend}")
+
+
+# ----------------------------------------------------------------------
+# Metropolis-Hastings weighted deposits (--sampler mh).
+#
+# MH emissions carry the tenure's kernel-recorded visit bins plus
+# (rep, t): the deposit is a pure integer scatter — no orbit replay
+# exists anywhere (ops/pallas_kernels_mh.py module docstring explains
+# why replay-based deposits were abandoned: replaying a chaotic orbit
+# the chain SELECTED for window visits decorrelates and forfeits the
+# selected mass — 99.96% measured at the 1e-5 benchmark window).
+#
+# Exact accounting, all in u32 (no x64 requirement on device):
+#   v      = (t - 1) / TARGET_VISIT        kernel visit count (capped)
+#   W      = rep * WEIGHT_SCALE * TARGET_VISIT
+#   q      = floor(v * W / t)              total tenure deposit, in
+#                                          1/WEIGHT_SCALE histogram units
+#   d_k    = floor((k+1) q / n) - floor(k q / n),  n = min(v, V)
+# The long division below computes q without overflow given the
+# documented bounds: t <= 256*32767 + 1 < 2^23 (pallas_kernels_mh._T_VCAP),
+# v <= 2^15, rep <= mh_rep_cap + flush windows <= 98303 < 2^17
+# (config validation bounds mh_rep_cap <= 32767 and steps_per_flush
+# <= 65536), so v*rep < 2^32, q <= rep*256 < 2^25, and (k+1)*q < 2^30.
+# The host (uint64) twin in engines/host_replay.py computes the same
+# floor(v*rep*65536/t) directly; the two agree exactly.
+# ----------------------------------------------------------------------
+
+
+def mh_deposit_weights(t, rep, visit_slots: int):
+    """Per-recorded-bin deposit weights for MH emissions.
+
+    ``t``: i32 (...,) chain target 256*v+1 (> 1 marks a depositable
+    emission; anything <= 1 deposits nothing). ``rep``: i32 tenure
+    chain steps. Returns ``(d, n, q)``: d u32 (visit_slots, ...) the
+    Bresenham spread (exact: sum_k d_k == q), n i32 recorded-bin count,
+    q u32 total deposit per emission (0 for invalid)."""
+    tv = jnp.uint32(256)  # TARGET_VISIT (pallas_kernels_mh)
+    valid = t > 1
+    tu = jnp.where(valid, t, 1).astype(jnp.uint32)
+    v = (tu - 1) // tv
+    rep_u = jnp.maximum(rep, 0).astype(jnp.uint32)
+    n = jnp.where(valid, jnp.minimum(v, jnp.uint32(visit_slots)), 1)
+    n = jnp.maximum(n, 1)
+    big_n = v * rep_u
+    # q = floor(big_n * 65536 / tu): three u32-safe long-division steps.
+    q1 = big_n // tu
+    r1 = big_n - q1 * tu
+    q2 = (r1 * 256) // tu
+    r2 = r1 * 256 - q2 * tu
+    q3 = (r2 * 256) // tu
+    q = q1 * 65536 + q2 * 256 + q3
+    q = jnp.where(valid, q, 0)
+    ks = jnp.arange(visit_slots + 1, dtype=jnp.uint32).reshape(
+        (visit_slots + 1,) + (1,) * t.ndim
+    )
+    kk = jnp.minimum(ks, n[None])
+    pref = (kk * q[None]) // n[None]
+    return pref[1:] - pref[:-1], n.astype(jnp.int32), q
+
+
+def mh_scatter(hist_flat, bins, t, rep):
+    """Scatter MH tenure deposits into a flat histogram.
+
+    ``bins``: i32 (V, S) kernel-recorded visit bins (slots >= n hold
+    stale values and are masked off); ``t``/``rep``: i32 (S,). Returns
+    (hist_flat', deposits i32 (S,), mass u32 (S,)) where deposits is
+    the per-emission recorded-bin count (0 if invalid) and mass the
+    per-emission deposited total q."""
+    visit_slots = bins.shape[0]
+    d, n, q = mh_deposit_weights(t, rep, visit_slots)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, bins.shape, 0)
+    take = (t[None] > 1) & (kidx < n[None])
+    oob = jnp.int32(hist_flat.shape[0])
+    idx = jnp.where(take, bins, oob)
+    hist_flat = hist_flat.at[idx.reshape(-1)].add(
+        d.astype(hist_flat.dtype).reshape(-1),
+        mode="drop", indices_are_sorted=False, unique_indices=False,
+    )
+    deposits = jnp.where(t > 1, n, 0)
+    return hist_flat, deposits, q

@@ -49,17 +49,29 @@ register emission):
     retention counter `rep` instead of re-emitting the same orbit; the
     chain state is emitted once per tenure (at the accept that retires
     it, or when rep reaches a cap) carrying rep AND the kernel's v.
-    The host replay re-runs the orbit and deposits weight
-    rep * SCALE / v on each of its on-canvas points (a Bresenham
-    integer spread — exact to one 1/SCALE unit per point, no
-    floating-point accumulation). The divisor is the KERNEL's v — the
-    same number that drove acceptance — not the replay's own count:
-    kernel and replay trajectories are both valid f32 pseudo-orbits
-    but can decorrelate over long orbits (different FMA contraction),
-    and dividing by an independently-drawn v' would tilt the estimator
-    by E[v/v'] != 1 exactly in the high-variance (bright) regions.
-    With matching v the estimator is sum_t hits_p(c_t) / v(c_t),
-    unbiased regardless of trajectory drift.
+  * **The kernel records the deposit BINS itself.** Every in-window
+    updated position is quantized to its canvas bin in-kernel and
+    recorded in a per-lane reservoir of `visit_slots` bins (plain
+    slot-fill for the first V visits, classic reservoir replacement —
+    keep-with-probability V/(j+1) into a uniform slot — beyond, so
+    the recorded set is a uniform subsample of ALL the orbit's
+    visits). Emissions ship (rep, t, bins) and the deposit is a pure
+    scatter-add of weight w = rep*SCALE*TARGET_VISIT/t spread over the
+    recorded bins (an exact integer Bresenham — total floor(v*w) per
+    tenure, each recorded bin representing v/min(v,V) visits).
+
+    Round 3 shipped (c, iters) instead and re-derived the bins by
+    REPLAYING the orbit on the host. That design carried a fatal
+    conditioning flaw this one removes: MH acceptance selects exactly
+    the orbits whose KERNEL trajectory visits the window, and over
+    long orbits any independent re-iteration (f64 host replay of the
+    df32 kernel stream) decorrelates and misses the window it was
+    selected for — measured on silicon as 99.96% of all tenure mass
+    forfeited (`mh_lost_weight`) at the 1e-5 benchmark window. With
+    kernel-recorded bins the deposit positions ARE the positions that
+    drove acceptance: no replay, no drift class, no lost mass, and the
+    host leaves the MH hot path entirely (deposits are an on-device
+    scatter of <= V*slots indices per pass).
 
   * **Ergodicity bridge (in-band epsilon mass).** A chain whose target
     is v alone can only move BETWEEN visiting states (any proposal with
@@ -91,11 +103,10 @@ states, a variance cost counted in rows STAT_MH_MERGE /
 STAT_MH_MERGED_REP); in-flight tenures are flushed
 and their counters reset whenever the engine reads the histogram
 (PallasEngine._flush_mh_tails — without that flush the stickiest, i.e.
-brightest, states would lose their final tenure); replay deposits land
-on the replay trajectory's on-canvas points, which can differ from the
-kernel trajectory's on the documented borderline class (the weight
-divisor v is the kernel's, so only the deposit POSITIONS drift, not
-the estimator's mass calibration).
+brightest, states would lose their final tenure); tenures with more
+visits than `visit_slots` deposit on a uniform reservoir subsample of
+their visit set (full mass, a pure variance cost; the reservoir draw
+uses an LCG whose f32 acceptance compare is uniform to ~2^-23).
 The end-to-end correctness contract is the same statistical one every
 engine carries: tests compare a normalized MH render against a
 normalized uniform-sampling render of the same configuration.
@@ -133,11 +144,13 @@ WEIGHT_SCALE = 256
 #: Chain-target units per canvas visit (the ergodicity bridge, module
 #: docstring): target t = TARGET_VISIT * min(v, _T_VCAP) + 1 for
 #: in-band states, 0 otherwise. The +1 is the in-band epsilon; the
-#: visit cap keeps t f32-exact (t < 2^24) for the acceptance compare —
-#: capping is harmless because acceptance and the deposit divisor use
-#: the SAME capped t (any positive target is unbiased).
+#: visit cap keeps t f32-exact for the acceptance compare AND t < 2^23
+#: so the deposit's u32 long division (ops/binning.mh_deposit_weights)
+#: never overflows — capping is harmless because acceptance and the
+#: deposit divisor use the SAME capped t (any positive target is
+#: unbiased).
 TARGET_VISIT = 256
-_T_VCAP = 65535
+_T_VCAP = 32767
 
 #: Extra MH stat rows appended after the base kernel's five.
 STAT_MH_ACCEPT = 5  # accepted proposals (chain moves)
@@ -150,7 +163,8 @@ _INV24 = 5.9604644775390625e-08  # 2^-24
 
 
 class MhLaneState(NamedTuple):
-    """Per-lane chain + in-flight proposal state, (R, 128) each."""
+    """Per-lane chain + in-flight proposal state, (R, 128) each except
+    the visit-bin reservoirs vb/xb, which are (visit_slots, R, 128)."""
 
     kr: jax.Array  # f32 proposal grid index (real axis, 0..2^24)
     ki: jax.Array  # f32 proposal grid index (imag axis)
@@ -164,15 +178,31 @@ class MhLaneState(NamedTuple):
     sv: jax.Array  # i32 next Brent save index
     dead: jax.Array  # i32 1 => proposal invalid (culled / out of domain)
     vcnt: jax.Array  # i32 in-window updated positions so far
+    rsv: jax.Array  # i32 reservoir LCG state (per lane)
     xkr: jax.Array  # f32 chain state grid index (real)
     xki: jax.Array  # f32 chain state grid index (imag)
     xv: jax.Array  # i32 chain target t(x) = 256*min(v,cap)+1[in-band]; 0 = unseeded
     xit: jax.Array  # i32 chain state escape index
     rep: jax.Array  # i32 chain steps the current state has been retained
+    vb: jax.Array  # i32 (V,R,128) proposal visit-bin reservoir
+    xb: jax.Array  # i32 (V,R,128) chain state visit-bin reservoir
 
 
-def init_mh_lane_state(lane_rows: int) -> MhLaneState:
+def _init_rsv(shape) -> jax.Array:
+    """Per-lane LCG seeds: distinct odd constants per lane (an LCG's
+    trajectory separates immediately for distinct states; determinism
+    across runs/backends is deliberate — the reservoir draw is part of
+    the reproducible sample schedule)."""
+    lane = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 0) * jnp.int32(shape[1])
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    )
+    return lane * jnp.int32(-1640531527) + jnp.int32(1)  # golden-ratio mix
+
+
+def init_mh_lane_state(lane_rows: int, visit_slots: int = 8) -> MhLaneState:
     shape = (lane_rows, 128)
+    vshape = (visit_slots, lane_rows, 128)
     f = lambda v: jnp.full(shape, v, jnp.float32)
     i = lambda v: jnp.full(shape, v, jnp.int32)
     return MhLaneState(
@@ -185,14 +215,17 @@ def init_mh_lane_state(lane_rows: int) -> MhLaneState:
         # auto-accepted until every chain is seeded.
         dead=i(1),
         vcnt=i(0),
+        rsv=_init_rsv(shape),
         xkr=f(0.0), xki=f(0.0), xv=i(0), xit=i(-1), rep=i(0),
+        vb=jnp.zeros(vshape, jnp.int32),
+        xb=jnp.zeros(vshape, jnp.int32),
     )
 
 
 def _mh_boundary(
     fin, v_prop, needed, kr, ki,
-    xkr, xki, xv, xit, rep,
-    p_kr, p_ki, p_it, p_rep, p_v,
+    xkr, xki, xv, xit, rep, vb, xb,
+    p_it, p_rep, p_v, p_b,
     rb_a, rb_b, rep_cap,
 ):
     """Shared chain-boundary logic (pure, mask-vectorized): Metropolis
@@ -201,7 +234,9 @@ def _mh_boundary(
     extended (df32) MH kernels so the subtle parts exist exactly once.
     Returns (accept, chain regs..., pending regs..., stat increments).
     See the step-level comments in the module docstring for the
-    estimator arguments."""
+    estimator arguments. ``vb``/``xb``/``p_b`` are the (V, R, 128)
+    visit-bin reservoirs of the proposal / chain state / pending
+    emission; they follow record identity exactly like xv."""
     # Metropolis acceptance on the bridge target: accept iff
     # u * t(x) < t(c') with u uniform in [0,1) (symmetric proposal).
     u24 = jax.lax.shift_right_logical(
@@ -248,24 +283,69 @@ def _mh_boundary(
     upd = emit_any & take_new
     d_merges = jnp.where(merged, jnp.int32(1), 0)
     d_merged_rep = jnp.where(merged, jnp.minimum(p_rep, rep_used), 0)
-    p_kr = jnp.where(upd, xkr, p_kr)
-    p_ki = jnp.where(upd, xki, p_ki)
     p_it = jnp.where(upd, xit, p_it)
     p_v = jnp.where(upd, xv, p_v)
+    p_b = jnp.where(upd[None], xb, p_b)
     p_rep = jnp.where(emit_any, jnp.where(occupied, tot, rep_used), p_rep)
 
-    # Chain update.
+    # Chain update (the retiring proposal's reservoir becomes the new
+    # chain state's — AFTER the pending copy above took the old xb).
     xkr = jnp.where(accept, kr, xkr)
     xki = jnp.where(accept, ki, xki)
     xv = jnp.where(accept, v_prop, xv)
     xit = jnp.where(accept, needed, xit)
+    xb = jnp.where(accept[None], vb, xb)
     rep = jnp.where(
         accept,
         jnp.int32(1),
         jnp.where(fin, jnp.where(at_cap, jnp.int32(0), rep_rej), rep),
     )
-    return (accept, xkr, xki, xv, xit, rep,
-            p_kr, p_ki, p_it, p_rep, p_v, d_merges, d_merged_rep)
+    return (accept, xkr, xki, xv, xit, rep, xb,
+            p_it, p_rep, p_v, p_b, d_merges, d_merged_rep)
+
+
+def _record_visit(vis, dr, di, jvis, rsv, vb, bin_map):
+    """Reservoir-record one (masked) canvas visit per lane.
+
+    ``vis``: this step's in-window mask; ``dr``/``di``: the updated
+    position in the window's own coordinates (absolute for the f32
+    kernel, center-relative for df32); ``jvis``: visits recorded so far
+    this proposal (the 0-based index of THIS visit where vis holds);
+    ``rsv``: per-lane LCG state; ``vb``: (V, R, 128) reservoir.
+    ``bin_map`` = (wx0, wy0, inv_dx, inv_dy, width, height) static f32/
+    int constants. Returns (rsv', vb').
+
+    First V visits fill slots in order (the acceptance compare is then
+    vacuously true); visit j >= V replaces a uniform slot with
+    probability V/(j+1) — the classic reservoir, so the recorded set is
+    a uniform subsample of all visits. The LCG advances every step
+    (masked lanes included) to stay branch-free."""
+    wx0, wy0, inv_dx, inv_dy, width, height = bin_map
+    v_slots = vb.shape[0]
+    col = ((dr - jnp.float32(wx0)) * jnp.float32(inv_dx)).astype(jnp.int32)
+    row = ((di - jnp.float32(wy0)) * jnp.float32(inv_dy)).astype(jnp.int32)
+    # The window test guarantees in-range up to one f32 rounding at the
+    # upper edge; clamp so a boundary visit can never leave the canvas.
+    col = jnp.minimum(col, jnp.int32(width - 1))
+    row = jnp.minimum(row, jnp.int32(height - 1))
+    bin_ = row * jnp.int32(width) + col
+    rsv = rsv * jnp.int32(1664525) + jnp.int32(1013904223)
+    mix = rsv ^ jax.lax.shift_right_logical(
+        rsv.astype(jnp.uint32), jnp.uint32(16)
+    ).astype(jnp.int32)
+    u24 = jax.lax.shift_right_logical(
+        mix.astype(jnp.uint32), jnp.uint32(8)
+    ).astype(jnp.int32).astype(jnp.float32)
+    take = vis & (
+        u24 * (jvis + 1).astype(jnp.float32)
+        < jnp.float32(v_slots) * jnp.float32(_TWO24)
+    )
+    slot = jnp.where(
+        jvis < jnp.int32(v_slots), jvis, mix & jnp.int32(v_slots - 1)
+    )
+    kidx = jax.lax.broadcasted_iota(jnp.int32, vb.shape, 0)
+    hit = take[None] & (kidx == slot[None])
+    return rsv, jnp.where(hit, bin_[None], vb)
 
 
 def _mh_bits(
@@ -367,6 +447,8 @@ def _make_kernel_mh(
     window: tuple,
     restart256: int,
     rep_cap: int,
+    canvas_wh: tuple,
+    visit_slots: int,
 ):
     """Build the MH kernel body. The iterate/terminate scaffolding
     mirrors pallas_kernels._make_kernel's thin-tracking path (see there
@@ -381,6 +463,13 @@ def _make_kernel_mh(
     dom_r0, dom_r1, dom_i0, dom_i1 = sample_domain
     span_r = dom_r1 - dom_r0
     span_i = dom_i1 - dom_i0
+    cv_w, cv_h = canvas_wh
+    bin_map = (
+        window[0], window[2],
+        cv_w / (window[1] - window[0]),
+        cv_h / (window[3] - window[2]),
+        cv_w, cv_h,
+    )
 
     def kernel(*refs):
         if rng != "bits":
@@ -388,10 +477,11 @@ def _make_kernel_mh(
              *_ins,
              kr_ref, ki_ref, cr_ref, ci_ref, zr_ref, zi_ref,
              sr_ref, si_ref, it_ref, sv_ref, dead_ref, vcnt_ref,
-             xkr_ref, xki_ref, xv_ref, xit_ref, rep_ref,
-             emit_k_ref, emit_it_ref, emit_rep_ref, emit_v_ref,
+             rsv_ref, xkr_ref, xki_ref, xv_ref, xit_ref, rep_ref,
+             vb_ref, xb_ref,
+             emit_it_ref, emit_rep_ref, emit_v_ref, emit_b_ref,
              stats_ref,
-             pend_kr, pend_ki, pend_it, pend_rep, pend_v,
+             pend_it, pend_rep, pend_v, pend_b,
              counters) = refs
             bits_ref = None
         else:
@@ -399,10 +489,11 @@ def _make_kernel_mh(
              *_ins,
              kr_ref, ki_ref, cr_ref, ci_ref, zr_ref, zi_ref,
              sr_ref, si_ref, it_ref, sv_ref, dead_ref, vcnt_ref,
-             xkr_ref, xki_ref, xv_ref, xit_ref, rep_ref,
-             emit_k_ref, emit_it_ref, emit_rep_ref, emit_v_ref,
+             rsv_ref, xkr_ref, xki_ref, xv_ref, xit_ref, rep_ref,
+             vb_ref, xb_ref,
+             emit_it_ref, emit_rep_ref, emit_v_ref, emit_b_ref,
              stats_ref,
-             pend_kr, pend_ki, pend_it, pend_rep, pend_v,
+             pend_it, pend_rep, pend_v, pend_b,
              counters) = refs
         chunk = pl.program_id(0)
         if rng == "hardware":
@@ -410,11 +501,10 @@ def _make_kernel_mh(
 
         @pl.when(chunk == 0)
         def _init_scratch():
-            pend_kr[...] = jnp.zeros_like(pend_kr)
-            pend_ki[...] = jnp.zeros_like(pend_ki)
             pend_it[...] = jnp.full_like(pend_it, -1)
             pend_rep[...] = jnp.zeros_like(pend_rep)
             pend_v[...] = jnp.zeros_like(pend_v)
+            pend_b[...] = jnp.zeros_like(pend_b)
             counters[...] = jnp.zeros_like(counters)
 
         min_i = jnp.int32(min_it)
@@ -432,15 +522,16 @@ def _make_kernel_mh(
 
         def step(widx, s):
             (kr, ki, cr, ci, zr, zi, sr, si, it, sv, dead, vcnt,
-             xkr, xki, xv, xit, rep,
-             p_kr, p_ki, p_it, p_rep, p_v,
+             rsv, xkr, xki, xv, xit, rep, vb, xb,
+             p_it, p_rep, p_v, p_b,
              n_drawn, n_cull, n_band, n_cyc, n_waste,
              n_acc, n_ovw, n_lost) = s
 
-            # --- inner window: thin tracking + in-window counting ---
+            # --- inner window: thin tracking + in-window counting +
+            # visit-bin reservoir recording (_record_visit) ---
             azr, azi = zr, zi
             nesc = jnp.zeros_like(it)
-            w_cnt = jnp.zeros_like(it)
+            jv = vcnt
             r2 = azr * azr
             i2 = azi * azi
             for _ in range(inner_unroll):
@@ -453,15 +544,20 @@ def _make_kernel_mh(
                 r2 = azr * azr
                 i2 = azi * azi
                 nesc = nesc + (r2 + i2 <= 4.0).astype(jnp.int32)
-                # Count updated positions inside the canvas window: the
-                # chain target v(c). Post-escape coast positions cannot
-                # land in a window within |z| <= 2 (escape is monotone
-                # growth past 2) and NaN compares false.
-                w_cnt = w_cnt + (
+                # Updated positions inside the canvas window drive the
+                # chain target v(c) AND are the deposit positions.
+                # Post-escape coast positions cannot land in a window
+                # within |z| <= 2 (escape is monotone growth past 2)
+                # and NaN compares false.
+                vis = (
                     (azr >= wx0) & (azr < wx1)
                     & (azi >= wy0) & (azi < wy1)
-                ).astype(jnp.int32)
-            vcnt_new = vcnt + w_cnt
+                )
+                rsv, vb = _record_visit(
+                    vis, azr, azi, jv, rsv, vb, bin_map
+                )
+                jv = jv + vis.astype(jnp.int32)
+            vcnt_new = jv
             esc_mask = nesc < jnp.int32(inner_unroll)
             needed = it + nesc
             if detect:
@@ -512,12 +608,12 @@ def _make_kernel_mh(
 
             # --- acceptance + reservoir emission + chain update (the
             # shared core, _mh_boundary) ---
-            (accept, xkr, xki, xv, xit, rep,
-             p_kr, p_ki, p_it, p_rep, p_v,
+            (accept, xkr, xki, xv, xit, rep, xb,
+             p_it, p_rep, p_v, p_b,
              d_merges, d_merged) = _mh_boundary(
                 fin, v_prop, needed, kr, ki,
-                xkr, xki, xv, xit, rep,
-                p_kr, p_ki, p_it, p_rep, p_v,
+                xkr, xki, xv, xit, rep, vb, xb,
+                p_it, p_rep, p_v, p_b,
                 rb_a, rb_b, rep_cap,
             )
             n_ovw = n_ovw + d_merges
@@ -587,8 +683,8 @@ def _make_kernel_mh(
             )
             n_acc = n_acc + jnp.where(accept, one, zero)
             return (kr, ki, cr, ci, zr, zi, sr, si, it, sv, dead, vcnt,
-                    xkr, xki, xv, xit, rep,
-                    p_kr, p_ki, p_it, p_rep, p_v,
+                    rsv, xkr, xki, xv, xit, rep, vb, xb,
+                    p_it, p_rep, p_v, p_b,
                     n_drawn, n_cull, n_band, n_cyc, n_waste,
                     n_acc, n_ovw, n_lost)
 
@@ -596,10 +692,9 @@ def _make_kernel_mh(
             kr_ref[...], ki_ref[...], cr_ref[...], ci_ref[...],
             zr_ref[...], zi_ref[...], sr_ref[...], si_ref[...],
             it_ref[...], sv_ref[...], dead_ref[...], vcnt_ref[...],
-            xkr_ref[...], xki_ref[...], xv_ref[...], xit_ref[...],
-            rep_ref[...],
-            pend_kr[...], pend_ki[...], pend_it[...], pend_rep[...],
-            pend_v[...],
+            rsv_ref[...], xkr_ref[...], xki_ref[...], xv_ref[...],
+            xit_ref[...], rep_ref[...], vb_ref[...], xb_ref[...],
+            pend_it[...], pend_rep[...], pend_v[...], pend_b[...],
             counters[STAT_DRAWN], counters[STAT_CULLED],
             counters[STAT_IN_BAND], counters[STAT_CYCLES],
             counters[STAT_WASTED], counters[STAT_MH_ACCEPT],
@@ -609,8 +704,8 @@ def _make_kernel_mh(
             0, steps_per_flush // inner_unroll, step, carry
         )
         (kr, ki, cr, ci, zr, zi, sr, si, it, sv, dead, vcnt,
-         xkr, xki, xv, xit, rep,
-         p_kr, p_ki, p_it, p_rep, p_v,
+         rsv, xkr, xki, xv, xit, rep, vb, xb,
+         p_it, p_rep, p_v, p_b,
          n_drawn, n_cull, n_band, n_cyc, n_waste,
          n_acc, n_ovw, n_lost) = carry
 
@@ -626,11 +721,14 @@ def _make_kernel_mh(
         sv_ref[...] = sv
         dead_ref[...] = dead
         vcnt_ref[...] = vcnt
+        rsv_ref[...] = rsv
         xkr_ref[...] = xkr
         xki_ref[...] = xki
         xv_ref[...] = xv
         xit_ref[...] = xit
         rep_ref[...] = rep
+        vb_ref[...] = vb
+        xb_ref[...] = xb
         counters[STAT_DRAWN] = n_drawn
         counters[STAT_CULLED] = n_cull
         counters[STAT_IN_BAND] = n_band
@@ -641,26 +739,24 @@ def _make_kernel_mh(
         counters[STAT_MH_MERGED_REP] = n_lost
         stats_ref[...] = counters[...]
 
-        emit_k_ref[0, 0] = p_kr
-        emit_k_ref[0, 1] = p_ki
         emit_it_ref[0] = p_it
         emit_rep_ref[0] = p_rep
         emit_v_ref[0] = p_v
-        pend_kr[...] = p_kr * 0.0
-        pend_ki[...] = p_ki * 0.0
+        emit_b_ref[0] = p_b
         pend_it[...] = jnp.full_like(p_it, -1)
         pend_rep[...] = jnp.zeros_like(p_rep)
         pend_v[...] = jnp.zeros_like(p_v)
+        pend_b[...] = jnp.zeros_like(p_b)
 
     return kernel
 
 
 class MhClassifyResult(NamedTuple):
     state: MhLaneState
-    emit_k: jax.Array  # (chunks, 2, R, 128) f32 — 24-bit GRID INDICES
     emit_it: jax.Array  # (chunks, R, 128) i32 — escape index, -1 invalid
     emit_rep: jax.Array  # (chunks, R, 128) i32 — tenure chain steps
-    emit_v: jax.Array  # (chunks, R, 128) i32 — the chain state's v
+    emit_v: jax.Array  # (chunks, R, 128) i32 — the chain's target t
+    emit_bins: jax.Array  # (chunks, V, R, 128) i32 — visit-bin reservoir
     stats: jax.Array  # (MH_STATS_ROWS, R, 128) i32 per-lane counters
 
 
@@ -669,7 +765,7 @@ class MhClassifyResult(NamedTuple):
     static_argnames=(
         "fractal", "min_it", "max_it", "steps_per_pass", "steps_per_flush",
         "cycle_detection", "interpret", "inner_unroll", "rng",
-        "sample_domain", "window", "restart256", "rep_cap",
+        "sample_domain", "window", "restart256", "rep_cap", "canvas_wh",
     ),
     donate_argnums=(0,),
 )
@@ -691,14 +787,18 @@ def classify_pass_mh(
     window: tuple = (-2.0, 2.0, -2.0, 2.0),
     restart256: int = 16,
     rep_cap: int = 4096,
+    canvas_wh: tuple = (1000, 1000),
 ) -> MhClassifyResult:
     """One MH chain pass: same call contract as
-    pallas_kernels.classify_pass with grid-index emissions plus a rep
-    row. ``window`` is the exact canvas bounds (the chain target);
+    pallas_kernels.classify_pass with visit-bin emissions plus rep and
+    target rows. ``window`` is the exact canvas bounds (the chain
+    target AND the bin map, with ``canvas_wh`` giving its pixel grid);
     ``restart256`` is the uniform-restart mixture weight in 1/256ths;
-    ``rep_cap`` bounds tenure batching. ``bits`` mode expects FOUR u32
-    words per boundary: mutation mantissas (2), acceptance word, and
-    the control word (signs/scales/restart)."""
+    ``rep_cap`` bounds tenure batching (validated <= 32767 upstream so
+    the u32 deposit arithmetic cannot overflow). ``bits`` mode expects
+    FOUR u32 words per boundary: mutation mantissas (2), acceptance
+    word, and the control word (signs/scales/restart). The reservoir
+    width (visit_slots) is carried by the state's vb/xb leading axis."""
     if steps_per_pass % steps_per_flush != 0:
         raise ValueError("steps_per_pass must be a multiple of steps_per_flush")
     if steps_per_flush % inner_unroll != 0:
@@ -710,7 +810,11 @@ def classify_pass_mh(
     chunks = steps_per_pass // steps_per_flush
     windows = steps_per_flush // inner_unroll
     lane_rows = state.kr.shape[0]
+    visit_slots = state.vb.shape[0]
+    if visit_slots & (visit_slots - 1):
+        raise ValueError("visit_slots must be a power of two")
     shape = (lane_rows, 128)
+    vshape = (visit_slots, lane_rows, 128)
     if rng is None:
         rng = "bits" if bits is not None else "threefry"
     if rng not in ("threefry", "hardware", "hardware_rw", "bits"):
@@ -730,16 +834,16 @@ def classify_pass_mh(
         window=window,
         restart256=restart256,
         rep_cap=rep_cap,
+        canvas_wh=canvas_wh,
+        visit_slots=visit_slots,
     )
 
     f32 = jnp.float32
     i32 = jnp.int32
     n_state = len(MhLaneState._fields)
-    int_fields = ("it", "sv", "dead", "vcnt", "xv", "xit", "rep")
     state_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_state
     out_state_shapes = [
-        jax.ShapeDtypeStruct(shape, i32 if f in int_fields else f32)
-        for f in MhLaneState._fields
+        jax.ShapeDtypeStruct(x.shape, x.dtype) for x in state
     ]
 
     seed = jnp.asarray(seed)
@@ -776,41 +880,40 @@ def classify_pass_mh(
         out_specs=[
             *state_specs,
             pl.BlockSpec(
-                (1, 2, lane_rows, 128),
+                (1, lane_rows, 128),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, lane_rows, 128),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, lane_rows, 128),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, visit_slots, lane_rows, 128),
                 lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, lane_rows, 128),
-                lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, lane_rows, 128),
-                lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, lane_rows, 128),
-                lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # stats (revisited)
         ],
         out_shape=[
             *out_state_shapes,
-            jax.ShapeDtypeStruct((chunks, 2, lane_rows, 128), f32),
             jax.ShapeDtypeStruct((chunks, lane_rows, 128), i32),
             jax.ShapeDtypeStruct((chunks, lane_rows, 128), i32),
             jax.ShapeDtypeStruct((chunks, lane_rows, 128), i32),
+            jax.ShapeDtypeStruct((chunks, visit_slots, lane_rows, 128), i32),
             jax.ShapeDtypeStruct((MH_STATS_ROWS, lane_rows, 128), i32),
         ],
         scratch_shapes=[
-            pltpu.VMEM(shape, f32),  # pend_kr
-            pltpu.VMEM(shape, f32),  # pend_ki
             pltpu.VMEM(shape, i32),  # pend_it
             pltpu.VMEM(shape, i32),  # pend_rep
             pltpu.VMEM(shape, i32),  # pend_v
+            pltpu.VMEM(vshape, i32),  # pend_b
             pltpu.VMEM((MH_STATS_ROWS,) + shape, i32),  # counters
         ],
         input_output_aliases={state_in_base + i: i for i in range(n_state)},
@@ -820,10 +923,10 @@ def classify_pass_mh(
     new_state = MhLaneState(*out[:n_state])
     return MhClassifyResult(
         state=new_state,
-        emit_k=out[n_state],
-        emit_it=out[n_state + 1],
-        emit_rep=out[n_state + 2],
-        emit_v=out[n_state + 3],
+        emit_it=out[n_state],
+        emit_rep=out[n_state + 1],
+        emit_v=out[n_state + 2],
+        emit_bins=out[n_state + 3],
         stats=out[n_state + 4],
     )
 
@@ -834,14 +937,16 @@ def classify_pass_mh(
 # a 2^24 grid in both kernels) over the df32 orbit arithmetic of
 # ops/pallas_kernels_ext, so MH signal recovery reaches the deep-zoom
 # windows (1e-4 .. ~1e-11) where uniform sampling starves hardest.
-# Emissions carry the window-grid indices plus (iters, rep, v); the
-# host reconstructs c in f64 and runs the weighted double-precision
-# native replay (tpubrot_replay_scatter_mh_f64).
+# Emissions carry (iters, rep, t, visit bins); deposits are the same
+# on-device scatter as the f32 kernel — bins are quantized from the
+# CENTER-RELATIVE df32 position, which stays sub-pixel-sharp at any
+# window depth (the absolute-coordinate ulp problem never enters).
 # ----------------------------------------------------------------------
 
 
 class ExtMhLaneState(NamedTuple):
-    """Per-lane df32 chain + proposal state, (R, 128) each."""
+    """Per-lane df32 chain + proposal state, (R, 128) each except the
+    (visit_slots, R, 128) visit-bin reservoirs vb/xb."""
 
     kr: jax.Array  # f32 proposal window-grid index (real)
     ki: jax.Array
@@ -859,15 +964,21 @@ class ExtMhLaneState(NamedTuple):
     sv: jax.Array  # i32
     dead: jax.Array  # i32
     vcnt: jax.Array  # i32 in-window updated positions (hi compare)
+    rsv: jax.Array  # i32 reservoir LCG state
     xkr: jax.Array  # f32 chain state window-grid index
     xki: jax.Array
     xv: jax.Array  # i32
     xit: jax.Array  # i32
     rep: jax.Array  # i32
+    vb: jax.Array  # i32 (V,R,128) proposal visit-bin reservoir
+    xb: jax.Array  # i32 (V,R,128) chain state visit-bin reservoir
 
 
-def init_ext_mh_lane_state(lane_rows: int) -> ExtMhLaneState:
+def init_ext_mh_lane_state(
+    lane_rows: int, visit_slots: int = 8
+) -> ExtMhLaneState:
     shape = (lane_rows, 128)
+    vshape = (visit_slots, lane_rows, 128)
     f = lambda v: jnp.full(shape, v, jnp.float32)
     i = lambda v: jnp.full(shape, v, jnp.int32)
     return ExtMhLaneState(
@@ -877,7 +988,10 @@ def init_ext_mh_lane_state(lane_rows: int) -> ExtMhLaneState:
         sr=f(_BIG), si=f(_BIG),
         it=i(0), sv=i(_SAVE0),
         dead=i(1), vcnt=i(0),
+        rsv=_init_rsv(shape),
         xkr=f(0.0), xki=f(0.0), xv=i(0), xit=i(-1), rep=i(0),
+        vb=jnp.zeros(vshape, jnp.int32),
+        xb=jnp.zeros(vshape, jnp.int32),
     )
 
 
@@ -894,6 +1008,8 @@ def _make_kernel_ext_mh(
     window: tuple,
     restart256: int,
     rep_cap: int,
+    canvas_wh: tuple,
+    visit_slots: int,
 ):
     """df32 MH kernel body: the ext kernel's inner window/refill
     structure (pallas_kernels_ext._make_kernel_ext — SMEM-riding df32
@@ -912,6 +1028,15 @@ def _make_kernel_ext_mh(
     n_windows = steps_per_flush // inner_unroll
     _, _, step_r, step_i = pke_mod.grid_params(sample_domain)
     two23 = pke_mod._TWO23
+    cv_w, cv_h = canvas_wh
+    # Bin map in the same CENTER-RELATIVE coordinates as the window
+    # test: dr spans [wx0, wx1) over cv_w pixels.
+    bin_map = (
+        window[0], window[2],
+        cv_w / (window[1] - window[0]),
+        cv_h / (window[3] - window[2]),
+        cv_w, cv_h,
+    )
 
     def kernel(*refs):
         if rng != "bits":
@@ -920,10 +1045,11 @@ def _make_kernel_ext_mh(
              kr_ref, ki_ref, crh_ref, crl_ref, cih_ref, cil_ref,
              zr_ref, zrl_ref, zi_ref, zil_ref, sr_ref, si_ref,
              it_ref, sv_ref, dead_ref, vcnt_ref,
-             xkr_ref, xki_ref, xv_ref, xit_ref, rep_ref,
-             emit_k_ref, emit_it_ref, emit_rep_ref, emit_v_ref,
+             rsv_ref, xkr_ref, xki_ref, xv_ref, xit_ref, rep_ref,
+             vb_ref, xb_ref,
+             emit_it_ref, emit_rep_ref, emit_v_ref, emit_b_ref,
              stats_ref,
-             pend_kr, pend_ki, pend_it, pend_rep, pend_v,
+             pend_it, pend_rep, pend_v, pend_b,
              counters) = refs
             bits_ref = None
         else:
@@ -932,10 +1058,11 @@ def _make_kernel_ext_mh(
              kr_ref, ki_ref, crh_ref, crl_ref, cih_ref, cil_ref,
              zr_ref, zrl_ref, zi_ref, zil_ref, sr_ref, si_ref,
              it_ref, sv_ref, dead_ref, vcnt_ref,
-             xkr_ref, xki_ref, xv_ref, xit_ref, rep_ref,
-             emit_k_ref, emit_it_ref, emit_rep_ref, emit_v_ref,
+             rsv_ref, xkr_ref, xki_ref, xv_ref, xit_ref, rep_ref,
+             vb_ref, xb_ref,
+             emit_it_ref, emit_rep_ref, emit_v_ref, emit_b_ref,
              stats_ref,
-             pend_kr, pend_ki, pend_it, pend_rep, pend_v,
+             pend_it, pend_rep, pend_v, pend_b,
              counters) = refs
         chunk = pl.program_id(0)
         c0rh_ = cref[0]
@@ -948,11 +1075,10 @@ def _make_kernel_ext_mh(
 
         @pl.when(chunk == 0)
         def _init_scratch():
-            pend_kr[...] = jnp.zeros_like(pend_kr)
-            pend_ki[...] = jnp.zeros_like(pend_ki)
             pend_it[...] = jnp.full_like(pend_it, -1)
             pend_rep[...] = jnp.zeros_like(pend_rep)
             pend_v[...] = jnp.zeros_like(pend_v)
+            pend_b[...] = jnp.zeros_like(pend_b)
             counters[...] = jnp.zeros_like(counters)
 
         min_i = jnp.int32(min_it)
@@ -977,16 +1103,17 @@ def _make_kernel_ext_mh(
         def step(widx, s):
             (kr, ki, crh, crl, cih, cil,
              zr, zrl, zi, zil, sr, si, it, sv, dead, vcnt,
-             xkr, xki, xv, xit, rep,
-             p_kr, p_ki, p_it, p_rep, p_v,
+             rsv, xkr, xki, xv, xit, rep, vb, xb,
+             p_it, p_rep, p_v, p_b,
              n_drawn, n_cull, n_band, n_cyc, n_waste,
              n_acc, n_ovw, n_lost) = s
 
             # --- inner window: df32 updates + thin tracking + window
-            # counting in center-relative coordinates ---
+            # counting + visit-bin recording, all in center-relative
+            # coordinates ---
             azr, azrl, azi, azil = zr, zrl, zi, zil
             nesc = jnp.zeros_like(it)
-            w_cnt = jnp.zeros_like(it)
+            jv = vcnt
             for _ in range(inner_unroll):
                 azr, azrl, azi, azil, mag2 = df32_ops.complex_sqr_add(
                     azr, azrl, azi, azil, crh, crl, cih, cil, rtz,
@@ -1000,11 +1127,13 @@ def _make_kernel_ext_mh(
                 # floor; far away it fails robustly either way.
                 dr = (azr - c0rh_) + (azrl - c0rl_)
                 di = (azi - c0ih_) + (azil - c0il_)
-                w_cnt = w_cnt + (
+                vis = (
                     (dr >= wx0) & (dr < wx1)
                     & (di >= wy0) & (di < wy1)
-                ).astype(jnp.int32)
-            vcnt_new = vcnt + w_cnt
+                )
+                rsv, vb = _record_visit(vis, dr, di, jv, rsv, vb, bin_map)
+                jv = jv + vis.astype(jnp.int32)
+            vcnt_new = jv
             esc_mask = nesc < jnp.int32(inner_unroll)
             needed = it + nesc
             if detect:
@@ -1054,12 +1183,12 @@ def _make_kernel_ext_mh(
             )
 
             # --- shared chain core ---
-            (accept, xkr, xki, xv, xit, rep,
-             p_kr, p_ki, p_it, p_rep, p_v,
+            (accept, xkr, xki, xv, xit, rep, xb,
+             p_it, p_rep, p_v, p_b,
              d_merges, d_merged) = _mh_boundary(
                 fin, v_prop, needed, kr, ki,
-                xkr, xki, xv, xit, rep,
-                p_kr, p_ki, p_it, p_rep, p_v,
+                xkr, xki, xv, xit, rep, vb, xb,
+                p_it, p_rep, p_v, p_b,
                 rb_a, rb_b, rep_cap,
             )
             n_ovw = n_ovw + d_merges
@@ -1130,8 +1259,8 @@ def _make_kernel_ext_mh(
             n_acc = n_acc + jnp.where(accept, one, zero)
             return (kr, ki, crh, crl, cih, cil,
                     zr, zrl, zi, zil, sr, si, it, sv, dead, vcnt,
-                    xkr, xki, xv, xit, rep,
-                    p_kr, p_ki, p_it, p_rep, p_v,
+                    rsv, xkr, xki, xv, xit, rep, vb, xb,
+                    p_it, p_rep, p_v, p_b,
                     n_drawn, n_cull, n_band, n_cyc, n_waste,
                     n_acc, n_ovw, n_lost)
 
@@ -1141,10 +1270,9 @@ def _make_kernel_ext_mh(
             zr_ref[...], zrl_ref[...], zi_ref[...], zil_ref[...],
             sr_ref[...], si_ref[...], it_ref[...], sv_ref[...],
             dead_ref[...], vcnt_ref[...],
-            xkr_ref[...], xki_ref[...], xv_ref[...], xit_ref[...],
-            rep_ref[...],
-            pend_kr[...], pend_ki[...], pend_it[...], pend_rep[...],
-            pend_v[...],
+            rsv_ref[...], xkr_ref[...], xki_ref[...], xv_ref[...],
+            xit_ref[...], rep_ref[...], vb_ref[...], xb_ref[...],
+            pend_it[...], pend_rep[...], pend_v[...], pend_b[...],
             counters[STAT_DRAWN], counters[STAT_CULLED],
             counters[STAT_IN_BAND], counters[STAT_CYCLES],
             counters[STAT_WASTED], counters[STAT_MH_ACCEPT],
@@ -1155,8 +1283,8 @@ def _make_kernel_ext_mh(
         )
         (kr, ki, crh, crl, cih, cil,
          zr, zrl, zi, zil, sr, si, it, sv, dead, vcnt,
-         xkr, xki, xv, xit, rep,
-         p_kr, p_ki, p_it, p_rep, p_v,
+         rsv, xkr, xki, xv, xit, rep, vb, xb,
+         p_it, p_rep, p_v, p_b,
          n_drawn, n_cull, n_band, n_cyc, n_waste,
          n_acc, n_ovw, n_lost) = carry
 
@@ -1176,11 +1304,14 @@ def _make_kernel_ext_mh(
         sv_ref[...] = sv
         dead_ref[...] = dead
         vcnt_ref[...] = vcnt
+        rsv_ref[...] = rsv
         xkr_ref[...] = xkr
         xki_ref[...] = xki
         xv_ref[...] = xv
         xit_ref[...] = xit
         rep_ref[...] = rep
+        vb_ref[...] = vb
+        xb_ref[...] = xb
         counters[STAT_DRAWN] = n_drawn
         counters[STAT_CULLED] = n_cull
         counters[STAT_IN_BAND] = n_band
@@ -1191,16 +1322,14 @@ def _make_kernel_ext_mh(
         counters[STAT_MH_MERGED_REP] = n_lost
         stats_ref[...] = counters[...]
 
-        emit_k_ref[0, 0] = p_kr
-        emit_k_ref[0, 1] = p_ki
         emit_it_ref[0] = p_it
         emit_rep_ref[0] = p_rep
         emit_v_ref[0] = p_v
-        pend_kr[...] = p_kr * 0.0
-        pend_ki[...] = p_ki * 0.0
+        emit_b_ref[0] = p_b
         pend_it[...] = jnp.full_like(p_it, -1)
         pend_rep[...] = jnp.zeros_like(p_rep)
         pend_v[...] = jnp.zeros_like(p_v)
+        pend_b[...] = jnp.zeros_like(p_b)
 
     return kernel
 
@@ -1210,7 +1339,7 @@ def _make_kernel_ext_mh(
     static_argnames=(
         "fractal", "min_it", "max_it", "steps_per_pass", "steps_per_flush",
         "cycle_detection", "interpret", "inner_unroll", "rng",
-        "sample_domain", "window", "restart256", "rep_cap",
+        "sample_domain", "window", "restart256", "rep_cap", "canvas_wh",
     ),
     donate_argnums=(0,),
 )
@@ -1232,13 +1361,14 @@ def classify_pass_ext_mh(
     window: tuple = (-2.0, 2.0, -2.0, 2.0),
     restart256: int = 16,
     rep_cap: int = 4096,
+    canvas_wh: tuple = (1000, 1000),
 ) -> MhClassifyResult:
     """Extended-precision MH chain pass: classify_pass_mh's contract
-    with df32 orbit state (emissions carry window-grid indices whose c
-    reconstruction lives in the f64 host replay decode). NOTE ``window``
+    with df32 orbit state. NOTE ``window``
     is CENTER-RELATIVE here — canvas bounds minus the exact f64 value
     of the df32 sample-window center (pallas_engine computes it) —
-    because absolute f32 bounds collapse below the center's ulp."""
+    because absolute f32 bounds collapse below the center's ulp; visit
+    bins are quantized in the same relative coordinates."""
     if steps_per_pass % steps_per_flush != 0:
         raise ValueError("steps_per_pass must be a multiple of steps_per_flush")
     if steps_per_flush % inner_unroll != 0:
@@ -1252,7 +1382,11 @@ def classify_pass_ext_mh(
     chunks = steps_per_pass // steps_per_flush
     windows = steps_per_flush // inner_unroll
     lane_rows = state.kr.shape[0]
+    visit_slots = state.vb.shape[0]
+    if visit_slots & (visit_slots - 1):
+        raise ValueError("visit_slots must be a power of two")
     shape = (lane_rows, 128)
+    vshape = (visit_slots, lane_rows, 128)
     if rng is None:
         rng = "bits" if bits is not None else "threefry"
     if rng not in ("threefry", "hardware", "hardware_rw", "bits"):
@@ -1272,16 +1406,16 @@ def classify_pass_ext_mh(
         window=window,
         restart256=restart256,
         rep_cap=rep_cap,
+        canvas_wh=canvas_wh,
+        visit_slots=visit_slots,
     )
 
     f32 = jnp.float32
     i32 = jnp.int32
     n_state = len(ExtMhLaneState._fields)
-    int_fields = ("it", "sv", "dead", "vcnt", "xv", "xit", "rep")
     state_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_state
     out_state_shapes = [
-        jax.ShapeDtypeStruct(shape, i32 if f in int_fields else f32)
-        for f in ExtMhLaneState._fields
+        jax.ShapeDtypeStruct(x.shape, x.dtype) for x in state
     ]
 
     seed = jnp.asarray(seed)
@@ -1327,41 +1461,40 @@ def classify_pass_ext_mh(
         out_specs=[
             *state_specs,
             pl.BlockSpec(
-                (1, 2, lane_rows, 128),
+                (1, lane_rows, 128),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, lane_rows, 128),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, lane_rows, 128),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, visit_slots, lane_rows, 128),
                 lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, lane_rows, 128),
-                lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, lane_rows, 128),
-                lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, lane_rows, 128),
-                lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # stats (revisited)
         ],
         out_shape=[
             *out_state_shapes,
-            jax.ShapeDtypeStruct((chunks, 2, lane_rows, 128), f32),
             jax.ShapeDtypeStruct((chunks, lane_rows, 128), i32),
             jax.ShapeDtypeStruct((chunks, lane_rows, 128), i32),
             jax.ShapeDtypeStruct((chunks, lane_rows, 128), i32),
+            jax.ShapeDtypeStruct((chunks, visit_slots, lane_rows, 128), i32),
             jax.ShapeDtypeStruct((MH_STATS_ROWS, lane_rows, 128), i32),
         ],
         scratch_shapes=[
-            pltpu.VMEM(shape, f32),  # pend_kr
-            pltpu.VMEM(shape, f32),  # pend_ki
             pltpu.VMEM(shape, i32),  # pend_it
             pltpu.VMEM(shape, i32),  # pend_rep
             pltpu.VMEM(shape, i32),  # pend_v
+            pltpu.VMEM(vshape, i32),  # pend_b
             pltpu.VMEM((MH_STATS_ROWS,) + shape, i32),  # counters
         ],
         input_output_aliases={state_in_base + i: i for i in range(n_state)},
@@ -1371,9 +1504,9 @@ def classify_pass_ext_mh(
     new_state = ExtMhLaneState(*out[:n_state])
     return MhClassifyResult(
         state=new_state,
-        emit_k=out[n_state],
-        emit_it=out[n_state + 1],
-        emit_rep=out[n_state + 2],
-        emit_v=out[n_state + 3],
+        emit_it=out[n_state],
+        emit_rep=out[n_state + 1],
+        emit_v=out[n_state + 2],
+        emit_bins=out[n_state + 3],
         stats=out[n_state + 4],
     )

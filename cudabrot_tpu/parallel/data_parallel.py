@@ -54,6 +54,36 @@ class DataParallelEngine:
             check_vma=False,
         )
         self._pass_fn = jax.jit(sharded, donate_argnums=0)
+        self._mh_tail_fn = None
+
+    def _flush_mh_tails(self, state) -> None:
+        """MH device engines: deposit every device's in-flight tenure
+        mass (PallasEngine.mh_tail_core, per device under shard_map)
+        and reset the retention counters. Works in multi-process runs —
+        each device flushes its own addressable chain state; no
+        cross-process reads exist."""
+        inner = self.inner
+        if not getattr(inner, "mh", False):
+            return
+        if getattr(inner, "_worker", None) is not None:
+            inner._flush_mh_tails(state)
+            return
+        if self._mh_tail_fn is None:
+            def per_device(s):
+                local = jax.tree.map(lambda x: x[0], s)
+                local = inner.mh_tail_core(local)
+                return jax.tree.map(lambda x: x[None], local)
+
+            self._mh_tail_fn = jax.jit(
+                jax.shard_map(
+                    per_device,
+                    mesh=self.mesh,
+                    in_specs=(P("devices"),),
+                    out_specs=P("devices"),
+                    check_vma=False,
+                )
+            )
+        state.update(self._mh_tail_fn(state))
 
     def init_state(self, hist0: np.ndarray | None):
         local = self.inner.init_state(None)
@@ -112,6 +142,7 @@ class DataParallelEngine:
         return self._pass_fn(state, pass_index)
 
     def histogram(self, state) -> np.ndarray:
+        self._flush_mh_tails(state)
         # The single cross-device histogram reduction (psum over ICI /
         # DCN under the hood); uint32 adds are exact. The replicated
         # output sharding makes the result addressable on every process.
@@ -163,6 +194,15 @@ class DataParallelEngine:
                     totals[k] = totals.get(k, 0) + v
         if hasattr(self.inner, "counter_stats"):
             extras.setdefault("replay", "device")
+        if (
+            getattr(self.inner, "mh", False)
+            and getattr(self.inner, "_worker", None) is None
+        ):
+            # Device-path MH: deposited mass is a summed device counter
+            # (PallasEngine.core); mirror the single-device stat surface.
+            extras["on_canvas_points"] = totals.get("mh_deposited", 0)
+            extras["weight_scale"] = self.inner.weight_scale
+            extras["mh_lost_weight"] = 0
         return {**totals, **extras}
 
 

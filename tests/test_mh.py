@@ -4,17 +4,22 @@ Correctness structure:
 
   * Config/validation: the MH surface rejects every unsupported
     combination loudly (oracle engine, float64 precision, step
-    tracking, canvas emit filter, row sharding, device replay).
+    tracking, canvas emit filter, row sharding).
   * Exact accounting: every deposited count is a fixed-point importance
-    weight; the histogram total must equal the worker's deposited-mass
-    tally exactly, and a run is bitwise reproducible at a fixed seed.
+    weight; the histogram total must equal the deposited-mass tally
+    exactly (device counter or host worker), and a run is bitwise
+    reproducible at a fixed seed. The jax (u32 long division) and
+    numpy (u64) deposit maths must agree exactly.
   * Bits-injection: driving the kernel with known randomness pins the
     restart/proposal mechanics (grid install, c reconstruction, chain
     seeding) exactly.
   * The headline contract: a normalized MH render of a crop must agree
     with a normalized UNIFORM render of the same configuration — MH is
     a different estimator of the same measure (the 1/v weights undo the
-    v-proportional stationary density; ops/pallas_kernels_mh.py).
+    v-proportional stationary density; ops/pallas_kernels_mh.py). The
+    uniform comparator runs a completely independent deposit path
+    (native host replay of its own emissions), so this also checks the
+    kernel-recorded visit BINS land where the measure says they must.
 """
 
 from __future__ import annotations
@@ -37,9 +42,10 @@ from cudabrot_tpu.io import native
 from cudabrot_tpu.models import fractals
 from cudabrot_tpu.ops import pallas_kernels_mh as pkm
 
+#: The uniform comparator (and the u64 host path) still replay through
+#: the native engine.
 needs_native = pytest.mark.skipif(
-    not (native.available() and native.supports_mh()),
-    reason="native MH replay unavailable",
+    not native.available(), reason="native replay unavailable"
 )
 
 # The seahorse-valley crop used across the crop-feature tests: selective
@@ -89,6 +95,17 @@ def test_validation_rejects_bad_combinations():
         EngineOptions(sampler="mh", mh_restart=300).validate()
     with pytest.raises(ConfigError, match="mh_rep_cap"):
         EngineOptions(sampler="mh", mh_rep_cap=1).validate()
+    # u32 deposit-arithmetic bounds (ops/binning.mh_deposit_weights).
+    with pytest.raises(ConfigError, match="mh_rep_cap"):
+        EngineOptions(sampler="mh", mh_rep_cap=40000).validate()
+    with pytest.raises(ConfigError, match="mh_visit_slots"):
+        EngineOptions(sampler="mh", mh_visit_slots=6).validate()
+    with pytest.raises(ConfigError, match="mh_visit_slots"):
+        EngineOptions(sampler="mh", mh_visit_slots=64).validate()
+    with pytest.raises(ConfigError, match="steps_per_flush"):
+        EngineOptions(
+            sampler="mh", steps_per_flush=1 << 17, steps_per_pass=1 << 17
+        ).validate()
 
 
 def test_make_engine_gates():
@@ -143,15 +160,26 @@ def test_anti_buddhabrot_mh():
     assert corr > 0.95, corr
 
 
-def test_device_replay_rejected():
-    with pytest.raises(ConfigError, match="host replay"):
-        PallasEngine(_mh_cfg(options={"replay": "device"}))
+@needs_native
+def test_replay_modes():
+    """MH auto-resolves to the fully device-resident deposit path (no
+    host worker); --replay host selects the numpy bins-deposit worker.
+    Both must produce identical histograms — the u32 long-division and
+    u64 deposit maths agree exactly by construction."""
+    dev = PallasEngine(_mh_cfg())
+    assert dev.replay_mode == "device" and dev._worker is None
+    host = PallasEngine(_mh_cfg(options={"replay": "host"}))
+    assert host.replay_mode == "host" and host._worker is not None
+    hd, sd = _run(dev, 3)
+    hh, sh = _run(host, 3)
+    np.testing.assert_array_equal(hd, hh)
+    assert int(hd.sum()) == sd["on_canvas_points"]
+    assert int(hh.sum()) == sh["on_canvas_points"]
 
 
 # ------------------------------------------------------------ accounting
 
 
-@needs_native
 def test_mass_accounting_and_determinism():
     """hist total == deposited mass (every count is an exact fixed-point
     weight); identical seeds give bitwise-identical histograms."""
@@ -166,7 +194,6 @@ def test_mass_accounting_and_determinism():
     np.testing.assert_array_equal(h1, h2)
 
 
-@needs_native
 def test_burnin_discards_early_deposits():
     """More burn-in passes => strictly less deposited mass at the same
     pass count (the chains advance, their emissions are dropped)."""
@@ -175,7 +202,6 @@ def test_burnin_discards_early_deposits():
     assert int(h0.sum()) > int(h2.sum()) > 0
 
 
-@needs_native
 def test_burnin_only_run_deposits_nothing():
     """A run that never leaves burn-in must leave a ZERO histogram: the
     payload discard alone is not enough — in-flight tenure mass (rep
@@ -186,67 +212,61 @@ def test_burnin_only_run_deposits_nothing():
     assert int(h.sum()) == 0, int(h.sum())
 
 
-@needs_native
-def test_native_weight_split_exact():
-    """The native weighted replay distributes rep * scale exactly over
-    the orbit's on-canvas points (base + spread remainder), including
-    the rep*scale < v case a naive rounding would zero out."""
-    # c = 0 stays at 0 forever; pick an escaping sample with a known
-    # long-ish canvas residence: replay onto a full-domain canvas so
-    # every pre-escape point lands.
-    cr = np.array([-0.5], np.float32)
-    ci = np.array([0.55], np.float32)
-    iters = np.array([30], np.int32)
-    reps = np.array([1], np.int32)
-    # The kernel's v for this orbit: all 31 recorded points land on the
-    # full-domain canvas, so the shipped v equals the replay's count and
-    # the deposit must total exactly rep * scale.
-    vks = np.array([31], np.int32)
-    hist = np.zeros((64, 64), np.uint32)
-    hits, points, lost = native.replay_scatter_mh(
-        cr, ci, iters, reps, vks, hist,
-        width=64, height=64, min_real=-2.0, min_imag=-2.0,
-        delta_real=4.0 / 64, delta_imag=4.0 / 64,
-        weight_scale=256,
-    )
-    assert points == 31
-    assert lost == 0
-    assert hits == 256  # floor(31 * 256 / 31): all deposited
-    assert int(hist.sum()) == 256
-    # Bresenham spread, asserted for real: replay the same orbit in
-    # numpy (same f32 expression as the native scalar path) to learn
-    # the exact per-bin visit counts, then require every bin's deposit
-    # to be its visits * (256/31) within one unit per visit.
-    base, = (256 // 31,)
-    zr, zi = np.float32(cr[0]), np.float32(ci[0])
-    visits: dict[int, int] = {}
-    for _ in range(31):
-        nzr = zr * zr - zi * zi + np.float32(cr[0])
-        nzi = np.float32(2.0) * zr * zi + np.float32(ci[0])
-        zr, zi = nzr, nzi
-        col = int((zr - np.float32(-2.0)) / np.float32(4.0 / 64))
-        row = int((zi - np.float32(-2.0)) / np.float32(4.0 / 64))
-        if 0 <= col < 64 and 0 <= row < 64:
-            b = row * 64 + col
-            visits[b] = visits.get(b, 0) + 1
-    assert sum(visits.values()) == 31
-    flat = hist.reshape(-1)
-    for b, k in visits.items():
-        assert k * base <= int(flat[b]) <= k * (base + 1), (b, k, flat[b])
-    assert set(np.flatnonzero(flat)) == set(visits)
+def test_deposit_weight_math_exact():
+    """The u32 long-division deposit (ops/binning.mh_deposit_weights)
+    must equal the exact integer q = floor(v * rep * 65536 / t) at
+    every bound-respecting input, its Bresenham spread must sum to q
+    exactly, and the numpy (u64) twin must agree — the host and device
+    deposit paths are bitwise interchangeable."""
+    from cudabrot_tpu.engines.host_replay import mh_deposit_numpy
+    from cudabrot_tpu.ops import binning
 
-    # A mismatched v (kernel saw more in-window points than replay
-    # deposits) scales the total down proportionally: 31 points at
-    # weight 256/62 each.
-    hist2 = np.zeros((64, 64), np.uint32)
-    hits2, _, lost2 = native.replay_scatter_mh(
-        cr, ci, iters, reps, np.array([62], np.int32), hist2,
-        width=64, height=64, min_real=-2.0, min_imag=-2.0,
-        delta_real=4.0 / 64, delta_imag=4.0 / 64,
-        weight_scale=256,
+    rng = np.random.default_rng(11)
+    # Cover the documented extremes: v in [1, 32767] (t = 256v+1), rep
+    # in [1, 98303] (rep_cap 32767 + a 65536-step flush window's merge
+    # mass), plus tiny cases where rep*scale < v (sub-unit weights).
+    v = np.concatenate(
+        [
+            np.array([1, 1, 2, 3, 32767, 32767], np.int64),
+            rng.integers(1, 32768, size=200),
+        ]
     )
-    assert hits2 == (31 * 256) // 62 == int(hist2.sum())
-    assert lost2 == 0
+    rep = np.concatenate(
+        [
+            np.array([1, 98303, 1, 7, 1, 98303], np.int64),
+            rng.integers(1, 98304, size=200),
+        ]
+    )
+    t = (256 * v + 1).astype(np.int32)
+    for slots in (2, 8, 32):
+        d, n, q = jax.jit(
+            binning.mh_deposit_weights, static_argnums=2
+        )(jnp.asarray(t), jnp.asarray(rep.astype(np.int32)), slots)
+        d, n, q = np.asarray(d), np.asarray(n), np.asarray(q)
+        want_q = (v * rep * 65536) // (256 * v + 1)
+        np.testing.assert_array_equal(q.astype(np.int64), want_q)
+        np.testing.assert_array_equal(n, np.minimum(v, slots))
+        np.testing.assert_array_equal(d.sum(axis=0).astype(np.int64),
+                                      want_q)
+        # Spread flatness: every recorded bin within one unit of q/n.
+        live = np.arange(slots)[:, None] < n[None]
+        lo = (q // n.astype(np.uint32))[None]
+        assert (d[live] >= np.broadcast_to(lo, d.shape)[live] - 0).all()
+        assert (d[live] <= np.broadcast_to(lo, d.shape)[live] + 1).all()
+        # numpy twin: deposit on distinct bins, totals must match q.
+        hist = np.zeros(slots * len(t), np.uint64)
+        bins = (
+            np.arange(slots)[:, None] * len(t) + np.arange(len(t))[None]
+        ).astype(np.int32)
+        hits, deposits = mh_deposit_numpy(
+            hist, bins, t, rep.astype(np.int32)
+        )
+        assert hits == int(want_q.sum())
+        assert deposits == int(np.minimum(v, slots).sum())
+        np.testing.assert_array_equal(
+            hist.reshape(slots, len(t))[live].astype(np.int64),
+            d[live].astype(np.int64),
+        )
 
 
 @needs_native
@@ -367,10 +387,22 @@ def test_chain_state_consistency_after_many_windows():
     assert valid.any()
     assert (em_rep[valid] >= 1).all()
     assert (em_it[valid] >= 5).all() and (em_it[valid] < 200).all()
-    # Grid indexes in range.
-    em_k = np.asarray(res.emit_k)
-    kr = em_k[:, 0][valid]
-    assert ((kr >= 0) & (kr < 1 << 24)).all()
+    # Emitted targets are bridge-form (t = 256v + 1 with v >= 1) and the
+    # recorded visit bins are canvas-valid for every live slot.
+    em_v = np.asarray(res.emit_v)
+    assert ((em_v[valid] - 1) % 256 == 0).all()
+    assert (em_v[valid] > 1).all()
+    em_b = np.asarray(res.emit_bins)  # (chunks, V, R, 128)
+    slots = em_b.shape[1]
+    v_cnt = (em_v[valid] - 1) // 256
+    n_rec = np.minimum(v_cnt, slots)
+    # Gather per-valid-slot recorded bins: move V next to last.
+    bins_v = np.moveaxis(em_b, 1, -1)[valid]  # (n_valid, V)
+    kmask = np.arange(slots)[None] < n_rec[:, None]
+    live_bins = bins_v[kmask]
+    # window == full domain canvas here (1000x1000 default canvas_wh).
+    assert (live_bins >= 0).all()
+    assert (live_bins < 1000 * 1000).all()
 
 
 # ------------------------------------------------- estimator correctness
@@ -452,7 +484,6 @@ def test_mh_matches_uniform_measure():
     assert abs(ratio - 1) < 0.1, ratio
 
 
-@needs_native
 def test_reservoir_merge_conserves_mass():
     """Pending-slot collisions are reservoir MERGES, not overwrites:
     the total deposited tenure mass must equal the total chain steps
@@ -515,7 +546,6 @@ def _deep_cfg(span, sampler="mh", precision="extended", **kw):
     )
 
 
-@needs_native
 def test_ext_mh_accounting_and_determinism():
     """Extended MH at a 2e-5 window (far below f32's usable floor):
     exact deposit accounting and bitwise reproducibility, like the f32
@@ -544,7 +574,6 @@ def test_ext_mh_signal_dominates_uniform_at_deep_window():
     assert mh_mass > 50 * max(un_mass, 1), (mh_mass, un_mass)
 
 
-@needs_native
 def test_ext_mh_matches_f32_mh_measure():
     """Cross-precision consistency: at a 1e-3 window (above f32's
     quantization floor) the df32 MH render must agree with the f32 MH
@@ -593,7 +622,6 @@ def test_ext_mh_matches_f32_mh_measure():
 # ------------------------------------------------- multi-device MH
 
 
-@needs_native
 def test_mh_data_parallel_accounting():
     """MH under multi-device data parallelism: per-device chains with
     distinct RNG ordinals stream to the shared worker; deposit
@@ -615,7 +643,6 @@ def test_mh_data_parallel_accounting():
     np.testing.assert_array_equal(h, h2)
 
 
-@needs_native
 def test_mh_bridge_seeds_tiny_window_from_full_domain():
     """The ergodicity bridge's reason to exist
     (ops/pallas_kernels_mh.py "ergodicity bridge"): at a tiny window
@@ -640,7 +667,6 @@ def test_mh_bridge_seeds_tiny_window_from_full_domain():
     assert int(h.sum()) == s["on_canvas_points"]
 
 
-@needs_native
 def test_mh_burning_ship():
     """MH over the burning-ship map: fold_abs rides the inner loop and
     the native weighted replay's kBurningShip path; no cycle detection

@@ -6,7 +6,7 @@ emitter both contract the multiply-add pairs into FMAs (measured:
 benchmarks/fma_probe.py — Pallas-on-TPU bit-matches a strict numpy
 loop for 512 iterations while XLA-CPU bit-matches the gcc-contracted
 native build). Estimators that condition kernel-side selection on the
-kernel's own trajectory (MH acceptance, the canvas emit filter) need
+kernel's own trajectory (the canvas emit filter) need
 the native replay to BIT-MATCH the kernel stream, so the native
 library carries both arithmetic variants behind flags bit 1
 (csrc/tpubrot_native.cpp "strict") and the engine selects strict for
@@ -143,63 +143,6 @@ def test_strict_uint64_hist(payload):
     assert np.array_equal(u32.astype(np.uint64), u64)
 
 
-def test_strict_mh_replay_matches_numpy(payload):
-    """MH weighted replay under strict arithmetic: every deposit lands
-    on the strict-trajectory bins, with the Bresenham weight spread
-    conserving each emission's mass exactly (native ReplayRangeMh)."""
-    cr, ci, iters = payload
-    live = iters >= 0
-    cr_l, ci_l, it_l = cr[live], ci[live], iters[live]
-    n = len(cr_l)
-    rng = np.random.default_rng(5)
-    reps = rng.integers(1, 9, n).astype(np.int32)
-    scale = 256
-    # v = the strict trajectory's true on-canvas count, what a
-    # bit-matched kernel would have shipped.
-    per = [
-        _replay_strict_numpy(cr_l[j:j + 1], ci_l[j:j + 1], it_l[j:j + 1])
-        for j in range(n)
-    ]
-    vks = np.array([int(p.sum()) for p in per], np.int32)
-    hist = np.zeros((H, W), np.uint32)
-    hits, _points, lost = native.replay_scatter_mh(
-        cr_l, ci_l, it_l, reps, np.maximum(vks, 1), hist,
-        weight_scale=scale, strict=True, num_threads=1, **CANVAS,
-    )
-    # With v taken from the matching strict trajectory, no emission with
-    # v > 0 can lose mass, and each deposits exactly rep*scale (the
-    # Bresenham walk over v points of weight rep*scale/v).
-    expect = np.zeros((H, W), np.uint64)
-    lost_expect = 0
-    for j in range(n):
-        v = int(vks[j])
-        w_total = int(reps[j]) * scale
-        if v == 0:
-            lost_expect += w_total
-            continue
-        expect += per[j] * np.uint64(w_total // v)
-        # Bresenham remainder: spread over the visit order — total mass
-        # is exact, per-bin asserted via the total and the v-divisible
-        # subset below.
-    assert lost == lost_expect
-    assert int(hist.sum()) == sum(
-        int(reps[j]) * scale for j in range(n) if vks[j] > 0
-    )
-    assert hits == int(hist.sum())
-    # Exact per-bin check on the remainder-free subset.
-    sub = [j for j in range(n) if vks[j] > 0
-           and (int(reps[j]) * scale) % int(vks[j]) == 0]
-    hist2 = np.zeros((H, W), np.uint32)
-    native.replay_scatter_mh(
-        cr_l[sub], ci_l[sub], it_l[sub], reps[sub], vks[sub], hist2,
-        weight_scale=scale, strict=True, num_threads=1, **CANVAS,
-    )
-    expect2 = np.zeros((H, W), np.uint64)
-    for j in sub:
-        expect2 += per[j] * np.uint64(int(reps[j]) * scale // int(vks[j]))
-    assert np.array_equal(hist2.astype(np.uint64), expect2)
-
-
 def test_engine_selects_strict_on_tpu_only(monkeypatch):
     """The worker runs strict exactly when the kernel compiled under
     Mosaic (TPU) AND the estimator needs stream agreement (MH / canvas
@@ -229,7 +172,10 @@ def test_engine_selects_strict_on_tpu_only(monkeypatch):
         finally:
             eng._worker.close()
 
+    # MH never uses strict replay anymore: its deposits are
+    # kernel-recorded bins (ops/pallas_kernels_mh.py), not replayed
+    # trajectories — so even TPU-classified MH payloads skip strict.
     assert build("cpu", sampler="mh") is False
-    assert build("tpu", sampler="mh") is True
+    assert build("tpu", sampler="mh") is False
     assert build("tpu", emit_filter="canvas") is True
     assert build("tpu") is False  # plain uniform: statistical contract
