@@ -70,10 +70,14 @@ def measure(sampler: str, span: float, seconds: float, seed: int = 1337):
 
     from cudabrot_tpu.engines.pallas_engine import PallasEngine
 
+    print(f"[mh_ab] leg start: {sampler} seed={seed}", file=sys.stderr,
+          flush=True)
     engine = PallasEngine(_cfg(span, sampler, seed))
     state = engine.init_state(None)
     engine.warmup(state)
     state = engine.init_state(None)
+    print(f"[mh_ab] leg warm: {sampler} seed={seed}", file=sys.stderr,
+          flush=True)
 
     t0 = time.monotonic()
     p = 0

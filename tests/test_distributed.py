@@ -180,6 +180,94 @@ def test_two_processes_host_replay_match_single_process(tmp_path):
     np.testing.assert_array_equal(h_multi, h_single)
 
 
+def test_two_processes_mh_match_single_process(tmp_path):
+    """Multi-process Metropolis-Hastings: chains run per-device, deposits
+    are on-device scatters of kernel-recorded visit bins, and histogram()
+    flushes each process's addressable tenure tails — so a 2-process run
+    must be bitwise identical to the single-process 8-device run, and no
+    mass may be lost anywhere (mh_lost_weight == 0, deposited mass ==
+    histogram sum)."""
+    import json
+
+    def args(out_dir: str) -> list[str]:
+        return [
+            "--sampler", "mh", "--center", "-0.7436,0.1319",
+            "--span", "6e-3",
+            "-w", "32", "-h", "32", "-m", "300", "-c", "20",
+            "--passes", "2", "-t", "-1", "--mh-burnin", "1",
+            "--engine", "pallas",
+            "--lane-rows", "8", "--steps-per-pass", "2048",
+            "--steps-per-flush", "64", "--inner-unroll", "4",
+            "--devices", "all",
+            "-o", os.path.join(out_dir, "out.pgm"),
+            "-s", os.path.join(out_dir, "state.ckpt"),
+            "--stats-json", os.path.join(out_dir, "stats.json"),
+        ]
+
+    base_env = dict(os.environ)
+    base_env["PYTHONPATH"] = REPO + os.pathsep + base_env.get(
+        "PYTHONPATH", ""
+    )
+    base_env.pop("CUDABROT_COORDINATOR", None)
+
+    single_dir = tmp_path / "single"
+    single_dir.mkdir()
+    res = _run(["8", *args(str(single_dir))], base_env)
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    multi_dir = tmp_path / "multi"
+    multi_dir.mkdir()
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(base_env)
+        env["CUDABROT_COORDINATOR"] = f"127.0.0.1:{port}"
+        env["CUDABROT_NUM_PROCESSES"] = "2"
+        env["CUDABROT_PROCESS_ID"] = str(pid)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", CHILD, "4",
+                 *args(str(multi_dir))],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, (out[-1000:], err[-2000:])
+
+    from cudabrot_tpu.config import (
+        Canvas,
+        EngineOptions,
+        IterationBand,
+        RenderConfig,
+    )
+    from cudabrot_tpu.io import checkpoint as ckpt
+
+    cx, cy, half = -0.7436, 0.1319, 6e-3 / 2
+    cfg = RenderConfig(
+        canvas=Canvas(width=32, height=32,
+                      min_real=cx - half, max_real=cx + half,
+                      min_imag=cy - half, max_imag=cy + half),
+        band=IterationBand(max_escape_iterations=300,
+                           min_escape_iterations=20),
+        sample_domain=(cx - 4 * 6e-3, cx + 4 * 6e-3,
+                       cy - 4 * 6e-3, cy + 4 * 6e-3),
+        options=EngineOptions(sampler="mh"),
+    )
+    h_single, _ = ckpt.load(str(single_dir / "state.ckpt"), cfg)
+    h_multi, _ = ckpt.load(str(multi_dir / "state.ckpt"), cfg)
+    assert h_single.sum() > 0
+    np.testing.assert_array_equal(h_multi, h_single)
+
+    # Mass conservation on both topologies: every unit of chain mass the
+    # kernel emitted is on the canvas, none forfeited in flight.
+    for d in (single_dir, multi_dir):
+        st = json.loads((d / "stats.json").read_text())
+        assert st["mh_lost_weight"] == 0
+        assert st["on_canvas_points"] == int(h_single.sum())
+
+
 def test_sigint_on_nonprimary_stops_distributed_render(tmp_path):
     """A SIGINT delivered to a NON-primary process must stop the whole
     distributed render (driver or-reduces local stop requests across
