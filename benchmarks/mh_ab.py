@@ -84,6 +84,13 @@ def measure(sampler: str, span: float, seconds: float, seed: int = 1337):
     while time.monotonic() - t0 < seconds:
         state = engine.run_pass(state, p)
         p += 1
+        # Throttle like driver.run_render: MH device mode has no host
+        # worker backpressure, so an unthrottled loop enqueues ~1800
+        # async passes in 45 s and the trailing block_until_ready
+        # "hangs" for their full drain time (observed: 45 s legs that
+        # ran for 50+ minutes).
+        if p % 2 == 0:
+            jax.block_until_ready(state)
     jax.block_until_ready(state)
     wall = time.monotonic() - t0
     hist = engine.histogram(state)

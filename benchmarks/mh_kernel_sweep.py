@@ -88,6 +88,11 @@ def main() -> int:
         while time.monotonic() - t0 < seconds:
             state = engine.run_pass(state, p)
             p += 1
+            # Throttle like driver.run_render (pipeline depth 2): MH
+            # device mode has no host-worker backpressure, and an
+            # unthrottled loop enqueues minutes-to-hours of async passes.
+            if p % 2 == 0:
+                jax.block_until_ready(state)
         jax.block_until_ready(state)
         if engine._worker is not None:
             engine._worker.drain()

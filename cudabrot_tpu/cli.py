@@ -95,7 +95,8 @@ TPU-native extensions:
              spelling:
              --precision extended --center -0.743644,0.131826 --span 1e-5
   --engine <name>: auto (default), pallas, or oracle.
-  --scatter <name>: histogram accumulation backend: auto (default)
+  --scatter <name>: histogram accumulation backend: auto (default),
+             pallas (Mosaic RMW kernel, VMEM-resident canvases),
              or xla.
   --precision <p>: float32 (default), float64 (oracle engine only),
              or extended — double-float (~2^-48) TPU deep-zoom

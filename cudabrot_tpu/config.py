@@ -274,7 +274,7 @@ class EngineOptions:
     def validate(self) -> None:
         if self.engine not in ("auto", "oracle", "pallas"):
             raise ConfigError(f"Unknown engine: {self.engine}")
-        if self.scatter not in ("auto", "xla"):
+        if self.scatter not in ("auto", "xla", "pallas"):
             hint = (
                 " (the sort backend was removed: measured slower than "
                 "scatter-add everywhere on TPU; see ops/binning.py)"

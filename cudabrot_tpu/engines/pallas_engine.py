@@ -457,6 +457,7 @@ def _blocked_replay(
     chunk: int,
     block: int,
     backend: str,
+    interpret: bool = False,
     bin_fn=None,
 ):
     """Replay length-sorted batches block-by-block with early exits.
@@ -503,7 +504,7 @@ def _blocked_replay(
             (zr, zi, _), ids = jax.lax.scan(
                 substep, (zr, zi, base), None, length=chunk
             )
-            hist = binning.scatter_ids(hist, ids, backend)
+            hist = binning.scatter_ids(hist, ids, backend, interpret=interpret)
             return (base + chunk, zr, zi, hist)
 
         _, _, _, hist = jax.lax.while_loop(
@@ -529,6 +530,7 @@ def _blocked_replay_ext(
     dfc,
     step_r: float,
     step_i: float,
+    interpret: bool = False,
     bin_fn=None,
 ):
     """Extended-precision (df32) blocked replay for deep-zoom renders.
@@ -598,7 +600,7 @@ def _blocked_replay_ext(
             (zr, zrl, zi, zil, _), ids = jax.lax.scan(
                 substep, (zr, zrl, zi, zil, base), None, length=chunk
             )
-            hist = binning.scatter_ids(hist, ids, backend)
+            hist = binning.scatter_ids(hist, ids, backend, interpret=interpret)
             return (base + chunk, zr, zrl, zi, zil, hist)
 
         # Orbits start at z = c (cudabrot.cu:323-324) — df32 copy.
@@ -1101,6 +1103,7 @@ class PallasEngine:
                 chunk=tn.replay_chunk,
                 block=tn.replay_block,
                 backend=self.scatter_backend,
+                interpret=self.interpret,
             )
             new_state["hist"] = hist_flat.reshape(cfg.canvas.shape)
             # Exact u64 pair: one interior-mode pass can replay > 2^32
@@ -1171,6 +1174,7 @@ class PallasEngine:
                 chunk=tn.replay_chunk,
                 block=tn.replay_block,
                 backend=self.scatter_backend,
+                interpret=self.interpret,
                 dfc=new_state["dfc"],
                 step_r=self._df_step[0],
                 step_i=self._df_step[1],
@@ -1186,6 +1190,7 @@ class PallasEngine:
                 chunk=tn.replay_chunk,
                 block=tn.replay_block,
                 backend=self.scatter_backend,
+                interpret=self.interpret,
             )
         new_state = dict(new_state)
         new_state["hist"] = hist_flat.reshape(cfg.canvas.shape)

@@ -19,9 +19,12 @@ VERDICT r2 weak #4 adjudicated it dead config surface).
 
 from __future__ import annotations
 
+import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from cudabrot_tpu.config import Canvas
 
@@ -148,6 +151,158 @@ def points_to_bin_ids_df_sharded(
     return jnp.where(ok, flat, row_count * canvas.width)
 
 
+def _pallas_scatter_kernel(ids_ref, hist_in_ref, hist_ref, *slot_sc,
+                           chunk: int, slots: int, nsteps: int,
+                           control: bool = False):
+    """Sequential dynamic-row RMW deposit into a VMEM-resident histogram.
+
+    The reference increments its histogram in-kernel on the accelerator
+    (IncrementPixelCounter, cudabrot.cu:302-314, racy atomics-free adds);
+    XLA's scatter emulation of that runs at ~1.0-1.5e8 ids/s on TPU (the
+    "scatter wall", benchmarks/PERF_NOTES.md). This kernel does the same
+    deposit as a hand-scheduled Mosaic loop: a point's bin maps to
+    (row, lane) = (b >> 7, b & 127) of the (rows, 128) histogram layout,
+    and the deposit is a dynamic-row read-modify-write with a lane
+    one-hot add.
+
+    Ids stream through SMEM in grid-pipelined ``chunk``-sized blocks:
+    Mosaic only allows *scalar* loads from SMEM (a dynamic lane index
+    into VMEM fails to compile), and the sequential TPU grid overlaps
+    each block's DMA with the previous block's deposit loop. ``slots``
+    > 1 interleaves that loop over private histogram copies (slot 0 is
+    the aliased output itself), giving the scheduler provably-disjoint
+    RMW chains to pipeline; the copies dense-merge in VMEM on the last
+    grid step.
+
+    Sentinel ids (== padded-layout positions >= num_bins) land in pad
+    cells that the caller never reads back, so the loop is branch-free.
+    ``control`` (probe only) pins the RMW to row 0, measuring the
+    loop+scalar-load floor.
+    """
+    del hist_in_ref  # aliased with hist_ref (pre-filled output)
+    step = pl.program_id(0)
+    if slot_sc:
+        @pl.when(step == 0)
+        def _zero_slots():
+            for sc in slot_sc:
+                sc[...] = jnp.zeros_like(sc)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    per = chunk // slots
+
+    def body(k, _):
+        for s in range(slots):
+            b = ids_ref[s * per + k]
+            row = jax.lax.shift_right_logical(b, jnp.int32(7))
+            lane = jnp.bitwise_and(b, jnp.int32(127))
+            if control:
+                row = jnp.int32(0)
+            oh = (iota == lane).astype(jnp.int32)
+            tgt = hist_ref if s == 0 else slot_sc[s - 1]
+            cur = tgt[pl.ds(row, 1), :]
+            tgt[pl.ds(row, 1), :] = cur + oh
+        return 0
+
+    jax.lax.fori_loop(0, per, body, 0)
+
+    if slot_sc:
+        @pl.when(step == nsteps - 1)
+        def _merge_slots():
+            for sc in slot_sc:
+                hist_ref[...] = hist_ref[...] + sc[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("slots", "chunk", "interpret", "control"),
+    donate_argnums=0,
+)
+def _pallas_scatter_call(hist2d, ids, slots: int, chunk: int,
+                         interpret: bool, control: bool):
+    n = ids.shape[0]
+    nsteps = n // chunk
+    rows_pad = hist2d.shape[0]
+    kern = functools.partial(
+        _pallas_scatter_kernel, chunk=chunk, slots=slots, nsteps=nsteps,
+        control=control,
+    )
+    whole = pl.BlockSpec(
+        (rows_pad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),
+            whole,
+        ],
+        out_specs=whole,
+        out_shape=jax.ShapeDtypeStruct((rows_pad, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((rows_pad, 128), jnp.int32)]
+        * (slots - 1),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(ids, hist2d)
+
+
+#: Conservative VMEM budget for the pallas scatter backend: histogram
+#: copies (slots * bytes) + id staging must fit comfortably under the
+#: v5e's 128 MB VMEM alongside Mosaic's own overheads.
+PALLAS_SCATTER_VMEM_BUDGET = 80 * 1024 * 1024
+#: Private-histogram copies (measured sweet spot; see
+#: benchmarks/pallas_scatter_probe.py results in PERF_NOTES.md).
+PALLAS_SCATTER_SLOTS = 4
+#: Whether "auto" may pick the Mosaic kernel on TPU. Stays False until
+#: the silicon probe proves it beats XLA scatter-add at production
+#: configurations (--scatter pallas opts in regardless).
+PALLAS_SCATTER_AUTO = False
+
+
+def pallas_scatter_rows(nbins: int) -> int:
+    """Padded (rows, 128) layout height for an nbins histogram: covers
+    the sentinel id == nbins in a pad cell the caller never reads."""
+    return nbins // 128 + 1
+
+
+def scatter_pallas(hist_flat, ids, *, slots: int = 0, chunk: int = 2048,
+                   interpret=False, control=False):
+    """Scatter-add ones at ``ids`` via the Mosaic RMW kernel.
+
+    Bitwise-identical results to scatter_xla (both are exact integer
+    adds; the deposit order differs but addition commutes). ``ids`` may
+    be any shape; sentinel == hist_flat.shape[0] is dropped. The caller
+    is responsible for the VMEM-residency check (select_scatter_backend).
+    """
+    nbins = hist_flat.shape[0]
+    rows_pad = pallas_scatter_rows(nbins)
+    if slots <= 0:
+        slots = PALLAS_SCATTER_SLOTS
+        while slots > 1 and slots * rows_pad * 512 > PALLAS_SCATTER_VMEM_BUDGET:
+            slots //= 2
+    flat_ids = ids.reshape(-1).astype(jnp.int32)
+    n = flat_ids.shape[0]
+    chunk = max(chunk, 128 * slots)
+    npad = -n % chunk
+    if npad:
+        flat_ids = jnp.concatenate(
+            [flat_ids, jnp.full((npad,), nbins, jnp.int32)]
+        )
+    hist2d = jnp.zeros((rows_pad, 128), jnp.int32)
+    hist2d = hist2d.at[: nbins // 128].set(
+        hist_flat[: (nbins // 128) * 128].view(jnp.int32).reshape(-1, 128)
+    )
+    tail = nbins - (nbins // 128) * 128
+    if tail:
+        hist2d = hist2d.at[nbins // 128, :tail].set(
+            hist_flat[(nbins // 128) * 128:].view(jnp.int32)
+        )
+    out = _pallas_scatter_call(
+        hist2d, flat_ids, slots, chunk, interpret, control
+    )
+    return out.reshape(-1)[:nbins].view(hist_flat.dtype)
+
+
 def scatter_xla(hist_flat, ids):
     """Scatter-add ones at ``ids`` (sentinel ids dropped by 'drop' mode)."""
     ones = jnp.ones(ids.shape, dtype=hist_flat.dtype)
@@ -158,9 +313,12 @@ def scatter_xla(hist_flat, ids):
 
 
 def select_scatter_backend(name: str, canvas: Canvas, batch_points: int) -> str:
-    """Resolve 'auto' to a concrete backend (always "xla"; see module
-    docstring for the measured demise of the sort backend)."""
-    del canvas, batch_points  # kept for API stability
+    """Resolve 'auto' to a concrete backend: the Mosaic RMW kernel
+    ("pallas") for VMEM-resident histograms on real TPUs, XLA scatter-add
+    everywhere else (CPU interpret runs, and canvases too large for the
+    kernel's private-copy budget). The removed "sort" backend's demise is
+    chronicled in the module docstring."""
+    del batch_points  # kept for API stability
     if name == "sort":
         from cudabrot_tpu.config import ConfigError
 
@@ -172,12 +330,21 @@ def select_scatter_backend(name: str, canvas: Canvas, batch_points: int) -> str:
         )
     if name != "auto":
         return name
+    if (
+        PALLAS_SCATTER_AUTO
+        and jax.default_backend() == "tpu"
+        and pallas_scatter_rows(canvas.num_pixels) * 512
+        <= PALLAS_SCATTER_VMEM_BUDGET
+    ):
+        return "pallas"
     return "xla"
 
 
-def scatter_ids(hist_flat, ids, backend: str):
+def scatter_ids(hist_flat, ids, backend: str, *, interpret: bool = False):
     if backend == "xla":
         return scatter_xla(hist_flat, ids)
+    if backend == "pallas":
+        return scatter_pallas(hist_flat, ids, interpret=interpret)
     raise ValueError(f"Unknown scatter backend: {backend}")
 
 

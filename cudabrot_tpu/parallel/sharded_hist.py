@@ -96,6 +96,7 @@ class ShardedHistogramEngine:
                     chunk=tn.replay_chunk,
                     block=tn.replay_block,
                     backend=inner.scatter_backend,
+                    interpret=inner.interpret,
                     dfc=new_local["dfc"],
                     step_r=inner._df_step[0],
                     step_i=inner._df_step[1],
@@ -120,6 +121,7 @@ class ShardedHistogramEngine:
                     chunk=tn.replay_chunk,
                     block=tn.replay_block,
                     backend=inner.scatter_backend,
+                    interpret=inner.interpret,
                     bin_fn=lambda re, im, ok: bin_fn(re, im, ok,
                                                      row_start=row_start),
                 )

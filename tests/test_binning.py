@@ -79,11 +79,56 @@ def test_scatter_xla_accumulates_on_existing():
     np.testing.assert_array_equal(out, want)
 
 
+def test_scatter_pallas_matches_xla_bitwise():
+    """The Mosaic RMW scatter must be bitwise-identical to XLA
+    scatter-add: exact integer adds in a different deposit order."""
+    for nbins, n, slots, seed in (
+        (16 * 12, 2048, 1, 0),    # tail row (192 = 1.5 * 128)
+        (1024, 4096, 4, 1),       # exact multiple of 128
+        (777, 2000, 2, 2),        # odd nbins, odd n (padding path)
+        (777, 2000, 8, 3),
+    ):
+        rng = np.random.default_rng(seed)
+        ids = rng.integers(0, nbins + 1, size=n)  # includes sentinel
+        hist0 = jnp.arange(nbins, dtype=jnp.uint32)  # non-zero start
+        want = np.asarray(binning.scatter_xla(hist0, jnp.asarray(ids)))
+        got = np.asarray(
+            binning.scatter_pallas(
+                hist0, jnp.asarray(ids, jnp.int32), slots=slots,
+                interpret=True,
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+
+
+def test_scatter_ids_pallas_backend_dispatch():
+    hist0 = jnp.zeros(256, jnp.uint32)
+    ids = jnp.asarray([0, 1, 1, 255, 256], jnp.int32)  # 256 == sentinel
+    out = np.asarray(
+        binning.scatter_ids(hist0, ids, "pallas", interpret=True)
+    )
+    assert out[0] == 1 and out[1] == 2 and out[255] == 1
+    assert out.sum() == 4
+
+
 def test_backend_selection():
     small = Canvas(width=100, height=100)
     big = Canvas(width=20000, height=20000)
-    # auto resolves to the measured-fastest backend on TPU (PERF_NOTES.md)
-    assert binning.select_scatter_backend("auto", small, 1 << 20) == "xla"
+    # auto resolves per-backend: the Mosaic RMW kernel on real TPUs with
+    # VMEM-resident histograms (once PALLAS_SCATTER_AUTO is measured-on),
+    # XLA scatter-add on CPU (these tests) and at canvases past the VMEM
+    # budget (PERF_NOTES.md).
+    import jax
+
+    expected_small = (
+        "pallas"
+        if binning.PALLAS_SCATTER_AUTO and jax.default_backend() == "tpu"
+        else "xla"
+    )
+    assert (
+        binning.select_scatter_backend("auto", small, 1 << 20)
+        == expected_small
+    )
     assert binning.select_scatter_backend("auto", big, 1 << 16) == "xla"
     assert binning.select_scatter_backend("xla", small, 1) == "xla"
     # The sort backend was removed (measured dead, device-faulting at

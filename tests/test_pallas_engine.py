@@ -75,6 +75,26 @@ def test_seed_changes_output():
     assert not np.array_equal(h1, h2)
 
 
+def test_pallas_scatter_backend_bitwise_equal():
+    """A full device-replay render through the Mosaic RMW scatter must be
+    bitwise-identical to the XLA scatter-add backend (exact integer adds,
+    order-independent)."""
+    base = dict(
+        engine="pallas", lane_rows=8, steps_per_pass=256,
+        steps_per_flush=16, replay_capacity=1 << 14, replay_chunk=64,
+        replay="device",
+    )
+    hx, sx = _run(
+        PallasEngine(_cfg(options=EngineOptions(**base, scatter="xla"))), 2
+    )
+    hp, sp = _run(
+        PallasEngine(_cfg(options=EngineOptions(**base, scatter="pallas"))),
+        2,
+    )
+    np.testing.assert_array_equal(hx, hp)
+    assert sx["orbit_points"] == sp["orbit_points"]
+
+
 def test_lane_state_persists_across_passes():
     """A sample mid-flight at a pass boundary must finish in a later pass:
     with max_it far above steps_per_pass, in-band samples can only come
