@@ -151,7 +151,7 @@ def points_to_bin_ids_df_sharded(
     return jnp.where(ok, flat, row_count * canvas.width)
 
 
-def _pallas_scatter_kernel(ids_ref, hist_in_ref, hist_ref, *slot_sc,
+def _pallas_scatter_kernel(ids_ref, hist_ref, *slot_sc,
                            chunk: int, slots: int, nsteps: int,
                            control: bool = False):
     """Sequential dynamic-row RMW deposit into a VMEM-resident histogram.
@@ -178,14 +178,20 @@ def _pallas_scatter_kernel(ids_ref, hist_in_ref, hist_ref, *slot_sc,
     cells that the caller never reads back, so the loop is branch-free.
     ``control`` (probe only) pins the RMW to row 0, measuring the
     loop+scalar-load floor.
+
+    The histogram is a pure output (counts for THIS batch of ids; the
+    caller dense-adds it to the running histogram): an aliased
+    input-output was measured CORRUPTED on silicon — with a constant
+    block index the pipelined input refetch races the accumulating
+    output block across grid steps (probe r4: slots1 "WRONG").
     """
-    del hist_in_ref  # aliased with hist_ref (pre-filled output)
     step = pl.program_id(0)
-    if slot_sc:
-        @pl.when(step == 0)
-        def _zero_slots():
-            for sc in slot_sc:
-                sc[...] = jnp.zeros_like(sc)
+
+    @pl.when(step == 0)
+    def _zero():
+        hist_ref[...] = jnp.zeros_like(hist_ref)
+        for sc in slot_sc:
+            sc[...] = jnp.zeros_like(sc)
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     per = chunk // slots
@@ -214,20 +220,17 @@ def _pallas_scatter_kernel(ids_ref, hist_in_ref, hist_ref, *slot_sc,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("slots", "chunk", "interpret", "control"),
-    donate_argnums=0,
+    static_argnames=("rows_pad", "slots", "chunk", "interpret", "control"),
 )
-def _pallas_scatter_call(hist2d, ids, slots: int, chunk: int,
+def _pallas_scatter_call(ids, rows_pad: int, slots: int, chunk: int,
                          interpret: bool, control: bool):
+    """Count ids into a zeroed (rows_pad, 128) i32 layout (this batch
+    only — the caller adds the result to its running histogram)."""
     n = ids.shape[0]
     nsteps = n // chunk
-    rows_pad = hist2d.shape[0]
     kern = functools.partial(
         _pallas_scatter_kernel, chunk=chunk, slots=slots, nsteps=nsteps,
         control=control,
-    )
-    whole = pl.BlockSpec(
-        (rows_pad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kern,
@@ -235,15 +238,15 @@ def _pallas_scatter_call(hist2d, ids, slots: int, chunk: int,
         in_specs=[
             pl.BlockSpec((chunk,), lambda i: (i,),
                          memory_space=pltpu.SMEM),
-            whole,
         ],
-        out_specs=whole,
+        out_specs=pl.BlockSpec(
+            (rows_pad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((rows_pad, 128), jnp.int32),
         scratch_shapes=[pltpu.VMEM((rows_pad, 128), jnp.int32)]
         * (slots - 1),
-        input_output_aliases={1: 0},
         interpret=interpret,
-    )(ids, hist2d)
+    )(ids)
 
 
 #: Conservative VMEM budget for the pallas scatter backend: histogram
@@ -288,19 +291,10 @@ def scatter_pallas(hist_flat, ids, *, slots: int = 0, chunk: int = 2048,
         flat_ids = jnp.concatenate(
             [flat_ids, jnp.full((npad,), nbins, jnp.int32)]
         )
-    hist2d = jnp.zeros((rows_pad, 128), jnp.int32)
-    hist2d = hist2d.at[: nbins // 128].set(
-        hist_flat[: (nbins // 128) * 128].view(jnp.int32).reshape(-1, 128)
-    )
-    tail = nbins - (nbins // 128) * 128
-    if tail:
-        hist2d = hist2d.at[nbins // 128, :tail].set(
-            hist_flat[(nbins // 128) * 128:].view(jnp.int32)
-        )
     out = _pallas_scatter_call(
-        hist2d, flat_ids, slots, chunk, interpret, control
+        flat_ids, rows_pad, slots, chunk, interpret, control
     )
-    return out.reshape(-1)[:nbins].view(hist_flat.dtype)
+    return hist_flat + out.reshape(-1)[:nbins].view(hist_flat.dtype)
 
 
 def scatter_xla(hist_flat, ids):
