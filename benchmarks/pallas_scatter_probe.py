@@ -54,48 +54,57 @@ def main():
 
     from cudabrot_tpu.ops import binning
 
-    p_log2 = int(argv[0]) if len(argv) > 0 else 20
+    p_log2 = int(argv[0]) if len(argv) > 0 else 22
     B = int(argv[1]) if len(argv) > 1 else 1_000_000
     P = 1 << p_log2
     key = jax.random.key(0)
     ids = jax.random.randint(key, (P,), 0, B, dtype=i32)
+    ids_half = ids[: P // 2]
     want = np.bincount(np.asarray(ids), minlength=B)
     hist0 = jnp.zeros(B, i32)
     print(f"backend={jax.default_backend()} P={P} B={B} "
           f"interpret={interpret}", flush=True)
 
     legs = []
-    for s in (1, 2, 4, 8):
+    for s, u in ((1, 1), (2, 1), (4, 1), (8, 1),
+                 (2, 4), (4, 4), (8, 4), (4, 8)):
         legs.append((
-            f"slots{s}/ch2048",
-            functools.partial(binning.scatter_pallas, hist0, ids, slots=s,
-                              chunk=2048, interpret=interpret),
+            f"slots{s}/u{u}",
+            lambda idv, s=s, u=u: binning.scatter_pallas(
+                hist0, idv, slots=s, unroll=u, chunk=2048,
+                interpret=interpret),
         ))
-    for ch in (1024, 4096, 8192):
+    for ch in (4096, 8192):
         legs.append((
-            f"slots4/ch{ch}",
-            functools.partial(binning.scatter_pallas, hist0, ids, slots=4,
-                              chunk=ch, interpret=interpret),
+            f"slots4/u4/ch{ch}",
+            lambda idv, ch=ch: binning.scatter_pallas(
+                hist0, idv, slots=4, unroll=4, chunk=ch,
+                interpret=interpret),
         ))
     legs.append((
-        "control",
-        functools.partial(binning.scatter_pallas, hist0, ids, slots=1,
-                          chunk=2048, interpret=interpret, control=True),
+        "control/u4",
+        lambda idv: binning.scatter_pallas(
+            hist0, idv, slots=1, unroll=4, chunk=2048,
+            interpret=interpret, control=True),
     ))
 
     @jax.jit
     def xla(idv):
         return jnp.zeros(B, i32).at[idv].add(1, mode="drop")
 
-    legs.append(("xla_scatter", lambda: xla(ids)))
+    legs.append(("xla_scatter", xla))
 
+    nrep = 2 if interpret else 5
     for name, fn in legs:
         try:
-            out = np.asarray(jax.block_until_ready(fn()))
+            out = np.asarray(jax.block_until_ready(fn(ids)))
             ok = "ok" if ("control" in name or (out == want).all()) else "WRONG"
-            dt = timed(fn, n=2 if interpret else 5)
-            print(f"  {name:<16} {P / dt / 1e6:9.1f} M ids/s   "
-                  f"({dt * 1e3:.2f} ms)  {ok}", flush=True)
+            dt = timed(lambda: fn(ids), n=nrep)
+            dt_half = timed(lambda: fn(ids_half), n=nrep)
+            slope = (P - P // 2) / max(dt - dt_half, 1e-9)
+            print(f"  {name:<16} slope {slope / 1e6:9.1f} M ids/s   "
+                  f"(full {dt * 1e3:.2f} ms, half {dt_half * 1e3:.2f} ms)"
+                  f"  {ok}", flush=True)
         except Exception as e:  # noqa: BLE001 - probe reports and moves on
             msg = str(e).split("\n")[0][:160]
             print(f"  {name:<16} FAILED: {type(e).__name__}: {msg}",

@@ -153,7 +153,7 @@ def points_to_bin_ids_df_sharded(
 
 def _pallas_scatter_kernel(ids_ref, hist_ref, *slot_sc,
                            chunk: int, slots: int, nsteps: int,
-                           control: bool = False):
+                           unroll: int = 1, control: bool = False):
     """Sequential dynamic-row RMW deposit into a VMEM-resident histogram.
 
     The reference increments its histogram in-kernel on the accelerator
@@ -196,20 +196,26 @@ def _pallas_scatter_kernel(ids_ref, hist_ref, *slot_sc,
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     per = chunk // slots
 
-    def body(k, _):
-        for s in range(slots):
-            b = ids_ref[s * per + k]
-            row = jax.lax.shift_right_logical(b, jnp.int32(7))
-            lane = jnp.bitwise_and(b, jnp.int32(127))
-            if control:
-                row = jnp.int32(0)
-            oh = (iota == lane).astype(jnp.int32)
-            tgt = hist_ref if s == 0 else slot_sc[s - 1]
-            cur = tgt[pl.ds(row, 1), :]
-            tgt[pl.ds(row, 1), :] = cur + oh
+    # Mosaic's fori_loop lowering only supports full or no unroll, so
+    # the unroll is manual: each trip deposits ``unroll`` consecutive
+    # ids per slot (requires chunk % (slots * unroll) == 0, enforced by
+    # the caller).
+    def body(k0, _):
+        for uu in range(unroll):
+            k = k0 * unroll + uu
+            for s in range(slots):
+                b = ids_ref[s * per + k]
+                row = jax.lax.shift_right_logical(b, jnp.int32(7))
+                lane = jnp.bitwise_and(b, jnp.int32(127))
+                if control:
+                    row = jnp.int32(0)
+                oh = (iota == lane).astype(jnp.int32)
+                tgt = hist_ref if s == 0 else slot_sc[s - 1]
+                cur = tgt[pl.ds(row, 1), :]
+                tgt[pl.ds(row, 1), :] = cur + oh
         return 0
 
-    jax.lax.fori_loop(0, per, body, 0)
+    jax.lax.fori_loop(0, per // unroll, body, 0)
 
     if slot_sc:
         @pl.when(step == nsteps - 1)
@@ -220,17 +226,18 @@ def _pallas_scatter_kernel(ids_ref, hist_ref, *slot_sc,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rows_pad", "slots", "chunk", "interpret", "control"),
+    static_argnames=("rows_pad", "slots", "chunk", "unroll", "interpret",
+                     "control"),
 )
 def _pallas_scatter_call(ids, rows_pad: int, slots: int, chunk: int,
-                         interpret: bool, control: bool):
+                         unroll: int, interpret: bool, control: bool):
     """Count ids into a zeroed (rows_pad, 128) i32 layout (this batch
     only — the caller adds the result to its running histogram)."""
     n = ids.shape[0]
     nsteps = n // chunk
     kern = functools.partial(
         _pallas_scatter_kernel, chunk=chunk, slots=slots, nsteps=nsteps,
-        control=control,
+        unroll=unroll, control=control,
     )
     return pl.pallas_call(
         kern,
@@ -245,6 +252,16 @@ def _pallas_scatter_call(ids, rows_pad: int, slots: int, chunk: int,
         out_shape=jax.ShapeDtypeStruct((rows_pad, 128), jnp.int32),
         scratch_shapes=[pltpu.VMEM((rows_pad, 128), jnp.int32)]
         * (slots - 1),
+        # The default 16 MB scoped-vmem budget rejects multi-slot copies
+        # of production histograms; size the limit to the actual buffers
+        # (+25% Mosaic overhead margin), capped under the v5e's 128 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                int((slots * rows_pad * 512 + 4 * chunk) * 1.25)
+                + (1 << 20),
+                112 * 1024 * 1024,
+            ),
+        ),
         interpret=interpret,
     )(ids)
 
@@ -256,6 +273,9 @@ PALLAS_SCATTER_VMEM_BUDGET = 80 * 1024 * 1024
 #: Private-histogram copies (measured sweet spot; see
 #: benchmarks/pallas_scatter_probe.py results in PERF_NOTES.md).
 PALLAS_SCATTER_SLOTS = 4
+#: fori_loop body unroll inside the deposit loop (loop-carried scalar
+#: overhead amortization; measured in benchmarks/pallas_scatter_probe.py).
+PALLAS_SCATTER_UNROLL = 1
 #: Whether "auto" may pick the Mosaic kernel on TPU. Stays False until
 #: the silicon probe proves it beats XLA scatter-add at production
 #: configurations (--scatter pallas opts in regardless).
@@ -269,7 +289,7 @@ def pallas_scatter_rows(nbins: int) -> int:
 
 
 def scatter_pallas(hist_flat, ids, *, slots: int = 0, chunk: int = 2048,
-                   interpret=False, control=False):
+                   unroll: int = 0, interpret=False, control=False):
     """Scatter-add ones at ``ids`` via the Mosaic RMW kernel.
 
     Bitwise-identical results to scatter_xla (both are exact integer
@@ -291,8 +311,10 @@ def scatter_pallas(hist_flat, ids, *, slots: int = 0, chunk: int = 2048,
         flat_ids = jnp.concatenate(
             [flat_ids, jnp.full((npad,), nbins, jnp.int32)]
         )
+    if unroll <= 0:
+        unroll = PALLAS_SCATTER_UNROLL
     out = _pallas_scatter_call(
-        flat_ids, rows_pad, slots, chunk, interpret, control
+        flat_ids, rows_pad, slots, chunk, unroll, interpret, control
     )
     return hist_flat + out.reshape(-1)[:nbins].view(hist_flat.dtype)
 
