@@ -208,7 +208,9 @@ def _pallas_scatter_kernel(ids_ref, hist_ref, *slot_sc,
                 row = jax.lax.shift_right_logical(b, jnp.int32(7))
                 lane = jnp.bitwise_and(b, jnp.int32(127))
                 if control:
-                    row = jnp.int32(0)
+                    # Keep the row traced (a concrete 0 trips pl.ds's
+                    # pytree handling on the TPU lowering path).
+                    row = jnp.bitwise_and(b, jnp.int32(0))
                 oh = (iota == lane).astype(jnp.int32)
                 tgt = hist_ref if s == 0 else slot_sc[s - 1]
                 cur = tgt[pl.ds(row, 1), :]
@@ -270,16 +272,17 @@ def _pallas_scatter_call(ids, rows_pad: int, slots: int, chunk: int,
 #: copies (slots * bytes) + id staging must fit comfortably under the
 #: v5e's 128 MB VMEM alongside Mosaic's own overheads.
 PALLAS_SCATTER_VMEM_BUDGET = 80 * 1024 * 1024
-#: Private-histogram copies (measured sweet spot; see
-#: benchmarks/pallas_scatter_probe.py results in PERF_NOTES.md).
-PALLAS_SCATTER_SLOTS = 4
+#: Private-histogram copies (measured sweet spot on v5e: 380 M ids/s at
+#: slots8/unroll8/chunk8192 vs 132 M for XLA scatter-add, P=32M ids into
+#: 1M bins; see benchmarks/pallas_scatter_probe.py + PERF_NOTES.md).
+PALLAS_SCATTER_SLOTS = 8
 #: fori_loop body unroll inside the deposit loop (loop-carried scalar
 #: overhead amortization; measured in benchmarks/pallas_scatter_probe.py).
-PALLAS_SCATTER_UNROLL = 1
-#: Whether "auto" may pick the Mosaic kernel on TPU. Stays False until
-#: the silicon probe proves it beats XLA scatter-add at production
-#: configurations (--scatter pallas opts in regardless).
-PALLAS_SCATTER_AUTO = False
+PALLAS_SCATTER_UNROLL = 8
+#: Whether "auto" may pick the Mosaic kernel on TPU: measured 2.9x XLA
+#: per-call (380 vs 132.6 M ids/s at P=32M, B=1M; ~4.4x net of the ~30 ms
+#: tunnel dispatch) with bitwise-equal output, 2026-08-19 probe.
+PALLAS_SCATTER_AUTO = True
 
 
 def pallas_scatter_rows(nbins: int) -> int:
@@ -288,7 +291,7 @@ def pallas_scatter_rows(nbins: int) -> int:
     return nbins // 128 + 1
 
 
-def scatter_pallas(hist_flat, ids, *, slots: int = 0, chunk: int = 2048,
+def scatter_pallas(hist_flat, ids, *, slots: int = 0, chunk: int = 8192,
                    unroll: int = 0, interpret=False, control=False):
     """Scatter-add ones at ``ids`` via the Mosaic RMW kernel.
 
