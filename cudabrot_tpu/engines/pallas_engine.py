@@ -382,27 +382,37 @@ class Tuning:
         #: pipelines are balanced. Interior renders stay host-only.
         self.interior = fr.emit == "interior"
 
-    def auto_device_share(self, hist_bytes: int) -> float:
+    def auto_device_share(
+        self, hist_bytes: int, scatter_backend: str = "xla"
+    ) -> float:
         """Point-mass share the device should replay (hybrid mode).
 
-        Small canvases: 0 — the AVX host replay (~7.6e8 pts/s/core on an
-        LLC-resident histogram) beats the XLA scatter path ~7x, and
-        in-step device replay only slows the classify stream
-        (benchmarks/hybrid_ab.py: share 0.15 measured -27%).
+        Small canvases, XLA scatter: 0 — the AVX host replay (~7.6e8
+        pts/s/core on an LLC-resident histogram) beats the XLA scatter
+        path ~7x, and in-step device replay only slows the classify
+        stream (benchmarks/hybrid_ab.py: share 0.15 measured -27%).
 
-        Big canvases (histogram >> LLC): the host accumulator becomes
-        DRAM-latency bound — measured 7.3e7 pts/s at 1.2 GB
-        (20000x15000) — while the device idles ~95% of the pass and its
-        scatter rate (~1.1e8 slots/s, HBM-latency bound) does not
-        degrade with canvas size. Balance the two pipelines:
-        classify + s*P/dev = (1-s)*P/host.
+        Small canvases, Mosaic scatter (r4): the hand-written RMW kernel
+        replays at ~7.1e8 marginal pts/s on a VMEM-resident histogram
+        (benchmarks/device_replay_ab.py) — the same order as the host's
+        LLC rate — so splitting pays even where the histogram is
+        cache-resident: classify + s*P/dev = (1-s)*P/host.
+
+        Big canvases (histogram >> LLC and past the kernel's VMEM
+        budget): the host accumulator becomes DRAM-latency bound —
+        measured 7.3e7 pts/s at 1.2 GB (20000x15000), 2.07e8 with the
+        radix64 partitioned accumulator — while the device idles ~95%
+        of the pass and its XLA scatter rate (~1.1e8 slots/s,
+        HBM-latency bound) does not degrade with canvas size. Same
+        balance, DRAM/XLA rates.
         """
-        if self.interior or self.extended or self.mh or hist_bytes < (
-            256 << 20
-        ):
+        if self.interior or self.extended or self.mh:
             # Extended renders stay unsplit: the hybrid rate model is
             # calibrated for the f32 replay engines, and deep-zoom bands
             # are emission-light anyway.
+            return 0.0
+        big = hist_bytes >= (256 << 20)
+        if not big and scatter_backend != "pallas":
             return 0.0
         if self.expected_emissions < 4 * self.replay_block:
             # Deep bands emit few, very LONG orbits: the device replay
@@ -413,23 +423,37 @@ class Tuning:
             # hybrid only pays when emissions fill blocks (shallow and
             # medium bands: many short orbits, wide utilization).
             return 0.0
-        # Effective rates measured at the 20000x15000 production canvas:
-        # host 7.3e7 pts/s (DRAM-bound accumulator); device 5.6e7 pts/s
-        # END-TO-END through the blocked replay with 1024-step chunks
-        # (raw XLA scatter does ~1e8 ids/s at 300M bins; the gap is
-        # scatter-call overhead + chunk-tail sentinels — measured sweep
-        # in PERF_NOTES.md). An early share=0.59 attempt sized from the
-        # RAW scatter rate measured SLOWER than host-only: always size
-        # from end-to-end rates. Overridable per machine via
-        # tools/calibrate.py (utils.calibration).
+        # Effective rates, measured END-TO-END (an early share=0.59
+        # attempt sized from the RAW scatter rate measured SLOWER than
+        # host-only: always size from end-to-end rates). Big canvas:
+        # host 7.3e7 pts/s (DRAM-bound accumulator), device 5.6e7
+        # through blocked replay + XLA scatter at 1024-step chunks
+        # (PERF_NOTES.md). Small canvas: host LLC rate, device Mosaic
+        # rate (calibration docstrings carry the derivations).
+        # Overridable per machine via tools/calibrate.py.
         cal = calibration.active()
-        host_rate = cal.host_replay_dram_rate
-        dev_rate = cal.device_replay_rate
         p = self.expected_points
         if p <= 0:
             return 0.0
+        if big:
+            host_rate = cal.host_replay_dram_rate
+            dev_rate = cal.device_replay_rate
+            t_fixed = self.classify_seconds
+            derate = 1.0
+        else:
+            host_rate = cal.host_replay_llc_rate
+            dev_rate = cal.device_replay_pallas_rate
+            # Small-canvas passes are ~0.2 s: the per-pass dispatch +
+            # compaction overhead is a real device-side fixed cost, and
+            # the solve is derated 20% toward the host because the error
+            # surface is asymmetric — overshooting the share hits a
+            # device-bound cliff (headline sweep: share 0.2 = 2.45e10,
+            # share 0.3 = 2.02e10 it/s) while undershooting loses
+            # gently (share 0.1 = 2.28e10).
+            t_fixed = self.classify_seconds + cal.pass_overhead_seconds
+            derate = 0.8
         t_host_all = p / host_rate
-        s = (t_host_all - self.classify_seconds) / (
+        s = derate * (t_host_all - t_fixed) / (
             p / dev_rate + t_host_all
         )
         return float(np.clip(s, 0.0, 0.9))
@@ -811,7 +835,8 @@ class PallasEngine:
                 share = 0.0
             else:
                 share = self.tuning.auto_device_share(
-                    cfg.canvas.histogram_nbytes
+                    cfg.canvas.histogram_nbytes,
+                    scatter_backend=self.scatter_backend,
                 )
             self.split_threshold = self.tuning.split_threshold(share)
             if o.hist_dtype == "uint64" and self.split_threshold > 0:

@@ -55,6 +55,24 @@ class Calibration:
     host_replay_dram_rate: float = 7.3e7
     #: Device blocked-replay end-to-end points/s at big canvases.
     device_replay_rate: float = 5.6e7
+    #: Device blocked-replay MARGINAL points/s through the Mosaic RMW
+    #: scatter (ops/binning.scatter_pallas) on a VMEM-resident histogram
+    #: — the small-canvas hybrid-share input. Fitted from the headline
+    #: share sweep (benchmarks/device_replay_ab.py, 2026-08-19):
+    #: share {0, 0.1, 0.2, 0.3} measured {1.98, 2.28, 2.45, 2.02}e10
+    #: it/s; solving the two device-bound legs (share 0.3 wall 0.209 s,
+    #: device-only wall 0.44 s) gives dev = 4.6e8 pts/s and classify
+    #: 0.101 s/pass — and the share solver with these constants lands on
+    #: the measured optimum s = 0.20. (A first estimate of 7.1e8 scaled
+    #: from classify fractions overshot to s = 0.43, measured -14%.)
+    device_replay_pallas_rate: float = 4.6e8
+    #: Fixed device-side seconds per pass BESIDES the classify kernel:
+    #: dispatch through the tunnel (~30 ms) + compaction/payload packing
+    #: (~25 ms measured at the headline band). Input to the small-canvas
+    #: hybrid solve, where passes are ~0.2 s and this is not negligible
+    #: (the classify cost model alone predicted 0.047 s of device-fixed
+    #: time vs 0.101 s measured).
+    pass_overhead_seconds: float = 0.055
     #: Where the numbers came from ("default" or the probe's metadata).
     source: str = "default"
 

@@ -414,3 +414,21 @@ def test_auto_device_share_big_canvas_only():
     # The share maps to an orbit-length threshold inside the band.
     thr = big.split_threshold(s)
     assert 1000 < thr < 8000
+
+
+def test_auto_device_share_pallas_small_canvas():
+    """With the Mosaic RMW scatter (r4: ~7.1e8 marginal pts/s, the same
+    order as the host's LLC replay rate) the hybrid pays on small
+    canvases too; with XLA scatter it must stay host-only there."""
+    from cudabrot_tpu.engines.pallas_engine import Tuning
+
+    band = IterationBand(max_escape_iterations=20000,
+                         min_escape_iterations=2000)
+    tn = Tuning(RenderConfig(canvas=Canvas(width=1000, height=1000),
+                             band=band))
+    hist_bytes = 1000 * 1000 * 4
+    assert tn.auto_device_share(hist_bytes, scatter_backend="xla") == 0.0
+    s = tn.auto_device_share(hist_bytes, scatter_backend="pallas")
+    assert 0.1 < s < 0.5, s
+    thr = tn.split_threshold(s)
+    assert 2000 < thr < 20000
