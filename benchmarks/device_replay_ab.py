@@ -9,7 +9,10 @@ device replay rate (pts/s including chunk-tail sentinels, dispatch and
 the classify stream sharing the chip).
 
 Run: python benchmarks/device_replay_ab.py [seconds_per_leg] [legs...]
-  legs: device-pallas device-xla host (default all three)
+  legs: device-pallas device-xla host (default all three); a leg may
+        carry @share and @xN suffixes: host@0.3@x4 = replay host,
+        forced device share 0.3, 4x auto steps-per-pass (+ capacity).
+  --band mi:ma switches from the headline band (default 2000:20000).
 """
 
 from __future__ import annotations
@@ -20,8 +23,15 @@ import time
 
 
 def main() -> int:
-    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
-    legs = sys.argv[2:] or ["device-pallas", "device-xla", "host"]
+    args = list(sys.argv[1:])
+    band_arg = (2000, 20000)
+    if "--band" in args:
+        i = args.index("--band")
+        mi, _, ma = args[i + 1].partition(":")
+        band_arg = (int(mi), int(ma))
+        del args[i:i + 2]
+    seconds = float(args[0]) if args else 10.0
+    legs = args[1:] or ["device-pallas", "device-xla", "host"]
 
     import jax
 
@@ -38,17 +48,38 @@ def main() -> int:
     from cudabrot_tpu.engines.pallas_engine import PallasEngine
 
     for leg in legs:
-        spec, _, share = leg.partition("@")
+        parts = leg.split("@")
+        spec = parts[0]
+        share = -1.0
+        mult = 1
+        for p_ in parts[1:]:
+            if p_.startswith("x"):
+                mult = int(p_[1:])
+            else:
+                share = float(p_)
         replay, _, scatter = spec.partition("-")
+        opts = dict(replay=replay, scatter=scatter or "auto",
+                    replay_device_share=share)
+        if mult > 1:
+            # Longer passes amortize the per-pass fixed overhead
+            # (dispatch + compaction); scale capacity alongside so the
+            # emission model keeps drops at zero.
+            base = RenderConfig(
+                canvas=Canvas(width=1000, height=1000),
+                band=IterationBand(max_escape_iterations=band_arg[1],
+                                   min_escape_iterations=band_arg[0]),
+            )
+            from cudabrot_tpu.engines.pallas_engine import Tuning
+
+            tn = Tuning(base)
+            opts["steps_per_pass"] = tn.steps_per_pass * mult
+            opts["replay_capacity"] = tn.replay_capacity * mult
         cfg = RenderConfig(
             canvas=Canvas(width=1000, height=1000),
-            band=IterationBand(max_escape_iterations=20000,
-                               min_escape_iterations=2000),
+            band=IterationBand(max_escape_iterations=band_arg[1],
+                               min_escape_iterations=band_arg[0]),
             seconds_to_run=seconds,
-            options=EngineOptions(
-                replay=replay, scatter=scatter or "auto",
-                replay_device_share=float(share) if share else -1.0,
-            ),
+            options=EngineOptions(**opts),
         )
         engine = PallasEngine(cfg)
         state = engine.init_state(None)

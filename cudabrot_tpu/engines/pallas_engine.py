@@ -214,6 +214,15 @@ class Tuning:
         # Threefry counter schedule) must resolve identically on CPU and
         # TPU so runs reproduce across backends.
         flush_cap = 4096 if rate > 1e-5 else 65536
+        if self.mh:
+            # MH tenures live per flush window: the r4 silicon sweep
+            # (benchmarks/mh_kernel_sweep.py, 1e-5 seahorse window)
+            # measured deposited mass 6.3e6/s at 4096-step windows vs
+            # 1.28e8/s at 16384 — the emission-heavy cap above is a
+            # uniform-path argsort-cost concern and MUST NOT truncate
+            # chain tenures 20x. (Pending collisions are mass-conserving
+            # reservoir merges, so big windows cost variance, not mass.)
+            flush_cap = max(flush_cap, 16384)
         # Uniform sampling tolerates ~12% pending-overwrite loss (drops
         # are an unbiased thinning — pallas_kernels module docstring).
         # MH pending collisions are weighted-reservoir MERGES — exactly
@@ -333,17 +342,24 @@ class Tuning:
             # E[len | in band] for the ~1/t^2 escape-time tail.
             mean_len = (mi * ma / (ma - mi)) * float(np.log(ma / mi))
         self.expected_points = expected * mean_len
-        self.replay_capacity = (
-            o.replay_capacity
-            if o.replay_capacity > 0
-            else int(
-                np.clip(
-                    _pow2(expected * (2.0 if self.mh else 1.0)),
-                    4096,
-                    1 << 19,
-                )
+        if o.replay_capacity > 0:
+            self.replay_capacity = o.replay_capacity
+        elif self.mh:
+            # MH emissions are pending-tenure drains: at most ONE per
+            # lane per flush window, so the structural per-pass bound is
+            # exact — and unlike uniform drops (unbiased thinning), MH
+            # capacity overflow loses *weighted* mass (measured r4: the
+            # rate-model sizing dropped 22.4M emissions in a 45 s A/B
+            # leg, and the rows=128 kernel-sweep leg collapsed to ~zero
+            # deposits when the bound crossed the old 2^19 ceiling).
+            windows = max(self.steps_per_pass // self.steps_per_flush, 1)
+            self.replay_capacity = int(
+                np.clip(_pow2(lanes * windows), 4096, 1 << 21)
             )
-        )
+        else:
+            self.replay_capacity = int(
+                np.clip(_pow2(expected), 4096, 1 << 19)
+            )
         # Replay block: lanes processed together; blocks with no active
         # lanes are skipped entirely. 1024 keeps blocks length-homogeneous
         # after the descending sort (low masked-sentinel waste in the
@@ -375,6 +391,17 @@ class Tuning:
             self.replay_chunk = 256
         self.min_it = cfg.band.min_escape_iterations
         self.max_it = cfg.band.max_escape_iterations
+        #: Whether host-replay emissions pack to 8 bytes (two u32 words:
+        #: 24-bit default-domain grid indices + split 16-bit iters) or
+        #: ride the 12-byte 3-row f32 layout — the payload-bytes input
+        #: to the hybrid-share transfer model, and the engine's
+        #: _packed_payload source of truth.
+        self.packed_payload = (
+            cfg.band.max_escape_iterations <= 0xFFFF
+            and cfg.sample_domain == SAMPLE_DOMAIN
+            and not self.extended
+            and not self.mh
+        )
         #: Interior (anti-Buddhabrot) orbits are all exactly max_it long,
         #: so the log-uniform orbit-length mass model behind the hybrid
         #: split does not apply: any length threshold < max_it routes zero
@@ -438,25 +465,65 @@ class Tuning:
         if big:
             host_rate = cal.host_replay_dram_rate
             dev_rate = cal.device_replay_rate
-            t_fixed = self.classify_seconds
-            derate = 1.0
-        else:
-            host_rate = cal.host_replay_llc_rate
-            dev_rate = cal.device_replay_pallas_rate
-            # Small-canvas passes are ~0.2 s: the per-pass dispatch +
-            # compaction overhead is a real device-side fixed cost, and
-            # the solve is derated 20% toward the host because the error
-            # surface is asymmetric — overshooting the share hits a
-            # device-bound cliff (headline sweep: share 0.2 = 2.45e10,
-            # share 0.3 = 2.02e10 it/s) while undershooting loses
-            # gently (share 0.1 = 2.28e10).
-            t_fixed = self.classify_seconds + cal.pass_overhead_seconds
-            derate = 0.8
-        t_host_all = p / host_rate
-        s = derate * (t_host_all - t_fixed) / (
-            p / dev_rate + t_host_all
-        )
-        return float(np.clip(s, 0.0, 0.9))
+            t_host_all = p / host_rate
+            s = (t_host_all - self.classify_seconds) / (
+                p / dev_rate + t_host_all
+            )
+            return float(np.clip(s, 0.0, 0.9))
+        # Small canvases (Mosaic scatter): grid-search the share over
+        # the full pass model. The host side is the max of its replay
+        # time and the payload fetch (the r3 default band shipped
+        # ~35 MB/s of a ~45 MB/s link — at transfer-bound bands the
+        # share's payoff is mostly the payload prefix it cuts,
+        # Tuning.host_payload_slots); the device side carries the
+        # classify kernel plus the per-pass dispatch/compaction overhead
+        # (not negligible at ~0.2 s passes: the classify model alone
+        # predicted 0.047 s vs 0.101 s measured). The argmin is derated
+        # 20% toward the host because the error surface is asymmetric —
+        # overshooting hits a device-bound cliff (headline sweep:
+        # share 0.1/0.2/0.3 -> 2.28/2.45/2.02e10 it/s).
+        host_rate = cal.host_replay_llc_rate
+        dev_rate = cal.device_replay_pallas_rate
+        t_fixed = self.classify_seconds + cal.pass_overhead_seconds
+        slot_bytes = 8 if self.packed_payload else 12
+        best_s = 0.0
+        best_wall = None
+        for step in range(19):
+            s = step * 0.05
+            ks = self.host_payload_slots(self.split_threshold(s))
+            fetch_t = ks * slot_bytes / cal.link_rate_bytes
+            host_t = max((1.0 - s) * p / host_rate, fetch_t)
+            dev_t = t_fixed + s * p / dev_rate
+            wall = max(host_t, dev_t)
+            if best_wall is None or wall < best_wall - 1e-12:
+                best_wall, best_s = wall, s
+        return float(np.clip(0.8 * best_s, 0.0, 0.9))
+
+    def host_payload_slots(self, theta: int) -> int:
+        """Static host-payload width for a hybrid split at length
+        threshold ``theta`` (Phase B of the r4 hybrid work).
+
+        The compaction orders emissions by DESCENDING length, so the
+        host's share (orbits >= theta) is a prefix of the batch: only
+        that prefix needs to cross the device->host link. Expected
+        prefix fraction comes from the same ~1/t^2 escape-time tail the
+        split threshold uses; a pass whose long-orbit count overflows
+        the prefix routes the excess to the device replay instead
+        (position-extended device mask in _classify_and_compact), so
+        under-sizing costs a little device time, never mass. This is
+        what pays at transfer-bound bands: the r3 default band shipped
+        34.6 MB/s of a ~45 MB/s link, and short orbits dominate
+        emission counts.
+        """
+        cap = self.replay_capacity
+        if theta <= 0:
+            return cap
+        mi = max(self.min_it, 2)
+        ma = max(self.max_it, mi + 1)
+        th = min(max(theta, mi), ma)
+        frac = (1.0 / th - 1.0 / ma) / (1.0 / mi - 1.0 / ma)
+        k = int(np.ceil(frac * cap / 128.0)) * 128
+        return int(np.clip(k, min(1024, cap), cap))
 
     def split_threshold(self, point_share: float) -> int:
         """Orbit-length cutoff below which the device replays (hybrid
@@ -839,6 +906,11 @@ class PallasEngine:
                     scatter_backend=self.scatter_backend,
                 )
             self.split_threshold = self.tuning.split_threshold(share)
+            #: Static host-payload prefix width (== capacity when there
+            #: is no device share; see Tuning.host_payload_slots).
+            self.host_payload_slots = self.tuning.host_payload_slots(
+                self.split_threshold
+            )
             if o.hist_dtype == "uint64" and self.split_threshold > 0:
                 from cudabrot_tpu.config import ConfigError
 
@@ -861,20 +933,13 @@ class PallasEngine:
             # grid — a custom sample domain's finer pitch would be
             # quantized away by it, defeating the feature — so custom
             # domains ride the 12-byte f32 payload.
-            from cudabrot_tpu.config import SAMPLE_DOMAIN
-
             # Extended payloads always ride the 3-row f32 layout: the
             # rows carry 24-bit grid indices (exact in f32) that the
             # worker's grid decode consumes; the packed-u32 encoding is
             # specific to the default domain's 2^-22 c quantization.
-            self._packed_payload = (
-                cfg.band.max_escape_iterations <= 0xFFFF
-                and cfg.sample_domain == SAMPLE_DOMAIN
-                and not self.extended
-                # MH payloads need a fourth row (rep); they ride the
-                # 4-row f32 layout (grid indices are exact in f32).
-                and not self.mh
-            )
+            # (MH payloads need extra rows — rep, visit bins — and ride
+            # the i32 multi-row layout; see Tuning.packed_payload.)
+            self._packed_payload = self.tuning.packed_payload
 
             self._pass_fn = jax.jit(
                 functools.partial(self.host_pass, ordinal=jnp.uint32(0)),
@@ -900,6 +965,15 @@ class PallasEngine:
             ordinal=ordinal,
             device_prefix=self.split_threshold,
         )
+        if self.split_threshold > 0:
+            # Hybrid: ship only the host's share. The batch is
+            # descending-length sorted and _classify_and_compact routed
+            # everything past this static prefix to the device replay,
+            # so the slice is mass-exact — and at transfer-bound bands
+            # (the reference's default band ships ~35 MB/s of a 45 MB/s
+            # link) the cut payload is most of the hybrid's win.
+            ks = self.host_payload_slots
+            cr, ci, it = cr[:ks], ci[:ks], it[:ks]
         # One fixed-shape payload: the host worker fetches a finished
         # pass output (no fresh device op — that would queue behind the
         # in-flight pass) in a single transfer.
@@ -1114,10 +1188,18 @@ class PallasEngine:
             # orbits (iters < threshold) concurrently with the host worker
             # replaying the long ones. Short orbits suit the device's
             # chunked masked loop (low tail waste); long orbits suit the
-            # host engine's exact per-lane bounds.
+            # host engine's exact per-lane bounds. Long orbits past the
+            # static host-payload prefix (Tuning.host_payload_slots —
+            # the batch is descending-length sorted, so host entries are
+            # a prefix) also route to the device: the payload slice in
+            # host_pass then ships exactly the host's share, and an
+            # overflowing pass costs device time, never mass.
             theta = jnp.int32(device_prefix)
-            it_dev = jnp.where(it_c < theta, it_c, -1)
-            it_host = jnp.where(it_c >= theta, it_c, -1)
+            pos = jnp.arange(it_c.shape[0], dtype=jnp.int32)
+            k_host = jnp.int32(self.host_payload_slots)
+            to_dev = (it_c < theta) | (pos >= k_host)
+            it_dev = jnp.where(to_dev, it_c, -1)
+            it_host = jnp.where(~to_dev, it_c, -1)
             hist_flat = _blocked_replay(
                 new_state["hist"].reshape(-1),
                 cr_c,

@@ -52,7 +52,11 @@ class Calibration:
     #: (auto replay routing) and on a DRAM-bound production canvas
     #: (hybrid-share solve, pallas_engine.Tuning.auto_device_share).
     host_replay_llc_rate: float = 7.6e8
-    host_replay_dram_rate: float = 7.3e7
+    #: DRAM-bound canvases: the r4 radix64-partitioned accumulator with
+    #: THP-backed histograms measured 2.07e8 pts/s at 20000x20000
+    #: (csrc/bighist_bench.cpp; 2.5-3x the direct RMW loop it replaced,
+    #: whose 7.3e7 was this constant's previous value).
+    host_replay_dram_rate: float = 2.0e8
     #: Device blocked-replay end-to-end points/s at big canvases.
     device_replay_rate: float = 5.6e7
     #: Device blocked-replay MARGINAL points/s through the Mosaic RMW
@@ -73,6 +77,12 @@ class Calibration:
     #: (the classify cost model alone predicted 0.047 s of device-fixed
     #: time vs 0.101 s measured).
     pass_overhead_seconds: float = 0.055
+    #: Device->host link bandwidth (bytes/s) for the emission payload —
+    #: the transfer term of the hybrid-share solve. This environment's
+    #: axon tunnel measures ~45 MB/s (PERF_NOTES.md); a real v5e host's
+    #: PCIe link is ~100x that, which pushes the transfer term to zero
+    #: and the solve back to pure compute balancing.
+    link_rate_bytes: float = 45e6
     #: Where the numbers came from ("default" or the probe's metadata).
     source: str = "default"
 
