@@ -34,7 +34,8 @@ BASELINE_ITERS_PER_SEC = 1.0e10
 REFERENCE_DEFAULT_ITERS_PER_SEC = 4.7e9
 
 
-def measure(cfg, seconds: float, n_segments: int = 5) -> dict:
+def measure(cfg, seconds: float, n_segments: int = 5,
+            label: str = "") -> dict:
     """Time-boxed multi-segment throughput measurement of one config.
 
     Median of segments: throughput through the shared tunnel is noisy
@@ -46,6 +47,15 @@ def measure(cfg, seconds: float, n_segments: int = 5) -> dict:
 
     from cudabrot_tpu import engines
 
+    # Progress goes to stderr so a human (or a stalled-run debugger) can
+    # see which config is compiling/running; stdout stays the one JSON
+    # line + the truncation-proof final headline the driver records.
+    def progress(msg: str) -> None:
+        print(f"[bench] {label or 'config'}: {msg}", file=sys.stderr,
+              flush=True)
+
+    progress("warmup (compile)...")
+    t_setup = time.monotonic()
     engine = engines.make_engine(cfg)
 
     # Warmup (compile) outside the timed region. MH engines trace two
@@ -64,6 +74,8 @@ def measure(cfg, seconds: float, n_segments: int = 5) -> dict:
     jax.block_until_ready(state)
     if getattr(engine, "_worker", None) is not None:
         engine._worker.drain()
+    progress(f"warm in {time.monotonic() - t_setup:.1f}s; measuring "
+             f"{n_segments} x {max(seconds / n_segments, 1.0):.1f}s")
 
     seg_len = max(seconds / n_segments, 1.0)
     seg_rates = []
@@ -90,6 +102,8 @@ def measure(cfg, seconds: float, n_segments: int = 5) -> dict:
         elapsed += dt
         seg_passes_total += passes - p0
         seg_rates.append((d_classify + d_points) / dt)
+        progress(f"segment {_seg + 1}/{n_segments}: "
+                 f"{seg_rates[-1]:.3e} it/s")
         prev = st
 
     hist = engine.histogram(state)
@@ -125,7 +139,11 @@ def measure(cfg, seconds: float, n_segments: int = 5) -> dict:
     if tuning is not None and out["replay"] in ("host", "hybrid"):
         inner = getattr(engine, "inner", engine)
         slot = 8 if getattr(inner, "_packed_payload", False) else 12
-        payload_bytes = seg_passes_total * tuning.replay_capacity * slot
+        # With a hybrid device share only the host-payload PREFIX
+        # crosses the link (Tuning.host_payload_slots).
+        slots = getattr(inner, "host_payload_slots",
+                        tuning.replay_capacity)
+        payload_bytes = seg_passes_total * slots * slot
         out["payload_mb_per_sec"] = round(payload_bytes / elapsed / 1e6, 2)
     if getattr(engine, "_worker", None) is not None:
         w = engine._worker
@@ -163,7 +181,7 @@ def main() -> int:
                            min_escape_iterations=2000),
         seconds_to_run=seconds,
     )
-    headline = measure(headline_cfg, seconds)
+    headline = measure(headline_cfg, seconds, label="headline")
 
     # Reference-default workload (cudabrot.cu:764-772): m=100, c=20.
     default_cfg = RenderConfig(
@@ -172,7 +190,8 @@ def main() -> int:
                            min_escape_iterations=20),
         seconds_to_run=seconds,
     )
-    default = measure(default_cfg, max(seconds / 2, 3.0), n_segments=3)
+    default = measure(default_cfg, max(seconds / 2, 3.0), n_segments=3,
+                      label="default_band")
     default["vs_reference_hw"] = round(
         default["value"] / REFERENCE_DEFAULT_ITERS_PER_SEC, 4
     )
@@ -192,7 +211,8 @@ def main() -> int:
             seconds_to_run=seconds,
             options=EngineOptions(refill_rng=mode),
         )
-        fine[mode] = measure(fine_cfg, max(seconds / 2, 3.0), n_segments=3)
+        fine[mode] = measure(fine_cfg, max(seconds / 2, 3.0), n_segments=3,
+                             label=f"fine_{mode}")
 
     # Extended-precision deep zoom (df32, the beyond-reference mode):
     # a 1e-5-wide seahorse-valley window, canvas == sample window —
@@ -222,7 +242,8 @@ def main() -> int:
         seconds_to_run=seconds,
         options=EngineOptions(precision="extended"),
     )
-    deep = measure(deep_cfg, max(seconds / 2, 3.0), n_segments=3)
+    deep = measure(deep_cfg, max(seconds / 2, 3.0), n_segments=3,
+                   label="deep_zoom")
 
     # MH importance sampling (the r6 feature): same 1e-5 canvas window
     # with an 8x-wide sample domain — the realistic crop ask ("render
@@ -240,7 +261,8 @@ def main() -> int:
         sample_domain=mh_domain,
         options=EngineOptions(precision="extended", sampler="mh"),
     )
-    mh = measure(mh_cfg, max(seconds / 2, 3.0), n_segments=3)
+    mh = measure(mh_cfg, max(seconds / 2, 3.0), n_segments=3,
+                 label="mh_zoom")
     mh["deposited_mass_per_sec"] = round(
         mh["histogram_mass"] / 256.0 / mh["elapsed_seconds"], 1
     )
@@ -250,7 +272,8 @@ def main() -> int:
         # mode (the canvas emit filter skips non-visiting replays).
         options=EngineOptions(precision="extended", emit_filter="canvas"),
     )
-    uni = measure(uni_cfg, max(seconds / 4, 2.0), n_segments=2)
+    uni = measure(uni_cfg, max(seconds / 4, 2.0), n_segments=2,
+                  label="mh_uniform_comparator")
     mh["uniform_same_config_mass_per_sec"] = round(
         uni["histogram_mass"] / uni["elapsed_seconds"], 1
     )

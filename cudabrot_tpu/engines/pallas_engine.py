@@ -218,9 +218,10 @@ class Tuning:
             # MH tenures live per flush window: the r4 silicon sweep
             # (benchmarks/mh_kernel_sweep.py, 1e-5 seahorse window)
             # measured deposited mass 6.3e6/s at 4096-step windows vs
-            # 1.28e8/s at 16384 — the emission-heavy cap above is a
-            # uniform-path argsort-cost concern and MUST NOT truncate
-            # chain tenures 20x. (Pending collisions are mass-conserving
+            # 1.28e8/s at 16384 — short windows truncate chain tenures
+            # 20x, and the emission-rate target below lands at ~4096 at
+            # deep bands, so this must be a FLOOR on the window, not
+            # just a raised cap. (Pending collisions are mass-conserving
             # reservoir merges, so big windows cost variance, not mass.)
             flush_cap = max(flush_cap, 16384)
         # Uniform sampling tolerates ~12% pending-overwrite loss (drops
@@ -233,11 +234,25 @@ class Tuning:
         # (256 steps) to 16384-step windows, with deposit spread staying
         # acceptable at ~1 retirement per lane-window. Target 1.0.
         flush_target = 1.0 if self.mh else 0.25
-        self.steps_per_flush = (
-            o.steps_per_flush
-            if o.steps_per_flush > 0
-            else int(np.clip(_pow2(flush_target / rate), 32, flush_cap))
-        )
+        if o.steps_per_flush > 0:
+            self.steps_per_flush = o.steps_per_flush
+        else:
+            self.steps_per_flush = int(
+                np.clip(_pow2(flush_target / rate), 32, flush_cap)
+            )
+            if self.mh:
+                # The MH tenure floor (see flush_cap above): the rate
+                # target alone picks ~4096 at deep bands and forfeits
+                # 20x of the deposited mass. Scale the floor with the
+                # band's mean in-band orbit length (a window must hold
+                # several full tenures not to truncate them) so tiny
+                # test/shallow bands keep fast small windows: 8x the
+                # mean tenure reproduces the sweep's 16384 at the
+                # bench band ([500,20000) -> in_band_len ~1892).
+                self.steps_per_flush = max(
+                    self.steps_per_flush,
+                    min(16384, _pow2(8.0 * in_band_len)),
+                )
         # Window size trades boundary-op amortization against
         # finished-lane coast (selected before pass length, which scales
         # with it). Thin (boundary) escape tracking is strictly cheaper
@@ -353,9 +368,21 @@ class Tuning:
             # leg, and the rows=128 kernel-sweep leg collapsed to ~zero
             # deposits when the bound crossed the old 2^19 ceiling).
             windows = max(self.steps_per_pass // self.steps_per_flush, 1)
+            # Ceiling stays at the known-good 2^19: both observed
+            # >2^19 configs misbehaved on silicon (the rows=128 sweep
+            # leg collapsed to ~zero deposits; a 2^21 bench pass hung
+            # the device) — root cause open, so larger structural
+            # bounds shrink the pass instead (steps_per_pass clamp
+            # below keeps the bound exact).
             self.replay_capacity = int(
-                np.clip(_pow2(lanes * windows), 4096, 1 << 21)
+                np.clip(_pow2(lanes * windows), 4096, 1 << 19)
             )
+            max_windows = max(self.replay_capacity // lanes, 1)
+            if windows > max_windows:
+                # Shorten the pass so one pass's tenure drains (one per
+                # lane-window) still fit the buffer exactly — MH drops
+                # lose weighted mass, so overflow is never acceptable.
+                self.steps_per_pass = max_windows * self.steps_per_flush
         else:
             self.replay_capacity = int(
                 np.clip(_pow2(expected), 4096, 1 << 19)

@@ -62,6 +62,11 @@ def _mh_cfg(**kw):
         sampler="mh",
         lane_rows=8,
         mh_burnin_passes=1,
+        # Pin the flush window: the auto tuner's tenure floor (sized for
+        # deep silicon bands) would pick 512 here and quadruple the CPU
+        # cost of every accounting test; none of these tests exercise
+        # the auto window choice (test_tuning_mh_flush_floor does).
+        steps_per_flush=128,
     )
     opts.update(kw.pop("options", {}))
     base = dict(canvas=_CROP, band=_BAND, seconds_to_run=-1.0)

@@ -432,3 +432,34 @@ def test_auto_device_share_pallas_small_canvas():
     assert 0.1 < s < 0.5, s
     thr = tn.split_threshold(s)
     assert 2000 < thr < 20000
+
+
+def test_tuning_mh_flush_floor_scales_with_band():
+    """MH flush-window floor: deep bands must get the silicon-measured
+    16384-step windows (benchmarks/mh_kernel_sweep.py: 20x deposited
+    mass vs the rate-target's 4096), while shallow test bands keep small
+    fast windows (floor = 8x the mean in-band tenure, capped at 16384).
+    The MH replay capacity also stays at the known-good 2^19 ceiling,
+    with the pass shortened so one pass's tenure drain fits exactly."""
+    from cudabrot_tpu.engines.pallas_engine import Tuning
+
+    mh = EngineOptions(sampler="mh")
+    deep = Tuning(RenderConfig(
+        canvas=Canvas(width=1000, height=1000),
+        band=IterationBand(max_escape_iterations=20000,
+                           min_escape_iterations=500),
+        options=mh,
+    ))
+    assert deep.steps_per_flush == 16384, deep.steps_per_flush
+    assert deep.replay_capacity <= 1 << 19
+    lanes = 8 * 128
+    windows = deep.steps_per_pass // deep.steps_per_flush
+    assert lanes * windows <= deep.replay_capacity
+
+    shallow = Tuning(RenderConfig(
+        canvas=Canvas(width=40, height=40),
+        band=IterationBand(max_escape_iterations=300,
+                           min_escape_iterations=20),
+        options=mh,
+    ))
+    assert shallow.steps_per_flush <= 1024, shallow.steps_per_flush
