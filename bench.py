@@ -89,6 +89,14 @@ def measure(cfg, seconds: float, n_segments: int = 5,
         while time.monotonic() - t0 < seg_len:
             state = engine.run_pass(state, passes)
             passes += 1
+            # Pipeline throttle (driver.run_render depth 2): host-replay
+            # engines have worker backpressure, but the MH device engine
+            # is pure async dispatch — unthrottled, a 5 s window enqueued
+            # 5512 passes (~36 min of device work) in the r4 batch. The
+            # reported rates were still work/wall-correct; the time box
+            # was not.
+            if passes % 2 == 0:
+                jax.block_until_ready(state)
         jax.block_until_ready(state)
         if getattr(engine, "_worker", None) is not None:
             engine._worker.drain()

@@ -25,8 +25,11 @@ Usage: python benchmarks/mh_ab.py [seconds_per_variant] [span]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -32,11 +32,11 @@ echo "--- step 2: mh_ab.py 60 6e-3 ---" | tee -a "$LOG"
 timeout 1200 python benchmarks/mh_ab.py 60 6e-3 2>&1 | tail -40 | tee -a "$LOG"
 
 echo "--- step 3: north-star 20000^2 leg (600 s) ---" | tee -a "$LOG"
-mkdir -p /root/northstar_r04
+mkdir -p /tmp/northstar_r04
 timeout 1500 python -m cudabrot_tpu.cli \
     -w 20000 -h 20000 -m 20000 -c 2000 -t 600 \
     --stats-json /tmp/ns_r04_stats.json \
-    -o /root/northstar_r04/leg.pgm 2>&1 | tail -4 | tee -a "$LOG"
+    -o /tmp/northstar_r04/leg.pgm 2>&1 | tail -4 | tee -a "$LOG"
 python - <<'EOF' 2>&1 | tee -a "$LOG"
 import json
 st = json.load(open("/tmp/ns_r04_stats.json"))
