@@ -149,7 +149,7 @@ def main(argv=None) -> int:
     def step_d(state, hist, pass_index):
         r = classify(state, pass_index)
         cr, ci, it = compact(r)
-        hist = pe._blocked_replay(
+        hist, _ = pe._blocked_replay(
             hist, cr, ci, it,
             fractal=fractal, canvas=cfg.canvas,
             chunk=tn.replay_chunk, block=block,

@@ -123,6 +123,11 @@ TPU-native extensions:
   --replay-threads <n>: threads for the native host replay engine
              (per-thread private histograms, deterministic merge).
              Defaults to one per available core.
+  --replay-device-share <s>: in host-replay mode, the orbit-point mass
+             fraction the DEVICE replays concurrently (hybrid split;
+             0 forces pure host replay, negative restores the
+             auto-tuned share). Benchmarking/ops override of
+             Tuning.auto_device_share.
   --refill-rng <mode>: lane-refill random stream: threefry (default —
              in-kernel Threefry-2x32, bit-exact with jax.random on
              every backend), hardware_rw (TPU hardware generator
@@ -444,6 +449,9 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
             i += 2
         elif arg == "--replay":
             opt["replay"] = _parse_str(argv, i, "Missing replay mode.")
+            i += 2
+        elif arg == "--replay-device-share":
+            opt["replay_device_share"] = _parse_float(argv, i)
             i += 2
         elif arg == "--replay-threads":
             opt["replay_threads"] = _parse_int(argv, i)

@@ -48,7 +48,7 @@ from cudabrot_tpu.utils import calibration, counters
 
 STAT_KEYS = (
     "samples", "culled", "in_band", "emitted", "replay_dropped",
-    "iters", "points", "cycles", "wasted",
+    "iters", "points", "cycles", "wasted", "dev_hits",
 )
 
 #: Extra per-state counters carried only by --sampler mh engines
@@ -589,13 +589,21 @@ def _blocked_replay(
     replay trajectory escapes earlier (see ops/oracle.replay_into's
     docstring for why this conscious deviation from record-then-break
     is kept — measured in PERF_NOTES.md "record-then-break replay").
+
+    Returns ``(hist, hits)`` where ``hits`` is an exact (lo, hi) uint32
+    pair counting the on-canvas deposits this call made (ids below the
+    sentinel); the callers fold it into the ``dev_hits`` state counter
+    so hybrid/device stats report true on-canvas mass, not just the
+    host worker's share.
     """
     k = cr.shape[0]
     nblocks = k // block
+    nbins = hist_flat.shape[0]
     if bin_fn is None:
         bin_fn = functools.partial(binning.points_to_bin_ids, canvas)
 
-    def outer_body(b, hist):
+    def outer_body(b, carry):
+        hist, hits = carry
         off = b * block
         bcr = jax.lax.dynamic_slice(cr, (off,), (block,))
         bci = jax.lax.dynamic_slice(ci, (off,), (block,))
@@ -604,11 +612,11 @@ def _blocked_replay(
         bmax = jnp.max(bit)
 
         def inner_cond(c):
-            base, _, _, _ = c
+            base, _, _, _, _ = c
             return base <= bmax
 
         def inner_body(c):
-            base, zr, zi, hist = c
+            base, zr, zi, hist, hits = c
 
             def substep(s_c, _):
                 zr, zi, s = s_c
@@ -623,15 +631,19 @@ def _blocked_replay(
                 substep, (zr, zi, base), None, length=chunk
             )
             hist = binning.scatter_ids(hist, ids, backend, interpret=interpret)
-            return (base + chunk, zr, zi, hist)
+            # chunk*block <= ~2^23 per call: an i32 sum cannot wrap.
+            hits = counters.u64_add(hits, jnp.sum(ids < nbins))
+            return (base + chunk, zr, zi, hist, hits)
 
-        _, _, _, hist = jax.lax.while_loop(
+        base, zr, zi, hist, hits = jax.lax.while_loop(
             inner_cond, inner_body,
-            (jnp.int32(0), bcr, bci, hist),
+            (jnp.int32(0), bcr, bci, hist, hits),
         )
-        return hist
+        return (hist, hits)
 
-    return jax.lax.fori_loop(0, nblocks, outer_body, hist_flat)
+    return jax.lax.fori_loop(
+        0, nblocks, outer_body, (hist_flat, counters.u64_zero())
+    )
 
 
 def _blocked_replay_ext(
@@ -672,6 +684,7 @@ def _blocked_replay_ext(
     """
     k = kr.shape[0]
     nblocks = k // block
+    nbins = hist_flat.shape[0]
     rtz = dfc[8]
     mr = (dfc[4], dfc[5])
     mi = (dfc[6], dfc[7])
@@ -680,7 +693,8 @@ def _blocked_replay_ext(
             binning.points_to_bin_ids_df, canvas
         )
 
-    def outer_body(b, hist):
+    def outer_body(b, carry):
+        hist, hits = carry
         off = b * block
         bkr = jax.lax.dynamic_slice(kr, (off,), (block,))
         bki = jax.lax.dynamic_slice(ki, (off,), (block,))
@@ -699,7 +713,7 @@ def _blocked_replay_ext(
             return base <= bmax
 
         def inner_body(c):
-            base, zr, zrl, zi, zil, hist = c
+            base, zr, zrl, zi, zil, hist, hits = c
 
             def substep(s_c, _):
                 zr, zrl, zi, zil, s = s_c
@@ -719,16 +733,19 @@ def _blocked_replay_ext(
                 substep, (zr, zrl, zi, zil, base), None, length=chunk
             )
             hist = binning.scatter_ids(hist, ids, backend, interpret=interpret)
-            return (base + chunk, zr, zrl, zi, zil, hist)
+            hits = counters.u64_add(hits, jnp.sum(ids < nbins))
+            return (base + chunk, zr, zrl, zi, zil, hist, hits)
 
         # Orbits start at z = c (cudabrot.cu:323-324) — df32 copy.
-        _, _, _, _, _, hist = jax.lax.while_loop(
+        _, _, _, _, _, hist, hits = jax.lax.while_loop(
             inner_cond, inner_body,
-            (jnp.int32(0), crh, crl, cih, cil, hist),
+            (jnp.int32(0), crh, crl, cih, cil, hist, hits),
         )
-        return hist
+        return (hist, hits)
 
-    return jax.lax.fori_loop(0, nblocks, outer_body, hist_flat)
+    return jax.lax.fori_loop(
+        0, nblocks, outer_body, (hist_flat, counters.u64_zero())
+    )
 
 
 class PallasEngine:
@@ -1182,6 +1199,9 @@ class PallasEngine:
                 counters.u64_pair(tn.steps_per_pass * self.lanes), wasted
             ),
             "points": zero_pair,
+            # On-canvas deposits made by the DEVICE replay (hybrid share
+            # or full device mode) — incremented where replay runs.
+            "dev_hits": zero_pair,
         }
         if self.mh:
             per_pass["mh_accepts"] = counters.u64_sum_i32(
@@ -1227,7 +1247,7 @@ class PallasEngine:
             to_dev = (it_c < theta) | (pos >= k_host)
             it_dev = jnp.where(to_dev, it_c, -1)
             it_host = jnp.where(~to_dev, it_c, -1)
-            hist_flat = _blocked_replay(
+            hist_flat, dhits = _blocked_replay(
                 new_state["hist"].reshape(-1),
                 cr_c,
                 ci_c,
@@ -1240,6 +1260,9 @@ class PallasEngine:
                 interpret=self.interpret,
             )
             new_state["hist"] = hist_flat.reshape(cfg.canvas.shape)
+            new_state["dev_hits"] = counters.u64_add_pair(
+                new_state["dev_hits"], dhits
+            )
             # Exact u64 pair: one interior-mode pass can replay > 2^32
             # points (max_it-long orbits at a filled batch), which a
             # uint32 sum would silently wrap.
@@ -1298,7 +1321,7 @@ class PallasEngine:
             # Compacted emissions carry the 24-bit window grid indices;
             # the df32 replay reconstructs c exactly as the kernel drew
             # it and keeps orbit positions sub-pixel at deep-zoom widths.
-            hist_flat = _blocked_replay_ext(
+            hist_flat, dhits = _blocked_replay_ext(
                 new_state["hist"].reshape(-1),
                 cr_c,
                 ci_c,
@@ -1314,7 +1337,7 @@ class PallasEngine:
                 step_i=self._df_step[1],
             )
         else:
-            hist_flat = _blocked_replay(
+            hist_flat, dhits = _blocked_replay(
                 new_state["hist"].reshape(-1),
                 cr_c,
                 ci_c,
@@ -1328,6 +1351,9 @@ class PallasEngine:
             )
         new_state = dict(new_state)
         new_state["hist"] = hist_flat.reshape(cfg.canvas.shape)
+        new_state["dev_hits"] = counters.u64_add_pair(
+            new_state["dev_hits"], dhits
+        )
         # Exact u64 pair (an interior-mode pass can exceed 2^32 points).
         points = counters.u64_sum_i32(jnp.where(it_c >= 0, it_c + 1, 0))
         new_state["points"] = counters.u64_add_pair(state["points"], points)
@@ -1604,6 +1630,10 @@ class PallasEngine:
             "classify_iters": vals["iters"],
             "wasted_steps": vals["wasted"],
             "orbit_points": vals["points"],
+            # Device-replay on-canvas deposits (hybrid share / device
+            # mode). Internal: stats() and the parallel wrappers fold it
+            # into on_canvas_points and drop the underscore key.
+            "_device_on_canvas": vals["dev_hits"],
         }
         if self.mh:
             for k in MH_STAT_KEYS:
@@ -1612,12 +1642,16 @@ class PallasEngine:
 
     def stats(self, state) -> dict:
         out = self.counter_stats(state)
+        dev_hits = out.pop("_device_on_canvas", 0)
         if self._worker is not None:
             self._worker.drain()
             # Device-replayed prefix points live in the jit counter; the
-            # host worker's tally covers the rest.
+            # host worker's tally covers the rest. Same split for the
+            # on-canvas deposits: the hybrid device share's hits are a
+            # device counter (a worker-only tally under-read 2.3x at a
+            # forced 0.5 share, r4).
             out["orbit_points"] = out["orbit_points"] + self._worker.points
-            out["on_canvas_points"] = self._worker.hits
+            out["on_canvas_points"] = self._worker.hits + dev_hits
             # Worker critical-path split: fetch covers payload
             # materialization + decode (it exposed the oversized-payload
             # wall, PERF_NOTES.md); replay is the native engine time.
@@ -1643,4 +1677,6 @@ class PallasEngine:
                 out["weight_scale"] = self.weight_scale
                 out["mh_lost_weight"] = 0
                 out["on_canvas_points"] = out["mh_deposited"]
+            else:
+                out["on_canvas_points"] = dev_hits
         return out

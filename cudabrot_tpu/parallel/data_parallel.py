@@ -194,15 +194,21 @@ class DataParallelEngine:
                     totals[k] = totals.get(k, 0) + v
         if hasattr(self.inner, "counter_stats"):
             extras.setdefault("replay", "device")
-        if (
-            getattr(self.inner, "mh", False)
-            and getattr(self.inner, "_worker", None) is None
-        ):
-            # Device-path MH: deposited mass is a summed device counter
-            # (PallasEngine.core); mirror the single-device stat surface.
-            extras["on_canvas_points"] = totals.get("mh_deposited", 0)
-            extras["weight_scale"] = self.inner.weight_scale
-            extras["mh_lost_weight"] = 0
+        dev_hits = totals.pop("_device_on_canvas", 0)
+        if getattr(self.inner, "_worker", None) is None:
+            if getattr(self.inner, "mh", False):
+                # Device-path MH: deposited mass is a summed device
+                # counter (PallasEngine.core); mirror the single-device
+                # stat surface.
+                extras["on_canvas_points"] = totals.get("mh_deposited", 0)
+                extras["weight_scale"] = self.inner.weight_scale
+                extras["mh_lost_weight"] = 0
+            else:
+                extras["on_canvas_points"] = dev_hits
+        else:
+            # Host-replay subclass: fold the device share's deposits in
+            # with the worker tally (DataParallelHostReplayEngine.stats).
+            extras["_device_on_canvas"] = dev_hits
         return {**totals, **extras}
 
 
@@ -353,6 +359,11 @@ class DataParallelHostReplayEngine(DataParallelEngine):
 
     def stats(self, state) -> dict:
         out = super().stats(state)
+        # Device-share deposits are per-device jit counters; in
+        # multi-process runs each process only sums its addressable
+        # shards, so the device tally rides the same allgather as the
+        # worker's.
+        dev_hits = int(out.pop("_device_on_canvas", 0))
         w = self.inner._worker
         w.drain()
         points, hits = int(w.points), int(w.hits)
@@ -361,14 +372,15 @@ class DataParallelHostReplayEngine(DataParallelEngine):
 
             tallies = np.asarray(
                 multihost_utils.process_allgather(
-                    np.asarray([points, hits], dtype=np.uint64)
+                    np.asarray([points, hits, dev_hits], dtype=np.uint64)
                 ),
                 dtype=np.uint64,
-            ).reshape(-1, 2)
+            ).reshape(-1, 3)
             points = int(tallies[:, 0].sum())
             hits = int(tallies[:, 1].sum())
+            dev_hits = int(tallies[:, 2].sum())
         out["orbit_points"] = out.get("orbit_points", 0) + points
-        out["on_canvas_points"] = hits
+        out["on_canvas_points"] = hits + dev_hits
         out["replay"] = (
             "hybrid" if self.inner.split_threshold > 0
             else "host"

@@ -86,7 +86,7 @@ class ShardedHistogramEngine:
                     cfg.canvas,
                     row_count=self.rows_per_shard,
                 )
-                hist_flat = pe._blocked_replay_ext(
+                hist_flat, dhits = pe._blocked_replay_ext(
                     hist_local.reshape(-1),
                     cr_g,
                     ci_g,
@@ -111,7 +111,7 @@ class ShardedHistogramEngine:
                     cfg.canvas,
                     row_count=self.rows_per_shard,
                 )
-                hist_flat = pe._blocked_replay(
+                hist_flat, dhits = pe._blocked_replay(
                     hist_local.reshape(-1),
                     cr_g,
                     ci_g,
@@ -127,6 +127,11 @@ class ShardedHistogramEngine:
                 )
             new_local["hist_shard"] = hist_flat.reshape(
                 self.rows_per_shard, cfg.canvas.width
+            )
+            # Each device deposits only its own rows, so per-device hit
+            # counters sum to the global on-canvas total exactly once.
+            new_local["dev_hits"] = counters.u64_add_pair(
+                new_local["dev_hits"], dhits
             )
             return jax.tree.map(lambda x: x[None], new_local)
 

@@ -94,6 +94,7 @@ def test_extension_flags():
             "--stats-json", "s.json",
             "--devices", "2",
             "--replay-threads", "4",
+            "--replay-device-share", "0.25",
             "--refill-rng", "hardware_rw",
         ]
     )
@@ -105,6 +106,7 @@ def test_extension_flags():
     assert cfg.checkpoint_interval == 10
     assert cfg.options.num_devices == 2
     assert cfg.options.replay_threads == 4
+    assert cfg.options.replay_device_share == 0.25
     assert cfg.options.refill_rng == "hardware_rw"
     assert extras.save_png
     assert extras.stats_json == "s.json"

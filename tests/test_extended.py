@@ -185,7 +185,7 @@ def test_device_replay_matches_float64_replay():
             h, a, b, c,
             fractal=fr, canvas=canvas, chunk=32, block=64,
             backend="xla", dfc=d, step_r=step_r, step_i=step_i,
-        )
+        )[0]
     )(
         jnp.zeros(canvas.num_pixels, jnp.uint32),
         jnp.asarray(kr), jnp.asarray(ki), jnp.asarray(iters), dfc,

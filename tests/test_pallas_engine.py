@@ -463,3 +463,42 @@ def test_tuning_mh_flush_floor_scales_with_band():
         options=mh,
     ))
     assert shallow.steps_per_flush <= 1024, shallow.steps_per_flush
+
+
+def test_hybrid_on_canvas_points_includes_device_share():
+    """stats()["on_canvas_points"] must cover the DEVICE-replayed share,
+    not just the host worker's tally: at a forced 0.5 share the worker
+    alone under-read 2.3x (r4) while the histogram itself conserved mass
+    bitwise. Same seed across modes -> identical deposits, so the stat
+    must agree exactly with both the pure-host run and the histogram."""
+    from cudabrot_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native replay library unavailable")
+
+    def run(**replay_kw):
+        cfg = _cfg(options=EngineOptions(
+            engine="pallas", lane_rows=4, steps_per_pass=2048,
+            steps_per_flush=64, replay_capacity=1 << 12,
+            **replay_kw,
+        ))
+        eng = PallasEngine(cfg)
+        hist, st = _run(eng, 2)
+        if getattr(eng, "_worker", None) is not None:
+            eng._worker.close()
+        return int(np.asarray(hist).sum()), st
+
+    m_host, s_host = run(replay="host", replay_device_share=0.0)
+    m_hyb, s_hyb = run(replay="host", replay_device_share=0.5)
+    m_dev, s_dev = run(replay="device")
+    assert s_host["replay"] == "host"
+    assert s_hyb["replay"] == "hybrid"
+    assert s_dev["replay"] == "device"
+    # The stat equals the histogram mass in every mode (uniform sampler:
+    # each on-canvas deposit increments exactly one bin).
+    assert s_host["on_canvas_points"] == m_host
+    assert s_hyb["on_canvas_points"] == m_hyb
+    assert s_dev["on_canvas_points"] == m_dev
+    # f32 binning drift between the native and device replays is allowed
+    # at most a small relative wobble; the split itself must not lose mass.
+    assert 0.98 < m_hyb / m_host < 1.02
