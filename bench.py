@@ -79,6 +79,7 @@ def measure(cfg, seconds: float, n_segments: int = 5,
 
     seg_len = max(seconds / n_segments, 1.0)
     seg_rates = []
+    seg_deposit_rates = []  # MH only: per-segment deposited mass/s
     prev = engine.stats(state)
     elapsed = 0.0
     classify = points = samples = 0
@@ -110,6 +111,10 @@ def measure(cfg, seconds: float, n_segments: int = 5,
         elapsed += dt
         seg_passes_total += passes - p0
         seg_rates.append((d_classify + d_points) / dt)
+        if "mh_deposited" in st:
+            seg_deposit_rates.append(
+                (st["mh_deposited"] - prev["mh_deposited"]) / 256.0 / dt
+            )
         progress(f"segment {_seg + 1}/{n_segments}: "
                  f"{seg_rates[-1]:.3e} it/s")
         prev = st
@@ -137,6 +142,10 @@ def measure(cfg, seconds: float, n_segments: int = 5,
         "canvas": [cfg.canvas.width, cfg.canvas.height],
         "histogram_mass": int(hist.sum()),
     }
+    if seg_deposit_rates:
+        out["segment_deposited_rates"] = [
+            round(r, 1) for r in seg_deposit_rates
+        ]
     # Emission-payload transfer rate: in host-replay mode every pass
     # fetches a fixed-shape packed payload (2 words * capacity * 4 bytes
     # = 8 bytes/slot); this is the measured quantity behind the
@@ -169,11 +178,30 @@ def measure(cfg, seconds: float, n_segments: int = 5,
 
 
 def main() -> int:
+    import os
+
     import jax
 
     from cudabrot_tpu.utils import jaxcache
 
     jaxcache.enable()
+
+    # Contamination guard (the r4 official record overlapped a CPU-bound
+    # test suite on this 1-core host and was unrepresentative in both
+    # directions): stamp the start load average into the record and warn
+    # loudly when the host is not quiet. The run proceeds — the stamp
+    # makes the record judgeable, not the run impossible.
+    try:
+        host_load_1m = round(os.getloadavg()[0], 2)
+    except OSError:
+        host_load_1m = None
+    if host_load_1m is not None and host_load_1m > 0.5:
+        print(
+            f"[bench] WARNING: host load {host_load_1m} at start — "
+            "results may be contaminated by concurrent work; rerun on a "
+            "quiet host for a record-quality number",
+            file=sys.stderr, flush=True,
+        )
 
     from cudabrot_tpu.config import (
         Canvas,
@@ -274,6 +302,16 @@ def main() -> int:
     mh["deposited_mass_per_sec"] = round(
         mh["histogram_mass"] / 256.0 / mh["elapsed_seconds"], 1
     )
+    # Chain tenure deposits are convergence-phase dependent (the r4
+    # records moved 7x between batches because one measured the burn-in
+    # ramp and one the steady state). The figure of merit is therefore
+    # the ASYMPTOTIC rate: the final segment's deposited mass/s, with
+    # the ramp published alongside (segment_deposited_rates) so any two
+    # batches can be compared segment-by-segment.
+    if mh.get("segment_deposited_rates"):
+        mh["deposited_mass_per_sec_asymptotic"] = (
+            mh["segment_deposited_rates"][-1]
+        )
     uni_cfg = deep_cfg.replace(
         sample_domain=mh_domain,
         # Best-vs-best: the uniform comparator gets its strongest crop
@@ -286,10 +324,15 @@ def main() -> int:
         uni["histogram_mass"] / uni["elapsed_seconds"], 1
     )
     if uni["histogram_mass"] > 0:
+        # Asymptotic MH rate vs the uniform comparator's whole-run rate
+        # (uniform sampling has no burn-in, so its whole-run rate IS its
+        # asymptotic rate).
+        mh_rate = mh.get(
+            "deposited_mass_per_sec_asymptotic",
+            mh["deposited_mass_per_sec"],
+        )
         mh["signal_vs_uniform"] = round(
-            mh["deposited_mass_per_sec"]
-            * uni["elapsed_seconds"] / uni["histogram_mass"],
-            2,
+            mh_rate * uni["elapsed_seconds"] / uni["histogram_mass"], 2
         )
 
     full = {
@@ -297,6 +340,7 @@ def main() -> int:
         **headline,
         "vs_baseline": round(headline["value"] / BASELINE_ITERS_PER_SEC, 4),
         "backend": jax.default_backend(),
+        "host_load_1m_at_start": host_load_1m,
         "default_band": default,
         "fine_band": fine,
         "deep_zoom": deep,
@@ -311,6 +355,7 @@ def main() -> int:
     try:
         with open("benchmarks/bench_last_full.json", "w") as f:
             json.dump(full, f, indent=1)
+            f.write("\n")
     except OSError:
         pass
     print(
