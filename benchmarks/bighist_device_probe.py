@@ -63,6 +63,15 @@ def _xla(hist, ids):
 
 
 @jax.jit
+def _sortonly(hist, ids):
+    # Isolates the sort term of sortadd/sortuniq: fold the sorted ids
+    # into the histogram with a single-element touch so the sort cannot
+    # be dead-code-eliminated, but no scatter runs.
+    s = jax.lax.sort(ids)
+    return hist.at[0].add(s[0].astype(hist.dtype) & 1)
+
+
+@jax.jit
 def _sortadd(hist, ids):
     s = jax.lax.sort(ids)
     return hist.at[s].add(
@@ -137,6 +146,7 @@ def main():
         ids = make_ids(key, p, nbins)
         ids.block_until_ready()
         ref, r_x = bench(_xla, "xla", nbins, ids, reps)
+        _, r_so = bench(_sortonly, "sortonly", nbins, ids, reps)
         _, r_sa = bench(_sortadd, "sortadd", nbins, ids, reps,
                         check_against=None)
         _, r_su = bench(_sortuniq, "sortuniq", nbins, ids, reps,
@@ -150,11 +160,11 @@ def main():
         eq_s = bool(jnp.array_equal(a, c))
         print(f"  correctness: sortuniq=={'OK' if eq_u else 'FAIL'} "
               f"sortadd=={'OK' if eq_s else 'FAIL'}", flush=True)
-        results[nbins] = (r_x, r_sa, r_su)
+        results[nbins] = (r_x, r_so, r_sa, r_su)
     print("\nsummary (ids/s):")
-    for nbins, (r_x, r_sa, r_su) in results.items():
-        print(f"  bins={nbins:.0e}: xla {r_x:.2e}  sortadd {r_sa:.2e}  "
-              f"sortuniq {r_su:.2e}")
+    for nbins, (r_x, r_so, r_sa, r_su) in results.items():
+        print(f"  bins={nbins:.0e}: xla {r_x:.2e}  sortonly {r_so:.2e}  "
+              f"sortadd {r_sa:.2e}  sortuniq {r_su:.2e}")
     return 0
 
 

@@ -416,6 +416,17 @@ class Tuning:
             self.replay_chunk = 1024
         else:
             self.replay_chunk = 256
+        # No orbit is longer than the band cap, so a chunk beyond it is
+        # pure masked-sentinel scan: at the default band (max 100) the
+        # old flat 256 made every replayed block pay 2.56x its useful
+        # steps — the r5 default-band share sweep measured every forced
+        # device share LOSING to host-only because of exactly this
+        # waste. Clamp to the cap's pow2 (floor 32 keeps the scan/scatter
+        # call ratio sane for tiny test bands).
+        self.replay_chunk = min(
+            self.replay_chunk,
+            max(_pow2(cfg.band.max_escape_iterations), 32),
+        )
         self.min_it = cfg.band.min_escape_iterations
         self.max_it = cfg.band.max_escape_iterations
         #: Whether host-replay emissions pack to 8 bytes (two u32 words:
