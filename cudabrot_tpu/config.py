@@ -228,9 +228,11 @@ class EngineOptions:
     #: for bitwise escape-count parity experiments with the reference,
     #: which always iterates interior points to the cap (cudabrot.cu:338).
     cycle_detection: bool = True
-    #: Histogram scatter backend: "xla" (scatter-add) or "auto". (A
-    #: sort+searchsorted backend was measured dead and removed; see
-    #: ops/binning.py.)
+    #: Histogram scatter backend: "xla" (scatter-add), "pallas" (Mosaic
+    #: RMW kernel, VMEM-resident histograms only), "sorted" (sort +
+    #: run-length collapse + sorted-unique scatter-add — the >VMEM
+    #: device-accumulation path), or "auto". (A sort+searchsorted
+    #: backend was measured dead and removed; see ops/binning.py.)
     scatter: str = "auto"
     #: Orbit replay execution: "device" (on-accelerator, multi-chip
     #: capable), "host" (native C++ engine overlapped with classification
@@ -274,7 +276,7 @@ class EngineOptions:
     def validate(self) -> None:
         if self.engine not in ("auto", "oracle", "pallas"):
             raise ConfigError(f"Unknown engine: {self.engine}")
-        if self.scatter not in ("auto", "xla", "pallas"):
+        if self.scatter not in ("auto", "xla", "pallas", "sorted"):
             hint = (
                 " (the sort backend was removed: measured slower than "
                 "scatter-add everywhere on TPU; see ops/binning.py)"

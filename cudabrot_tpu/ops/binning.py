@@ -283,6 +283,10 @@ PALLAS_SCATTER_UNROLL = 8
 #: per-call (380 vs 132.6 M ids/s at P=32M, B=1M; ~4.4x net of the ~30 ms
 #: tunnel dispatch) with bitwise-equal output, 2026-08-19 probe.
 PALLAS_SCATTER_AUTO = True
+#: Whether "auto" may pick the sorted backend for >VMEM histograms on
+#: TPU (flip after benchmarks/bighist_device_probe.py measures it
+#: faster than plain scatter-add at production bin counts).
+SORTED_SCATTER_AUTO = False
 
 
 def pallas_scatter_rows(nbins: int) -> int:
@@ -331,6 +335,40 @@ def scatter_xla(hist_flat, ids):
     )
 
 
+def scatter_sorted(hist_flat, ids):
+    """Scatter-add ones at ``ids`` after sorting and run-length collapse.
+
+    For >VMEM histograms (where the Mosaic RMW kernel cannot hold the
+    histogram) the XLA scatter-add is HBM-latency bound on random ids
+    (~1.1e8 slots/s). Sorting first makes the update stream sequential
+    in memory, and collapsing duplicate ids to (unique id, count) pairs
+    lets the scatter assert both ``indices_are_sorted`` and
+    ``unique_indices`` — no collision handling. Work is O(P log P) in
+    the batch, never O(num_bins), respecting the device-fault hazard
+    that killed the old searchsorted "sort" backend (module docstring):
+    that one paid a per-bin pass; this one never materializes anything
+    bin-shaped beyond the scatter itself.
+
+    Bitwise-identical to scatter_xla (exact integer adds; addition
+    commutes). Sentinel ids sort to the end and drop via mode="drop".
+    """
+    s = jax.lax.sort(ids.reshape(-1).astype(jnp.int32))
+    p = s.shape[0]
+    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    pos = jnp.arange(p, dtype=jnp.int32)
+    # Run-length collapse: at each first occurrence, count = distance to
+    # the next first occurrence (reverse cummin of boundary positions).
+    nxt = jnp.concatenate(
+        [jnp.where(first, pos, p + 1)[1:], jnp.array([p], jnp.int32)]
+    )
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(nxt)))
+    counts = jnp.where(first, nxt - pos, 0).astype(hist_flat.dtype)
+    uids = jnp.where(first, s, jnp.int32(hist_flat.shape[0]))
+    return hist_flat.at[uids].add(
+        counts, mode="drop", indices_are_sorted=True, unique_indices=True
+    )
+
+
 def select_scatter_backend(name: str, canvas: Canvas, batch_points: int) -> str:
     """Resolve 'auto' to a concrete backend: the Mosaic RMW kernel
     ("pallas") for VMEM-resident histograms on real TPUs, XLA scatter-add
@@ -356,6 +394,8 @@ def select_scatter_backend(name: str, canvas: Canvas, batch_points: int) -> str:
         <= PALLAS_SCATTER_VMEM_BUDGET
     ):
         return "pallas"
+    if SORTED_SCATTER_AUTO and jax.default_backend() == "tpu":
+        return "sorted"
     return "xla"
 
 
@@ -364,6 +404,8 @@ def scatter_ids(hist_flat, ids, backend: str, *, interpret: bool = False):
         return scatter_xla(hist_flat, ids)
     if backend == "pallas":
         return scatter_pallas(hist_flat, ids, interpret=interpret)
+    if backend == "sorted":
+        return scatter_sorted(hist_flat, ids)
     raise ValueError(f"Unknown scatter backend: {backend}")
 
 

@@ -101,6 +101,39 @@ def test_scatter_pallas_matches_xla_bitwise():
         np.testing.assert_array_equal(got, want)
 
 
+def test_scatter_sorted_matches_xla_bitwise():
+    """The sorted (sort + run-length collapse + unique scatter) backend
+    must be bitwise-identical to XLA scatter-add: exact integer adds in
+    a different deposit order."""
+    for nbins, n, seed in (
+        (16 * 12, 2048, 0),
+        (1024, 4096, 1),
+        (777, 2000, 2),     # odd nbins/odd n
+        (50, 4096, 3),      # collision-heavy (collapse does real work)
+    ):
+        rng = np.random.default_rng(seed)
+        ids = rng.integers(0, nbins + 1, size=n)  # includes sentinel
+        hist0 = jnp.arange(nbins, dtype=jnp.uint32)  # non-zero start
+        want = np.asarray(binning.scatter_xla(hist0, jnp.asarray(ids)))
+        got = np.asarray(
+            binning.scatter_sorted(hist0, jnp.asarray(ids, jnp.int32))
+        )
+        np.testing.assert_array_equal(got, want)
+    # All-sentinel batch (replay calls with no on-canvas points).
+    hist0 = jnp.arange(64, dtype=jnp.uint32)
+    allsent = jnp.full((512,), 64, jnp.int32)
+    out = np.asarray(binning.scatter_sorted(hist0, allsent))
+    np.testing.assert_array_equal(out, np.arange(64))
+
+
+def test_scatter_ids_sorted_backend_dispatch():
+    hist0 = jnp.zeros(256, jnp.uint32)
+    ids = jnp.asarray([0, 1, 1, 255, 256], jnp.int32)  # 256 == sentinel
+    out = np.asarray(binning.scatter_ids(hist0, ids, "sorted"))
+    assert out[0] == 1 and out[1] == 2 and out[255] == 1
+    assert out.sum() == 4
+
+
 def test_scatter_ids_pallas_backend_dispatch():
     hist0 = jnp.zeros(256, jnp.uint32)
     ids = jnp.asarray([0, 1, 1, 255, 256], jnp.int32)  # 256 == sentinel
