@@ -340,17 +340,25 @@ def scatter_sorted(hist_flat, ids):
 
     For >VMEM histograms (where the Mosaic RMW kernel cannot hold the
     histogram) the XLA scatter-add is HBM-latency bound on random ids
-    (~1.1e8 slots/s). Sorting first makes the update stream sequential
-    in memory, and collapsing duplicate ids to (unique id, count) pairs
-    lets the scatter assert both ``indices_are_sorted`` and
-    ``unique_indices`` — no collision handling. Work is O(P log P) in
-    the batch, never O(num_bins), respecting the device-fault hazard
-    that killed the old searchsorted "sort" backend (module docstring):
-    that one paid a per-bin pass; this one never materializes anything
-    bin-shaped beyond the scatter itself.
+    (~1.1e8 slots/s). Sorting makes the update stream sequential in
+    memory and collapsing duplicate ids to (unique id, count) pairs lets
+    the scatter assert ``indices_are_sorted``. Work is O(P log P) in the
+    batch, never O(num_bins), respecting the device-fault hazard that
+    killed the old searchsorted "sort" backend (module docstring).
 
-    Bitwise-identical to scatter_xla (exact integer adds; addition
-    commutes). Sentinel ids sort to the end and drop via mode="drop".
+    MEASURED DEAD on v5e (benchmarks/bighist_device_probe.py,
+    2026-08-20): XLA's TPU scatter emitter does not exploit sortedness —
+    9.9e7 ids/s vs 9.4e7 plain at 1.7e7..4e8 bins (the sort itself runs
+    at 4.5e8 ids/s). Kept only as an explicit --scatter option for A/B;
+    "auto" never selects it (SORTED_SCATTER_AUTO). The real >VMEM
+    device-accumulation path is the tiled Mosaic kernel (scatter_bigtiles).
+
+    Duplicate positions keep their sorted id with a zero count (the
+    probe's first variant replaced them with the sentinel, which
+    interleaved out-of-order ids while asserting indices_are_sorted +
+    unique_indices — silicon MISCOMPILED it at >2^24 bins). Bitwise-
+    identical to scatter_xla (exact integer adds; addition commutes).
+    Sentinel ids sort to the end and drop via mode="drop".
     """
     s = jax.lax.sort(ids.reshape(-1).astype(jnp.int32))
     p = s.shape[0]
@@ -363,9 +371,8 @@ def scatter_sorted(hist_flat, ids):
     )
     nxt = jnp.flip(jax.lax.cummin(jnp.flip(nxt)))
     counts = jnp.where(first, nxt - pos, 0).astype(hist_flat.dtype)
-    uids = jnp.where(first, s, jnp.int32(hist_flat.shape[0]))
-    return hist_flat.at[uids].add(
-        counts, mode="drop", indices_are_sorted=True, unique_indices=True
+    return hist_flat.at[s].add(
+        counts, mode="drop", indices_are_sorted=True, unique_indices=False
     )
 
 
