@@ -29,6 +29,7 @@ Usage:  python benchmarks/bighist_device_probe.py [P_log2] [reps]
 
 from __future__ import annotations
 
+import functools
 import sys
 import time
 
@@ -36,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cudabrot_tpu.ops import binning
 from cudabrot_tpu.utils import jaxcache
 
 jaxcache.enable()
@@ -104,6 +106,11 @@ def _sortuniq(hist, ids):
     )
 
 
+@jax.jit
+def _bigtiles(hist, ids):
+    return binning.scatter_bigtiles(hist, ids)
+
+
 def bench(fn, name, nbins, ids, reps, check_against=None):
     hist = jnp.zeros((nbins,), jnp.uint32)
     print(f"  {name} @ bins={nbins:.0e}: compiling...", flush=True)
@@ -151,20 +158,46 @@ def main():
                         check_against=None)
         _, r_su = bench(_sortuniq, "sortuniq", nbins, ids, reps,
                         check_against=None)
+        _, r_bt = bench(_bigtiles, "bigtiles", nbins, ids, reps,
+                        check_against=None)
+        # Padded-native bigtiles (no per-call pad/unpad copies): the
+        # rate the engine sees once it holds the tiled layout.
+        _, rows_pad = binning.bigtiles_layout(nbins)
+        hp = jnp.zeros((rows_pad * 128,), jnp.uint32)
+        btp = jax.jit(functools.partial(
+            binning.scatter_bigtiles_padded, nbins=nbins))
+        print(f"  bigtilesP @ bins={nbins:.0e}: compiling...", flush=True)
+        t0 = time.monotonic()
+        hp2 = btp(hp, ids)
+        hp2.block_until_ready()
+        cmp_t = time.monotonic() - t0
+        t0 = time.monotonic()
+        for _ in range(reps):
+            hp2 = btp(hp2, ids)
+        hp2.block_until_ready()
+        dt = time.monotonic() - t0
+        r_bp = ids.shape[0] * reps / dt
+        print(f"  bigtilesP bins={nbins:.0e} P={ids.shape[0]:.1e}: "
+              f"{r_bp:.3e} ids/s  ({dt/reps*1e3:.1f} ms/call, "
+              f"compile {cmp_t:.1f}s)", flush=True)
         # Correctness: one-call comparison vs xla on a fresh histogram.
         h0 = jnp.zeros((nbins,), jnp.uint32)
         a = _xla(h0, ids)
         b = _sortuniq(jnp.zeros((nbins,), jnp.uint32), ids)
         c = _sortadd(jnp.zeros((nbins,), jnp.uint32), ids)
+        d = _bigtiles(jnp.zeros((nbins,), jnp.uint32), ids)
         eq_u = bool(jnp.array_equal(a, b))
         eq_s = bool(jnp.array_equal(a, c))
+        eq_b = bool(jnp.array_equal(a, d))
         print(f"  correctness: sortuniq=={'OK' if eq_u else 'FAIL'} "
-              f"sortadd=={'OK' if eq_s else 'FAIL'}", flush=True)
-        results[nbins] = (r_x, r_so, r_sa, r_su)
+              f"sortadd=={'OK' if eq_s else 'FAIL'} "
+              f"bigtiles=={'OK' if eq_b else 'FAIL'}", flush=True)
+        results[nbins] = (r_x, r_so, r_sa, r_su, r_bt, r_bp)
     print("\nsummary (ids/s):")
-    for nbins, (r_x, r_so, r_sa, r_su) in results.items():
+    for nbins, (r_x, r_so, r_sa, r_su, r_bt, r_bp) in results.items():
         print(f"  bins={nbins:.0e}: xla {r_x:.2e}  sortonly {r_so:.2e}  "
-              f"sortadd {r_sa:.2e}  sortuniq {r_su:.2e}")
+              f"sortadd {r_sa:.2e}  sortuniq {r_su:.2e}  "
+              f"bigtiles {r_bt:.2e}  bigtilesP {r_bp:.2e}")
     return 0
 
 

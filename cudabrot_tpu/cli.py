@@ -97,8 +97,9 @@ TPU-native extensions:
   --engine <name>: auto (default), pallas, or oracle.
   --scatter <name>: histogram accumulation backend: auto (default),
              pallas (Mosaic RMW kernel, VMEM-resident canvases),
-             sorted (sort + collapsed scatter-add, >VMEM canvases),
-             or xla.
+             bigtiles (sort + tile-streaming Mosaic RMW, >VMEM
+             canvases), sorted (sort + collapsed scatter-add; A/B
+             only), or xla.
   --precision <p>: float32 (default), float64 (oracle engine only),
              or extended — double-float (~2^-48) TPU deep-zoom
              arithmetic for canvases narrower than ~1e-4, where

@@ -229,10 +229,12 @@ class EngineOptions:
     #: which always iterates interior points to the cap (cudabrot.cu:338).
     cycle_detection: bool = True
     #: Histogram scatter backend: "xla" (scatter-add), "pallas" (Mosaic
-    #: RMW kernel, VMEM-resident histograms only), "sorted" (sort +
-    #: run-length collapse + sorted-unique scatter-add — the >VMEM
-    #: device-accumulation path), or "auto". (A sort+searchsorted
-    #: backend was measured dead and removed; see ops/binning.py.)
+    #: RMW kernel, VMEM-resident histograms only), "bigtiles" (sort +
+    #: tile-streaming Mosaic RMW — the >VMEM device-accumulation path),
+    #: "sorted" (sort + run-length collapse + sorted scatter-add;
+    #: measured no faster than xla — kept for A/B), or "auto". (A
+    #: sort+searchsorted backend was measured dead and removed; see
+    #: ops/binning.py.)
     scatter: str = "auto"
     #: Orbit replay execution: "device" (on-accelerator, multi-chip
     #: capable), "host" (native C++ engine overlapped with classification
@@ -276,7 +278,7 @@ class EngineOptions:
     def validate(self) -> None:
         if self.engine not in ("auto", "oracle", "pallas"):
             raise ConfigError(f"Unknown engine: {self.engine}")
-        if self.scatter not in ("auto", "xla", "pallas", "sorted"):
+        if self.scatter not in ("auto", "xla", "pallas", "sorted", "bigtiles"):
             hint = (
                 " (the sort backend was removed: measured slower than "
                 "scatter-add everywhere on TPU; see ops/binning.py)"

@@ -376,6 +376,265 @@ def scatter_sorted(hist_flat, ids):
     )
 
 
+# ----------------------------------------------------------------------
+# Tiled Mosaic scatter for >VMEM histograms ("bigtiles").
+#
+# The reference deposits on the accelerator at every canvas size
+# (IncrementPixelCounter, cudabrot.cu:302-314). The Mosaic RMW kernel
+# above needs the whole histogram in VMEM; beyond that the XLA
+# scatter-add is HBM-latency bound (~9e7 ids/s at 1.7e7..4e8 bins,
+# benchmarks/bighist_device_probe.py) and sortedness hints do nothing.
+# But the sort itself runs at 4.5e8 ids/s — and sorted ids ARE a
+# partition of the histogram into row-bands (the host radix64
+# accumulator's trick). So: sort, then stream chunks of sorted ids
+# through the RMW kernel with the histogram TILE each chunk starts in
+# selected per grid step via scalar prefetch. Tile indices are
+# non-decreasing, so Pallas's revisiting pipeline fetches and writes
+# each touched tile exactly once per pass; untouched tiles never move
+# (the histogram is input-output aliased, accumulated in place).
+#
+# A chunk can straddle a tile boundary: pass A deposits each chunk's
+# ids that land in its FIRST id's tile, pass B (same kernel, windows
+# from each chunk's LAST id's tile, whole-chunk-gated on
+# last != first) catches the stragglers. Ids in tiles strictly between
+# the two (a single chunk spanning >1 full tile of id-range — sparse
+# corners only) are counted and folded with a lax.cond XLA scatter
+# that executes only when nonzero. Work is O(P log P); nothing
+# bin-shaped is ever materialized beyond the tile streaming itself
+# (the device-fault hazard in the module docstring).
+# ----------------------------------------------------------------------
+
+#: (BIGTILES_TILE_ROWS, 128) i32 tile = 4 MB VMEM; power of two so the
+#: tile-of-id map is a shift.
+BIGTILES_TILE_ROWS = 8192
+#: Private tile copies (disjoint RMW chains, ids interleaved round-robin
+#: so sorted same-row runs spread across copies).
+BIGTILES_SLOTS = 4
+BIGTILES_UNROLL = 8
+BIGTILES_CHUNK = 8192
+#: Whether "auto" may pick bigtiles for >VMEM histograms on TPU (flip
+#: after benchmarks/bighist_device_probe.py measures it on silicon).
+BIGTILES_AUTO = False
+
+
+def bigtiles_layout(nbins: int, tile_rows: int = 0) -> tuple[int, int]:
+    """(ntiles, padded_rows) covering nbins bins + the sentinel cell."""
+    if tile_rows <= 0:
+        tile_rows = BIGTILES_TILE_ROWS
+    rows = (nbins + 1 + 127) // 128
+    ntiles = (rows + tile_rows - 1) // tile_rows
+    return ntiles, ntiles * tile_rows
+
+
+def _bigtiles_kernel(t_own_ref, t_other_ref, ids_ref, hist_in_ref,
+                     hist_out_ref, *slot_sc,
+                     chunk: int, slots: int, unroll: int, tile_rows: int,
+                     nsteps: int, second_pass: bool):
+    j = pl.program_id(0)
+    town = t_own_ref[j]
+    prev_t = t_own_ref[jnp.maximum(j - 1, 0)]
+    next_t = t_own_ref[jnp.minimum(j + 1, nsteps - 1)]
+    first = jnp.logical_or(j == 0, prev_t != town)
+    last = jnp.logical_or(j == nsteps - 1, next_t != town)
+
+    @pl.when(first)
+    def _init_tile():
+        # Copy-through: the out block is write-only VMEM; seed it from
+        # the aliased input tile so in-place accumulation survives the
+        # writeback that happens whether or not this chunk deposits.
+        hist_out_ref[...] = hist_in_ref[...]
+        for sc in slot_sc:
+            sc[...] = jnp.zeros_like(sc)
+
+    # Pass B only deposits for chunks that actually straddle a boundary
+    # (one scalar branch per grid step, not per id).
+    run = (t_other_ref[j] != town) if second_pass else (town >= 0)
+
+    @pl.when(run)
+    def _deposit():
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        base = town * jnp.int32(tile_rows)
+
+        def body(k0, _):
+            for uu in range(unroll):
+                for s in range(slots):
+                    # Round-robin slot assignment: sorted neighbors (the
+                    # likeliest same-row collisions) land in different
+                    # private copies.
+                    k = (k0 * unroll + uu) * slots + s
+                    b = ids_ref[k]
+                    row = jax.lax.shift_right_logical(
+                        b, jnp.int32(7)
+                    ) - base
+                    ok = jnp.logical_and(row >= 0, row < tile_rows)
+                    # Branch-free masked RMW: out-of-window ids add a
+                    # zero vector at a clamped row.
+                    rowc = jnp.clip(row, 0, tile_rows - 1)
+                    lane = jnp.bitwise_and(b, jnp.int32(127))
+                    oh = jnp.logical_and(iota == lane, ok).astype(
+                        jnp.int32
+                    )
+                    tgt = hist_out_ref if s == 0 else slot_sc[s - 1]
+                    cur = tgt[pl.ds(rowc, 1), :]
+                    tgt[pl.ds(rowc, 1), :] = cur + oh
+            return 0
+
+        jax.lax.fori_loop(0, chunk // (slots * unroll), body, 0)
+
+    if slot_sc:
+        @pl.when(last)
+        def _merge_slots():
+            for sc in slot_sc:
+                hist_out_ref[...] = hist_out_ref[...] + sc[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_rows", "slots", "chunk", "unroll",
+                     "second_pass", "interpret"),
+)
+def _bigtiles_pass(t_own, t_other, ids, hist2d, tile_rows: int,
+                   slots: int, chunk: int, unroll: int,
+                   second_pass: bool, interpret: bool):
+    nsteps = ids.shape[0] // chunk
+    ntiles = hist2d.shape[0] // tile_rows
+    kern = functools.partial(
+        _bigtiles_kernel, chunk=chunk, slots=slots, unroll=unroll,
+        tile_rows=tile_rows, nsteps=nsteps, second_pass=second_pass,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda j, t_own, t_other: (j,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (tile_rows, 128),
+                # Clamp defensively: tile indices are <= ntiles-1 by
+                # construction (ids <= nbins < padded bins).
+                lambda j, t_own, t_other: (
+                    jnp.minimum(t_own[j], ntiles - 1), 0
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_rows, 128),
+            lambda j, t_own, t_other: (
+                jnp.minimum(t_own[j], ntiles - 1), 0
+            ),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((tile_rows, 128), jnp.int32)]
+        * (slots - 1),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(hist2d.shape, jnp.int32),
+        # Inputs flatten as (t_own, t_other, ids, hist2d): alias the
+        # histogram through so untouched tiles keep their values and
+        # touched tiles accumulate in place.
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                int((slots + 4) * tile_rows * 512 * 1.25) + (1 << 20),
+                112 * 1024 * 1024,
+            ),
+        ),
+        interpret=interpret,
+    )(t_own, t_other, ids, hist2d)
+
+
+def scatter_bigtiles_padded(hist_pad, ids, nbins: int, *,
+                            tile_rows: int = 0, chunk: int = 0,
+                            slots: int = 0, unroll: int = 0,
+                            interpret: bool = False):
+    """Scatter-add ones at ``ids`` into a PADDED tiled histogram.
+
+    ``hist_pad``: (padded_rows * 128,) flat histogram in the
+    bigtiles_layout(nbins) padding (cells >= nbins are pad the caller
+    never reads; the sentinel id == nbins lands there). Returns the
+    updated padded histogram. Bitwise-identical to scatter_xla on the
+    first nbins cells (exact integer adds; addition commutes).
+    """
+    if tile_rows <= 0:
+        tile_rows = BIGTILES_TILE_ROWS
+    if chunk <= 0:
+        chunk = BIGTILES_CHUNK
+    if slots <= 0:
+        slots = BIGTILES_SLOTS
+    if unroll <= 0:
+        unroll = BIGTILES_UNROLL
+    if tile_rows & (tile_rows - 1):
+        raise ValueError("tile_rows must be a power of two")
+    if chunk % (slots * unroll):
+        raise ValueError("chunk must be a multiple of slots*unroll")
+    tile_bins_log2 = (tile_rows * 128).bit_length() - 1
+
+    flat = ids.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    npad = -n % chunk
+    if npad:
+        flat = jnp.concatenate(
+            [flat, jnp.full((npad,), nbins, jnp.int32)]
+        )
+    s = jax.lax.sort(flat)
+    tiles = jax.lax.shift_right_logical(s, jnp.int32(tile_bins_log2))
+    tm = tiles.reshape(-1, chunk)
+    t1 = tm[:, 0]
+    t2 = tm[:, -1]
+
+    hist2d = hist_pad.reshape(-1, 128).view(jnp.int32)
+    hist2d = _bigtiles_pass(t1, t2, s, hist2d, tile_rows, slots, chunk,
+                            unroll, False, interpret)
+    hist2d = _bigtiles_pass(t2, t1, s, hist2d, tile_rows, slots, chunk,
+                            unroll, True, interpret)
+
+    # Middle-tile residue: ids in tiles strictly between a chunk's first
+    # and last tile (a single chunk spanning more than a full tile of
+    # id-range). Zero in practice; the cond keeps the full-size XLA
+    # scatter off the hot path while preserving exactness.
+    resid = jnp.logical_and(tm != t1[:, None], tm != t2[:, None])
+    nres = jnp.sum(resid)
+
+    def _fold_resid(h):
+        pad_bins = h.shape[0] * h.shape[1]
+        rid = jnp.where(resid.reshape(-1), s, jnp.int32(pad_bins))
+        return (
+            h.reshape(-1)
+            .at[rid]
+            .add(jnp.ones_like(rid), mode="drop")
+            .reshape(h.shape)
+        )
+
+    hist2d = jax.lax.cond(nres > 0, _fold_resid, lambda h: h, hist2d)
+    return hist2d.view(hist_pad.dtype).reshape(hist_pad.shape)
+
+
+def scatter_bigtiles(hist_flat, ids, *, tile_rows: int = 0,
+                     chunk: int = 0, slots: int = 0, unroll: int = 0,
+                     interpret: bool = False):
+    """Scatter-add ones at ``ids`` via the tiled Mosaic kernel.
+
+    Convenience wrapper that pads hist_flat into the tiled layout and
+    slices back (two full-histogram copies); engines that select this
+    backend should hold the padded layout across passes and call
+    scatter_bigtiles_padded directly.
+    """
+    nbins = hist_flat.shape[0]
+    if tile_rows <= 0:
+        tile_rows = BIGTILES_TILE_ROWS
+    _, rows_pad = bigtiles_layout(nbins, tile_rows)
+    pad = jnp.zeros((rows_pad * 128 - nbins,), hist_flat.dtype)
+    hist_pad = jnp.concatenate([hist_flat, pad])
+    out = scatter_bigtiles_padded(
+        hist_pad, ids, nbins, tile_rows=tile_rows, chunk=chunk,
+        slots=slots, unroll=unroll, interpret=interpret,
+    )
+    return out[:nbins]
+
+
 def select_scatter_backend(name: str, canvas: Canvas, batch_points: int) -> str:
     """Resolve 'auto' to a concrete backend: the Mosaic RMW kernel
     ("pallas") for VMEM-resident histograms on real TPUs, XLA scatter-add
@@ -401,6 +660,8 @@ def select_scatter_backend(name: str, canvas: Canvas, batch_points: int) -> str:
         <= PALLAS_SCATTER_VMEM_BUDGET
     ):
         return "pallas"
+    if BIGTILES_AUTO and jax.default_backend() == "tpu":
+        return "bigtiles"
     if SORTED_SCATTER_AUTO and jax.default_backend() == "tpu":
         return "sorted"
     return "xla"
@@ -413,6 +674,8 @@ def scatter_ids(hist_flat, ids, backend: str, *, interpret: bool = False):
         return scatter_pallas(hist_flat, ids, interpret=interpret)
     if backend == "sorted":
         return scatter_sorted(hist_flat, ids)
+    if backend == "bigtiles":
+        return scatter_bigtiles(hist_flat, ids, interpret=interpret)
     raise ValueError(f"Unknown scatter backend: {backend}")
 
 

@@ -204,3 +204,48 @@ def test_sharded_bin_ids_partition_the_canvas():
             rows_per, canvas.width
         )
     np.testing.assert_array_equal(got, want)
+
+
+def test_scatter_bigtiles_matches_xla_bitwise():
+    """The tiled Mosaic backend (sort + tile-streaming RMW, interpret
+    mode here) must be bitwise-identical to XLA scatter-add, including
+    untouched tiles (in-place aliasing), duplicates, sentinels, and the
+    middle-tile residue path."""
+    TR, CH, SL, UN = 256, 128, 4, 4
+    nbins = 300_000  # 10 tiles at 32768 bins/tile
+    rng = np.random.default_rng(3)
+
+    def check(ids):
+        hist0 = jnp.asarray(rng.integers(0, 5, nbins), jnp.uint32)
+        want = np.asarray(binning.scatter_xla(hist0, jnp.asarray(ids)))
+        got = np.asarray(
+            binning.scatter_bigtiles(
+                hist0, jnp.asarray(ids, jnp.int32), tile_rows=TR,
+                chunk=CH, slots=SL, unroll=UN, interpret=True,
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+
+    # Clustered + uniform + 10% sentinels (production replay mix).
+    p = 5000
+    ids = np.concatenate([
+        rng.integers(0, nbins // 50, p // 2),
+        rng.integers(0, nbins, p - p // 2),
+    ])
+    ids[rng.random(p) < 0.1] = nbins
+    check(ids)
+    # One chunk spanning many tiles: forces the lax.cond residue fold.
+    check(np.linspace(0, nbins - 1, CH * 2, dtype=np.int32))
+    # Max duplicates: one id repeated across several chunks.
+    check(np.full(CH * 3, 12345, np.int32))
+    # Fewer ids than one chunk (padding path).
+    check(np.asarray([0, 1, nbins, nbins - 1], np.int32))
+    # Everything in the LAST tile (sentinel tile) only.
+    check(np.full(CH, nbins - 1, np.int32))
+
+
+def test_bigtiles_layout_covers_sentinel():
+    for nbins in (1, 127, 128, 32768, 300_000, 4_000_000):
+        ntiles, rows_pad = binning.bigtiles_layout(nbins, 256)
+        assert rows_pad == ntiles * 256
+        assert rows_pad * 128 >= nbins + 1  # sentinel cell exists
