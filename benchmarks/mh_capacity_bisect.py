@@ -32,6 +32,17 @@ import time
 LOG = "/tmp/mh_capacity_bisect.log"
 
 
+def _maybe_cpu() -> None:
+    """MHCB_CPU=1 forces the CPU backend (script shakeout while the TPU
+    pool is wedged; env vars alone don't work here — CLAUDE.md)."""
+    import os
+
+    if os.environ.get("MHCB_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
 def _logline(msg: str) -> None:
     line = f"[{time.strftime('%H:%M:%S')}] {msg}"
     print(line, flush=True)
@@ -47,6 +58,7 @@ def _logline(msg: str) -> None:
 def leg_gather(k_log2: int) -> int:
     """The compaction gathers at capacity k: order[:k] on a lane-sized
     argsort, then em_b[:, take] (8, k). Verified vs numpy."""
+    _maybe_cpu()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -95,6 +107,7 @@ def leg_scatter(k_log2: int) -> int:
     """mh_scatter at capacity k: an (8, k) visit-bin scatter with
     Bresenham weights into a 1e6-bin histogram. Mass-conservation and
     bitwise-vs-CPU checks."""
+    _maybe_cpu()
     import jax
     import jax.numpy as jnp
     import numpy as np
