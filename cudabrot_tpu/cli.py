@@ -184,6 +184,8 @@ TPU-native extensions:
   --replay-capacity <n>: per-pass emission/replay batch capacity
              (default: auto from the band model; raise it if the
              driver warns about emission-capacity overflow drops).
+  --replay-block <n>: lanes per device-replay block (multiple of 128;
+             one scatter call per block-chunk pair; default auto 1024).
 """
 
 
@@ -445,6 +447,9 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
             cap = _parse_int(argv, i)
             opt["replay_capacity"] = cap
             opt["oracle_replay_capacity"] = cap
+            i += 2
+        elif arg == "--replay-block":
+            opt["replay_block"] = _parse_int(argv, i)
             i += 2
         elif arg == "--pipeline":
             opt["pipeline_depth"] = _parse_int(argv, i)

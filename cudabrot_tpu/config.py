@@ -160,6 +160,11 @@ class EngineOptions:
     #: big canvases, where scatter-call overhead dominates the device
     #: replay and bigger calls measured +41% — benchmarks/PERF_NOTES.md).
     replay_chunk: int = 0
+    #: Lanes per device-replay block (one scatter call per block-chunk
+    #: pair); 0 = auto (1024 — short bands pay one scatter call per 128
+    #: steps at that width; bigger blocks trade within-block length
+    #: homogeneity for fewer calls). Must be a multiple of 128.
+    replay_block: int = 0
     #: Classify-kernel inner window: orbit updates between boundary
     #: (refill/emission) passes. 0 = auto. Larger windows shorten the
     #: instruction stream but let finished lanes coast to the window edge.
@@ -375,6 +380,11 @@ class EngineOptions:
         if self.lane_rows <= 0 or self.replay_capacity < 0:
             raise ConfigError(
                 "lane_rows must be positive and replay_capacity non-negative"
+            )
+        if self.replay_block < 0 or self.replay_block % 128:
+            raise ConfigError(
+                "replay_block must be a non-negative multiple of 128 "
+                "(0 = auto)"
             )
         if self.lane_rows > (1 << 17):
             # lanes = rows * 128 must stay <= 2^24 so the byte-plane

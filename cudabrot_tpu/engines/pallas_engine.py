@@ -393,8 +393,13 @@ class Tuning:
         # scatter stream) while staying wide enough for the VPU. (4096
         # blocks were A/B'd for the big-canvas hybrid regime: identical
         # throughput — the device replay's gap to raw scatter is not
-        # block-width dispatch overhead.)
-        self.replay_block = min(1024, self.replay_capacity)
+        # block-width dispatch overhead.) --replay-block overrides for
+        # the short-band scatter-call-granularity experiments (r5: the
+        # default band pays 512 scatter calls/pass at block 1024).
+        if o.replay_block > 0:
+            self.replay_block = min(o.replay_block, self.replay_capacity)
+        else:
+            self.replay_block = min(1024, self.replay_capacity)
         # _blocked_replay processes whole blocks only: a capacity that is
         # not a block multiple would silently drop the tail lanes — and
         # since the batch is sorted by descending orbit length, the loss
@@ -1171,8 +1176,36 @@ class PallasEngine:
             em_ci = result.emit_c[:, 1].reshape(-1)
             em_rep = None
         valid = em_it >= 0
-        order = jnp.argsort(jnp.where(valid, -em_it, 1))
-        take = order[:k]
+        if self.mh:
+            # MH capacity is sized exactly (one tenure per lane-window;
+            # overflow loses weighted mass and never happens by
+            # construction), so the cheap validity pack suffices.
+            order = jnp.argsort(jnp.where(valid, -em_it, 1))
+            take = order[:k]
+        else:
+            # Uniform path, r5: overflow thinning must be UNBIASED.
+            # The old single sort packed valid entries by descending
+            # length, so sustained capacity overflow (32% of emissions
+            # at the reference-default band, r5 sweeps) kept only the
+            # longest orbits — a length-conditioned histogram. Select
+            # the kept subset by a deterministic uniform key instead,
+            # THEN order the kept k by descending length (the blocked
+            # replay's homogeneity and the host-payload prefix both
+            # want longest-first; scatter addition commutes, so when
+            # nothing overflows the result is bitwise-identical to the
+            # old path).
+            rbits = jax.random.bits(
+                jax.random.fold_in(key, 0x7711), em_it.shape, jnp.uint32
+            )
+            sel_key = jnp.where(
+                valid,
+                jax.lax.shift_right_logical(rbits, jnp.uint32(1)),
+                jnp.uint32(0x80000000),
+            )
+            cand = jnp.argsort(sel_key)[:k]
+            it_cand = em_it[cand]
+            order2 = jnp.argsort(jnp.where(it_cand >= 0, -it_cand, 1))
+            take = cand[order2]
         if self.mh:
             cr_c = em_b[:, take]
             ci_c = None
