@@ -29,9 +29,17 @@ import time
 
 BASELINE_ITERS_PER_SEC = 1.0e10
 #: The reference's default-settings throughput on its own hardware,
-#: converted to complex iterations/s (version_timing.txt:74-84 passes
-#: * 13,107,200 samples * E[iters/sample]; see BASELINE.md).
-REFERENCE_DEFAULT_ITERS_PER_SEC = 4.7e9
+#: converted to complex iterations/s: 818 passes x 13,107,200 samples /
+#: 10.009 s = 1.071e9 samples/s (version_timing.txt:74-84) times
+#: E[iterations/sample] = 3.670 MEASURED under reference semantics
+#: (cull->0, interiors run to the cap, escapers to t, in-band DrawPath
+#: re-iteration; benchmarks/reference_iters_per_sample.py, f64, 4e7
+#: samples). The r1-r4 constant 4.7e9 assumed E ~= 4.4 — a ~20%
+#: overstatement of the reference.
+REFERENCE_DEFAULT_ITERS_PER_SEC = 3.93e9
+#: The reference's directly-measured default-band samples/s — the
+#: conversion-free comparison (same log lines as above).
+REFERENCE_DEFAULT_SAMPLES_PER_SEC = 1.071e9
 
 
 def measure(cfg, seconds: float, n_segments: int = 5,
@@ -230,6 +238,12 @@ def main() -> int:
                       label="default_band")
     default["vs_reference_hw"] = round(
         default["value"] / REFERENCE_DEFAULT_ITERS_PER_SEC, 4
+    )
+    # Conversion-free comparison: the reference's default log line IS a
+    # samples/s measurement (818 passes x 13,107,200 / 10.009 s); both
+    # engines draw uniformly from the same domain with the same cull.
+    default["vs_reference_samples"] = round(
+        default["samples_per_sec"] / REFERENCE_DEFAULT_SAMPLES_PER_SEC, 4
     )
 
     # Production fine band (m=60000/c=45000 — the reference's 12-hour
