@@ -111,6 +111,11 @@ def _bigtiles(hist, ids):
     return binning.scatter_bigtiles(hist, ids)
 
 
+@jax.jit
+def _bigtiles_mxu(hist, ids):
+    return binning.scatter_bigtiles(hist, ids, mxu=True)
+
+
 def bench(fn, name, nbins, ids, reps, check_against=None):
     hist = jnp.zeros((nbins,), jnp.uint32)
     print(f"  {name} @ bins={nbins:.0e}: compiling...", flush=True)
@@ -160,6 +165,8 @@ def main():
                         check_against=None)
         _, r_bt = bench(_bigtiles, "bigtiles", nbins, ids, reps,
                         check_against=None)
+        _, r_bm = bench(_bigtiles_mxu, "bigtilesM", nbins, ids, reps,
+                        check_against=None)
         # Padded-native bigtiles (no per-call pad/unpad copies): the
         # rate the engine sees once it holds the tiled layout.
         _, rows_pad = binning.bigtiles_layout(nbins)
@@ -186,18 +193,22 @@ def main():
         b = _sortuniq(jnp.zeros((nbins,), jnp.uint32), ids)
         c = _sortadd(jnp.zeros((nbins,), jnp.uint32), ids)
         d = _bigtiles(jnp.zeros((nbins,), jnp.uint32), ids)
+        e = _bigtiles_mxu(jnp.zeros((nbins,), jnp.uint32), ids)
         eq_u = bool(jnp.array_equal(a, b))
         eq_s = bool(jnp.array_equal(a, c))
         eq_b = bool(jnp.array_equal(a, d))
+        eq_m = bool(jnp.array_equal(a, e))
         print(f"  correctness: sortuniq=={'OK' if eq_u else 'FAIL'} "
               f"sortadd=={'OK' if eq_s else 'FAIL'} "
-              f"bigtiles=={'OK' if eq_b else 'FAIL'}", flush=True)
-        results[nbins] = (r_x, r_so, r_sa, r_su, r_bt, r_bp)
+              f"bigtiles=={'OK' if eq_b else 'FAIL'} "
+              f"bigtilesM=={'OK' if eq_m else 'FAIL'}", flush=True)
+        results[nbins] = (r_x, r_so, r_sa, r_su, r_bt, r_bm, r_bp)
     print("\nsummary (ids/s):")
-    for nbins, (r_x, r_so, r_sa, r_su, r_bt, r_bp) in results.items():
+    for nbins, (r_x, r_so, r_sa, r_su, r_bt, r_bm, r_bp) in results.items():
         print(f"  bins={nbins:.0e}: xla {r_x:.2e}  sortonly {r_so:.2e}  "
               f"sortadd {r_sa:.2e}  sortuniq {r_su:.2e}  "
-              f"bigtiles {r_bt:.2e}  bigtilesP {r_bp:.2e}")
+              f"bigtiles {r_bt:.2e}  bigtilesM {r_bm:.2e}  "
+              f"bigtilesP {r_bp:.2e}")
     return 0
 
 

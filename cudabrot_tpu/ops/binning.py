@@ -426,6 +426,114 @@ def bigtiles_layout(nbins: int, tile_rows: int = 0) -> tuple[int, int]:
     return ntiles, ntiles * tile_rows
 
 
+#: MXU deposit-path geometry: per 128-id sorted group, deposits land in
+#: up to BIGTILES_MXU_WINDOWS dense windows of BIGTILES_MXU_W rows each
+#: (one (W,128ids)x(128lanes,128ids) one-hot contraction per window —
+#: duplicates sum exactly; counts <= 128 are f32-exact). Sorted rows
+#: make each window a PREFIX of the group's remaining ids, so after NW
+#: windows the leftover is a suffix handled by a scalar SMEM fallback
+#: (rare: only groups spanning > NW*W rows of the tile).
+BIGTILES_MXU_W = 64
+BIGTILES_MXU_WINDOWS = 4
+
+
+def _bigtiles_mxu_kernel(t_own_ref, t_other_ref, ids_smem_ref,
+                         idsv_ref, hist_in_ref, hist_out_ref,
+                         *, chunk: int, tile_rows: int, nsteps: int,
+                         second_pass: bool):
+    """MXU variant of the tiled deposit: vectorized one-hot matmul
+    deposits instead of the per-id scalar RMW loop."""
+    j = pl.program_id(0)
+    town = t_own_ref[j]
+    prev_t = t_own_ref[jnp.maximum(j - 1, 0)]
+    first = jnp.logical_or(j == 0, prev_t != town)
+
+    @pl.when(first)
+    def _init_tile():
+        hist_out_ref[...] = hist_in_ref[...]
+
+    run = (t_other_ref[j] != town) if second_pass else (town >= 0)
+
+    @pl.when(run)
+    def _deposit():
+        w = BIGTILES_MXU_W
+        nw = BIGTILES_MXU_WINDOWS
+        base = town * jnp.int32(tile_rows)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, 128), 0)
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        big = jnp.int32(0x3FFFFFFF)
+
+        def group(g, _):
+            idv = idsv_ref[pl.ds(g, 1), :]  # (1,128) i32, sorted
+            rows = jax.lax.shift_right_logical(
+                idv, jnp.int32(7)
+            ) - base
+            lanes = jnp.bitwise_and(idv, jnp.int32(127))
+            in_tile = jnp.logical_and(rows >= 0, rows < tile_rows)
+            rows_t = jnp.where(in_tile, rows, big)
+            # B: (128 lanes, 128 ids) one-hot of each id's lane, masked
+            # to in-tile ids. f32 cast feeds the MXU.
+            bm = jnp.logical_and(iota_l == lanes, in_tile).astype(
+                jnp.float32
+            )
+
+            def window(kw, prev_end):
+                rem = jnp.where(rows_t >= prev_end, rows_t, big)
+                rmin = jnp.min(rem)
+                has = rmin < big
+                r0 = jnp.clip(rmin, 0, tile_rows - w)
+
+                @pl.when(has)
+                def _win_deposit():
+                    # rem (not rows_t): the end-of-tile clip can slide
+                    # this window back over the previous one — rows
+                    # already deposited are masked to `big` in rem, so
+                    # the overlap cannot double-deposit.
+                    am = (iota_w == (rem - r0)).astype(jnp.float32)
+                    d = jax.lax.dot_general(
+                        am, bm, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    cur = hist_out_ref[pl.ds(r0, w), :]
+                    hist_out_ref[pl.ds(r0, w), :] = (
+                        cur + d.astype(jnp.int32)
+                    )
+
+                return jnp.where(has, r0 + w, prev_end)
+
+            prev_end = jax.lax.fori_loop(
+                0, nw, window, jnp.int32(0)
+            )
+
+            # Scalar fallback for ids beyond the NW windows (a suffix of
+            # the sorted group — only groups spanning > NW*W rows).
+            leftover = jnp.max(jnp.where(in_tile, rows, -1)) >= prev_end
+
+            @pl.when(leftover)
+            def _fallback():
+                iota1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+                def scal(i, _):
+                    b = ids_smem_ref[g * 128 + i]
+                    row = jax.lax.shift_right_logical(
+                        b, jnp.int32(7)
+                    ) - base
+                    ok = jnp.logical_and(row >= prev_end, row < tile_rows)
+                    rowc = jnp.clip(row, 0, tile_rows - 1)
+                    oh = jnp.logical_and(
+                        iota1 == jnp.bitwise_and(b, jnp.int32(127)), ok
+                    ).astype(jnp.int32)
+                    cur = hist_out_ref[pl.ds(rowc, 1), :]
+                    hist_out_ref[pl.ds(rowc, 1), :] = cur + oh
+                    return 0
+
+                jax.lax.fori_loop(0, 128, scal, 0)
+
+            return 0
+
+        jax.lax.fori_loop(0, chunk // 128, group, 0)
+
+
 def _bigtiles_kernel(t_own_ref, t_other_ref, ids_ref, hist_in_ref,
                      hist_out_ref, *slot_sc,
                      chunk: int, slots: int, unroll: int, tile_rows: int,
@@ -491,51 +599,65 @@ def _bigtiles_kernel(t_own_ref, t_other_ref, ids_ref, hist_in_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("tile_rows", "slots", "chunk", "unroll",
-                     "second_pass", "interpret"),
+                     "second_pass", "interpret", "mxu"),
 )
 def _bigtiles_pass(t_own, t_other, ids, hist2d, tile_rows: int,
                    slots: int, chunk: int, unroll: int,
-                   second_pass: bool, interpret: bool):
+                   second_pass: bool, interpret: bool,
+                   mxu: bool = False):
     nsteps = ids.shape[0] // chunk
     ntiles = hist2d.shape[0] // tile_rows
-    kern = functools.partial(
-        _bigtiles_kernel, chunk=chunk, slots=slots, unroll=unroll,
-        tile_rows=tile_rows, nsteps=nsteps, second_pass=second_pass,
+    tile_map = lambda j, t_own, t_other: (  # noqa: E731
+        jnp.minimum(t_own[j], ntiles - 1), 0
     )
+    smem_ids_spec = pl.BlockSpec(
+        (chunk,), lambda j, t_own, t_other: (j,),
+        memory_space=pltpu.SMEM,
+    )
+    tile_spec = pl.BlockSpec(
+        (tile_rows, 128), tile_map, memory_space=pltpu.VMEM
+    )
+    if mxu:
+        kern = functools.partial(
+            _bigtiles_mxu_kernel, chunk=chunk, tile_rows=tile_rows,
+            nsteps=nsteps, second_pass=second_pass,
+        )
+        # ids ride twice: (chunk/128, 128) VMEM vectors for the one-hot
+        # contractions plus the flat SMEM copy for the scalar fallback.
+        in_specs = [
+            smem_ids_spec,
+            pl.BlockSpec(
+                (chunk // 128, 128), lambda j, t_own, t_other: (j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            tile_spec,
+        ]
+        operands = (t_own, t_other, ids, ids.reshape(-1, 128), hist2d)
+        alias = {4: 0}
+        scratch = []
+    else:
+        kern = functools.partial(
+            _bigtiles_kernel, chunk=chunk, slots=slots, unroll=unroll,
+            tile_rows=tile_rows, nsteps=nsteps, second_pass=second_pass,
+        )
+        in_specs = [smem_ids_spec, tile_spec]
+        operands = (t_own, t_other, ids, hist2d)
+        alias = {3: 0}
+        scratch = [pltpu.VMEM((tile_rows, 128), jnp.int32)] * (slots - 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nsteps,),
-        in_specs=[
-            pl.BlockSpec((chunk,), lambda j, t_own, t_other: (j,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (tile_rows, 128),
-                # Clamp defensively: tile indices are <= ntiles-1 by
-                # construction (ids <= nbins < padded bins).
-                lambda j, t_own, t_other: (
-                    jnp.minimum(t_own[j], ntiles - 1), 0
-                ),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (tile_rows, 128),
-            lambda j, t_own, t_other: (
-                jnp.minimum(t_own[j], ntiles - 1), 0
-            ),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[pltpu.VMEM((tile_rows, 128), jnp.int32)]
-        * (slots - 1),
+        in_specs=in_specs,
+        out_specs=tile_spec,
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(hist2d.shape, jnp.int32),
-        # Inputs flatten as (t_own, t_other, ids, hist2d): alias the
-        # histogram through so untouched tiles keep their values and
-        # touched tiles accumulate in place.
-        input_output_aliases={3: 0},
+        # The histogram is input-output aliased so untouched tiles keep
+        # their values and touched tiles accumulate in place.
+        input_output_aliases=alias,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
                 int((slots + 4) * tile_rows * 512 * 1.25) + (1 << 20),
@@ -543,12 +665,13 @@ def _bigtiles_pass(t_own, t_other, ids, hist2d, tile_rows: int,
             ),
         ),
         interpret=interpret,
-    )(t_own, t_other, ids, hist2d)
+    )(*operands)
 
 
 def scatter_bigtiles_padded(hist_pad, ids, nbins: int, *,
                             tile_rows: int = 0, chunk: int = 0,
                             slots: int = 0, unroll: int = 0,
+                            mxu: bool = False,
                             interpret: bool = False):
     """Scatter-add ones at ``ids`` into a PADDED tiled histogram.
 
@@ -587,9 +710,9 @@ def scatter_bigtiles_padded(hist_pad, ids, nbins: int, *,
 
     hist2d = hist_pad.reshape(-1, 128).view(jnp.int32)
     hist2d = _bigtiles_pass(t1, t2, s, hist2d, tile_rows, slots, chunk,
-                            unroll, False, interpret)
+                            unroll, False, interpret, mxu=mxu)
     hist2d = _bigtiles_pass(t2, t1, s, hist2d, tile_rows, slots, chunk,
-                            unroll, True, interpret)
+                            unroll, True, interpret, mxu=mxu)
 
     # Middle-tile residue: ids in tiles strictly between a chunk's first
     # and last tile (a single chunk spanning more than a full tile of
@@ -614,7 +737,7 @@ def scatter_bigtiles_padded(hist_pad, ids, nbins: int, *,
 
 def scatter_bigtiles(hist_flat, ids, *, tile_rows: int = 0,
                      chunk: int = 0, slots: int = 0, unroll: int = 0,
-                     interpret: bool = False):
+                     mxu: bool = False, interpret: bool = False):
     """Scatter-add ones at ``ids`` via the tiled Mosaic kernel.
 
     Convenience wrapper that pads hist_flat into the tiled layout and
@@ -630,7 +753,7 @@ def scatter_bigtiles(hist_flat, ids, *, tile_rows: int = 0,
     hist_pad = jnp.concatenate([hist_flat, pad])
     out = scatter_bigtiles_padded(
         hist_pad, ids, nbins, tile_rows=tile_rows, chunk=chunk,
-        slots=slots, unroll=unroll, interpret=interpret,
+        slots=slots, unroll=unroll, mxu=mxu, interpret=interpret,
     )
     return out[:nbins]
 

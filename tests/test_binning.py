@@ -210,18 +210,20 @@ def test_scatter_bigtiles_matches_xla_bitwise():
     """The tiled Mosaic backend (sort + tile-streaming RMW, interpret
     mode here) must be bitwise-identical to XLA scatter-add, including
     untouched tiles (in-place aliasing), duplicates, sentinels, and the
-    middle-tile residue path."""
-    TR, CH, SL, UN = 256, 128, 4, 4
+    middle-tile residue path. Both deposit paths: the scalar RMW loop
+    and the MXU one-hot-contraction windows (whose end-of-tile clip and
+    scalar-fallback suffix get dedicated cases)."""
+    TR, CH, SL, UN = 256, 256, 4, 4
     nbins = 300_000  # 10 tiles at 32768 bins/tile
     rng = np.random.default_rng(3)
 
-    def check(ids):
+    def check(ids, mxu):
         hist0 = jnp.asarray(rng.integers(0, 5, nbins), jnp.uint32)
         want = np.asarray(binning.scatter_xla(hist0, jnp.asarray(ids)))
         got = np.asarray(
             binning.scatter_bigtiles(
                 hist0, jnp.asarray(ids, jnp.int32), tile_rows=TR,
-                chunk=CH, slots=SL, unroll=UN, interpret=True,
+                chunk=CH, slots=SL, unroll=UN, mxu=mxu, interpret=True,
             )
         )
         np.testing.assert_array_equal(got, want)
@@ -233,15 +235,29 @@ def test_scatter_bigtiles_matches_xla_bitwise():
         rng.integers(0, nbins, p - p // 2),
     ])
     ids[rng.random(p) < 0.1] = nbins
-    check(ids)
-    # One chunk spanning many tiles: forces the lax.cond residue fold.
-    check(np.linspace(0, nbins - 1, CH * 2, dtype=np.int32))
-    # Max duplicates: one id repeated across several chunks.
-    check(np.full(CH * 3, 12345, np.int32))
-    # Fewer ids than one chunk (padding path).
-    check(np.asarray([0, 1, nbins, nbins - 1], np.int32))
-    # Everything in the LAST tile (sentinel tile) only.
-    check(np.full(CH, nbins - 1, np.int32))
+    cases = [
+        ids,
+        # One chunk spanning many tiles: forces the lax.cond residue.
+        np.linspace(0, nbins - 1, CH * 2, dtype=np.int32),
+        # Max duplicates: one id repeated across several chunks.
+        np.full(CH * 3, 12345, np.int32),
+        # Fewer ids than one chunk (padding path).
+        np.asarray([0, 1, nbins, nbins - 1], np.int32),
+        # Everything in the LAST tile (sentinel tile) only.
+        np.full(CH, nbins - 1, np.int32),
+        # Tile-end cluster: the MXU window clip slides back over the
+        # previous window (the double-deposit hazard case).
+        np.concatenate([
+            np.arange(TR * 128 - 300, TR * 128, 2, dtype=np.int32),
+            rng.integers(TR * 128 - 5000, TR * 128, 500),
+        ]),
+        # One group spanning the whole tile: multi-window + scalar
+        # fallback suffix.
+        np.linspace(0, TR * 128 - 1, 128, dtype=np.int32),
+    ]
+    for c in cases:
+        check(c, mxu=False)
+        check(c, mxu=True)
 
 
 def test_bigtiles_layout_covers_sentinel():
