@@ -285,15 +285,17 @@ def run_render(
     dropped = int(stats.get("replay_dropped", 0))
     in_band = int(stats.get("in_band", 0))
     if dropped > 0.01 * max(in_band, 1):
-        # The pallas compaction keeps the LONGEST orbits when a pass
-        # overflows capacity, so heavy overflow biases the render against
-        # short in-band orbits — surface it instead of letting a skewed
-        # image pass silently (capacity auto-sizing carries 16x headroom;
-        # sustained overflow means the band/window defeated the model).
+        # Overflow thinning is UNBIASED since r5 (the kept subset is
+        # selected by a uniform key, engines/pallas_engine
+        # _classify_and_compact), so sustained overflow costs render
+        # efficiency — samples classified but never deposited — not
+        # statistical correctness. Surface it anyway: the capacity
+        # auto-sizing carries 16x headroom, so sustained overflow means
+        # the band/window defeated the rate model.
         log(
             f"Warning: {dropped} of {in_band} in-band samples overflowed "
-            "the emission capacity and were dropped (biased toward "
-            "keeping long orbits). Raise --replay-capacity or shrink "
+            "the emission capacity and were dropped (unbiased thinning; "
+            "wasted classify work). Raise --replay-capacity or shrink "
             "the --sample-domain window."
         )
     lost_w = int(stats.get("mh_lost_weight", 0))
