@@ -368,12 +368,19 @@ class Tuning:
             # leg, and the rows=128 kernel-sweep leg collapsed to ~zero
             # deposits when the bound crossed the old 2^19 ceiling).
             windows = max(self.steps_per_pass // self.steps_per_flush, 1)
-            # Ceiling stays at the known-good 2^19: both observed
-            # >2^19 configs misbehaved on silicon (the rows=128 sweep
-            # leg collapsed to ~zero deposits; a 2^21 bench pass hung
-            # the device) — root cause open, so larger structural
-            # bounds shrink the pass instead (steps_per_pass clamp
-            # below keeps the bound exact).
+            # Ceiling stays at 2^19 as a COMPILE-COST guard, not a
+            # correctness one: the r5 silicon bisect (benchmarks/
+            # mh_capacity_bisect.py) ran every capacity-scaled op —
+            # compaction gather, 8xk visit-bin gather, mh_scatter —
+            # mass-conserving and multiset-exact through 2^21; what
+            # scales is XLA/Mosaic compile + first-call time,
+            # superlinearly (30/48/84 s at 2^19/20/21 for the scatter
+            # alone). The r4 "2^21 device hang" was that cliff read
+            # through a too-short timeout, and the rows=128 collapse
+            # was the pre-clamp sizing silently truncating the
+            # emission buffer (fixed by the exact bound below).
+            # Larger structural bounds shrink the pass instead
+            # (steps_per_pass clamp below keeps the bound exact).
             self.replay_capacity = int(
                 np.clip(_pow2(lanes * windows), 4096, 1 << 19)
             )
