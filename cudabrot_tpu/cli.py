@@ -186,6 +186,10 @@ TPU-native extensions:
              driver warns about emission-capacity overflow drops).
   --replay-block <n>: lanes per device-replay block (multiple of 128;
              one scatter call per block-chunk pair; default auto 1024).
+  --replay-chunk <n>: device-replay steps per scatter call (default
+             auto: the band maximum's pow2, capped at 1024; smaller
+             chunks cut masked-sentinel scatter waste at short bands
+             at the cost of more scatter calls).
 """
 
 
@@ -450,6 +454,9 @@ def parse_args(argv: list[str]) -> tuple[RenderConfig, CliExtras]:
             i += 2
         elif arg == "--replay-block":
             opt["replay_block"] = _parse_int(argv, i)
+            i += 2
+        elif arg == "--replay-chunk":
+            opt["replay_chunk"] = _parse_int(argv, i)
             i += 2
         elif arg == "--pipeline":
             opt["pipeline_depth"] = _parse_int(argv, i)

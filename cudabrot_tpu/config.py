@@ -386,6 +386,8 @@ class EngineOptions:
                 "replay_block must be a non-negative multiple of 128 "
                 "(0 = auto)"
             )
+        if self.replay_chunk < 0:
+            raise ConfigError("replay_chunk must be non-negative (0 = auto)")
         if self.lane_rows > (1 << 17):
             # lanes = rows * 128 must stay <= 2^24 so the byte-plane
             # per-pass stat sums (counters.u64_sum_i32) cannot wrap.

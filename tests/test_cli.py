@@ -96,6 +96,8 @@ def test_extension_flags():
             "--replay-threads", "4",
             "--replay-device-share", "0.25",
             "--refill-rng", "hardware_rw",
+            "--replay-block", "4096",
+            "--replay-chunk", "32",
         ]
     )
     assert cfg.fractal == "burning-ship"
@@ -108,6 +110,8 @@ def test_extension_flags():
     assert cfg.options.replay_threads == 4
     assert cfg.options.replay_device_share == 0.25
     assert cfg.options.refill_rng == "hardware_rw"
+    assert cfg.options.replay_block == 4096
+    assert cfg.options.replay_chunk == 32
     assert extras.save_png
     assert extras.stats_json == "s.json"
 
