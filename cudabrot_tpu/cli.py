@@ -656,6 +656,22 @@ def run(cfg: RenderConfig, extras: CliExtras, log=print) -> int:
         f"scale: {float(mapped.linear_scale):f}"
     )
 
+    if extras.stats_json:
+        # Written BEFORE the image encode: at production canvases the
+        # 16-bit PGM/PNG writes take minutes, and the stats describe the
+        # finished render, not the save — a timeout/failure during the
+        # encode must not lose the measurement record.
+        payload = {
+            "passes": result.passes,
+            "elapsed_seconds": result.elapsed_seconds,
+            "engine": result.engine_name,
+            "interrupted": result.interrupted,
+            "max_count": int(mapped.max_count),
+            **result.stats,
+        }
+        with open(extras.stats_json, "w") as f:
+            json.dump(payload, f, indent=2)
+
     log("Saving image.")
     # Image-save failures are non-fatal, like the reference's SaveImage
     # (cudabrot.cu:553-556): by this point the checkpoint (if any) is
@@ -675,17 +691,6 @@ def run(cfg: RenderConfig, extras: CliExtras, log=print) -> int:
             png_io.write_png(png_path, image)
         except OSError as e:
             log(f"Failed saving image {png_path}: {e}")
-    if extras.stats_json:
-        payload = {
-            "passes": result.passes,
-            "elapsed_seconds": result.elapsed_seconds,
-            "engine": result.engine_name,
-            "interrupted": result.interrupted,
-            "max_count": int(mapped.max_count),
-            **result.stats,
-        }
-        with open(extras.stats_json, "w") as f:
-            json.dump(payload, f, indent=2)
     if image_saved:
         log(f"Done! Output image saved: {cfg.output_image}")
     return 0
