@@ -405,6 +405,16 @@ class Tuning:
         # default band pays 512 scatter calls/pass at block 1024).
         if o.replay_block > 0:
             self.replay_block = min(o.replay_block, self.replay_capacity)
+        elif (
+            cfg.band.max_escape_iterations * self.replay_capacity
+            <= BATCHED_REPLAY_SLOT_BUDGET
+        ):
+            # r5: batched-eligible short bands measure fastest at wide
+            # blocks — 8192 gives the batched replay one scatter chunk
+            # per replay step (exact skip granularity) and a full-width
+            # scan (r5 sweep: blk 1024/4096/8192 -> 2.41/2.74/2.77e9
+            # it/s at the default band; version_timing_tpu.md).
+            self.replay_block = min(8192, self.replay_capacity)
         else:
             self.replay_block = min(1024, self.replay_capacity)
         # _blocked_replay processes whole blocks only: a capacity that is
@@ -438,6 +448,14 @@ class Tuning:
         self.replay_chunk = min(
             self.replay_chunk,
             max(_pow2(cfg.band.max_escape_iterations), 32),
+        )
+        # Batched-replay steps cap: the band cap rounded up so each
+        # block's step-major id stream is a whole number of 8192-id
+        # scatter chunks (keeps the chunk-tail sentinel runs aligned
+        # with the skip flags; see _batched_replay).
+        align = max(1, 8192 // self.replay_block)
+        self.replay_steps_cap = (
+            -(-cfg.band.max_escape_iterations // align) * align
         )
         self.min_it = cfg.band.min_escape_iterations
         self.max_it = cfg.band.max_escape_iterations
@@ -653,7 +671,9 @@ def _blocked_replay(
             (zr, zi, _), ids = jax.lax.scan(
                 substep, (zr, zi, base), None, length=chunk
             )
-            hist = binning.scatter_ids(hist, ids, backend, interpret=interpret)
+            hist = binning.scatter_ids(hist, ids, backend,
+                                       interpret=interpret,
+                                       skip_chunks=True)
             # chunk*block <= ~2^23 per call: an i32 sum cannot wrap.
             hits = counters.u64_add(hits, jnp.sum(ids < nbins))
             return (base + chunk, zr, zi, hist, hits)
@@ -667,6 +687,89 @@ def _blocked_replay(
     return jax.lax.fori_loop(
         0, nblocks, outer_body, (hist_flat, counters.u64_zero())
     )
+
+
+#: Max id-stream slots (steps_cap * capacity) the batched replay may
+#: materialize in HBM per pass: 2^27 i32 slots = 512 MB, well inside the
+#: v5e's 16 GB HBM next to the histogram and lane state.
+BATCHED_REPLAY_SLOT_BUDGET = 1 << 27
+
+
+def _batched_replay(
+    hist_flat,
+    cr,
+    ci,
+    iters,
+    *,
+    fractal: fractals.FractalMap,
+    canvas,
+    steps_cap: int,
+    block: int,
+    backend: str,
+    interpret: bool = False,
+    bin_fn=None,
+):
+    """Short-band replay: materialize the whole pass's id stream, then
+    deposit it in ONE skip-flagged Mosaic scatter call.
+
+    _blocked_replay pays one scatter call per (block, chunk) pair — at
+    the default band (m=100 → chunk 128, capacity 2^19, block 1024)
+    that is 512 calls/pass of 128x1024 slots each, and since the mean
+    in-band orbit is ~40 steps, ~69% of those slots are chunk-tail
+    sentinels that the scatter kernel still deposits at its ~3.8e8
+    slots/s wall (r5 ablation: the band is deposit-bound; the sentinel
+    padding alone caps it at ~1.3e8 real pts/s). Here every block
+    replays a static ``steps_cap`` steps (the band cap rounded up; the
+    extra scan compute is ~3 ms against a ~60 ms deposit), the ids land
+    in a (nblocks, steps_cap, block) HBM buffer, and a single scatter
+    call streams it with per-8192-chunk all-sentinel skip flags — the
+    step-major layout makes each block's tail a *contiguous* sentinel
+    run, so the padding costs a skipped grid step instead of deposit
+    work, and the per-call overhead (zero-init + dense merge of the
+    histogram copies) is paid once per pass instead of 512 times.
+
+    Same replay semantics as _blocked_replay (z starts at c,
+    cudabrot.cu:323-324; thin-window recording s <= iters). Requires a
+    "pallas"-capable backend (the skip flags are the point) and
+    steps_cap * k <= BATCHED_REPLAY_SLOT_BUDGET — the caller
+    (PallasEngine._device_replay) gates both.
+    """
+    k = cr.shape[0]
+    nblocks = k // block
+    nbins = hist_flat.shape[0]
+    if bin_fn is None:
+        bin_fn = functools.partial(binning.points_to_bin_ids, canvas)
+    offs = jnp.arange(nblocks, dtype=jnp.int32) * block
+
+    def blk(carry, off):
+        bcr = jax.lax.dynamic_slice(cr, (off,), (block,))
+        bci = jax.lax.dynamic_slice(ci, (off,), (block,))
+        bit = jax.lax.dynamic_slice(iters, (off,), (block,))
+        bva = bit >= 0
+
+        def substep(s_c, _):
+            zr, zi, s = s_c
+            nzr, nzi = fractals.step(fractal, zr, zi, bcr, bci)
+            rec = bva & (s <= bit)
+            ids = bin_fn(nzr, nzi, rec)
+            zr = jnp.where(rec, nzr, zr)
+            zi = jnp.where(rec, nzi, zi)
+            return (zr, zi, s + 1), ids
+
+        _, ids = jax.lax.scan(
+            substep, (bcr, bci, jnp.int32(0)), None, length=steps_cap
+        )
+        return carry, ids
+
+    _, ids_all = jax.lax.scan(blk, 0, offs)
+    hist = binning.scatter_ids(
+        hist_flat, ids_all, backend, interpret=interpret, skip_chunks=True
+    )
+    # steps_cap * k <= 2^27 slots per pass: an i32 sum cannot wrap.
+    hits = counters.u64_add(
+        counters.u64_zero(), jnp.sum(ids_all < nbins)
+    )
+    return hist, hits
 
 
 def _blocked_replay_ext(
@@ -755,7 +858,9 @@ def _blocked_replay_ext(
             (zr, zrl, zi, zil, _), ids = jax.lax.scan(
                 substep, (zr, zrl, zi, zil, base), None, length=chunk
             )
-            hist = binning.scatter_ids(hist, ids, backend, interpret=interpret)
+            hist = binning.scatter_ids(hist, ids, backend,
+                                       interpret=interpret,
+                                       skip_chunks=True)
             hits = counters.u64_add(hits, jnp.sum(ids < nbins))
             return (base + chunk, zr, zrl, zi, zil, hist, hits)
 
@@ -901,6 +1006,28 @@ class PallasEngine:
                 "the hybrid split's rate model covers the f32 engines "
                 "only)."
             )
+        if (
+            mode == "host"
+            and replay_mode is None
+            and o.replay == "auto"
+            and not self.mh
+            and not self.extended
+            and o.hist_dtype != "uint64"
+            and o.replay_device_share < 0
+            and self.scatter_backend == "pallas"
+            and self.tuning.replay_steps_cap * self.tuning.replay_capacity
+            <= BATCHED_REPLAY_SLOT_BUDGET
+        ):
+            # r5: emission-heavy short bands — exactly the batched-replay
+            # regime (steps_cap * capacity inside the slot budget) — are
+            # FETCH-bound in host/hybrid mode: the per-pass payload
+            # (~4 MB at the default band) serializes on the ~45 MB/s
+            # link, and every measured hybrid share lost to pure device
+            # replay once the batched skip-scatter landed (r5 sweep:
+            # device 2.74e9 vs hybrid s30/s50/s70 1.87/2.17/2.41e9
+            # it/s; version_timing_tpu.md). Long bands (headline, deep)
+            # exceed the budget and keep the r4 hybrid split.
+            mode = "device"
         self.replay_mode = mode
         self._worker = None
         self._tail_fn = None
@@ -1298,17 +1425,8 @@ class PallasEngine:
             to_dev = (it_c < theta) | (pos >= k_host)
             it_dev = jnp.where(to_dev, it_c, -1)
             it_host = jnp.where(~to_dev, it_c, -1)
-            hist_flat, dhits = _blocked_replay(
-                new_state["hist"].reshape(-1),
-                cr_c,
-                ci_c,
-                it_dev,
-                fractal=self.fractal,
-                canvas=cfg.canvas,
-                chunk=tn.replay_chunk,
-                block=tn.replay_block,
-                backend=self.scatter_backend,
-                interpret=self.interpret,
+            hist_flat, dhits = self._device_replay(
+                new_state["hist"].reshape(-1), cr_c, ci_c, it_dev
             )
             new_state["hist"] = hist_flat.reshape(cfg.canvas.shape)
             new_state["dev_hits"] = counters.u64_add_pair(
@@ -1322,6 +1440,32 @@ class PallasEngine:
             it_c = it_host
 
         return new_state, (cr_c, ci_c, it_c, None, None)
+
+    def _device_replay(self, hist_flat, cr, ci, it):
+        """f32 device replay+deposit dispatch: the one-scatter-per-pass
+        batched path when the band is short enough to materialize its id
+        stream (short bands are deposit-bound on chunk-tail sentinels
+        and per-call overhead — r5 default-band ablation), the per-block
+        chunked loop otherwise."""
+        cfg = self.cfg
+        tn = self.tuning
+        if (
+            self.scatter_backend == "pallas"
+            and tn.replay_steps_cap * cr.shape[0]
+            <= BATCHED_REPLAY_SLOT_BUDGET
+        ):
+            return _batched_replay(
+                hist_flat, cr, ci, it,
+                fractal=self.fractal, canvas=cfg.canvas,
+                steps_cap=tn.replay_steps_cap, block=tn.replay_block,
+                backend=self.scatter_backend, interpret=self.interpret,
+            )
+        return _blocked_replay(
+            hist_flat, cr, ci, it,
+            fractal=self.fractal, canvas=cfg.canvas,
+            chunk=tn.replay_chunk, block=tn.replay_block,
+            backend=self.scatter_backend, interpret=self.interpret,
+        )
 
     def core(self, state, pass_index, ordinal):
         """Fully on-device pass (classify + replay + scatter) — the path
@@ -1388,17 +1532,8 @@ class PallasEngine:
                 step_i=self._df_step[1],
             )
         else:
-            hist_flat, dhits = _blocked_replay(
-                new_state["hist"].reshape(-1),
-                cr_c,
-                ci_c,
-                it_c,
-                fractal=self.fractal,
-                canvas=cfg.canvas,
-                chunk=tn.replay_chunk,
-                block=tn.replay_block,
-                backend=self.scatter_backend,
-                interpret=self.interpret,
+            hist_flat, dhits = self._device_replay(
+                new_state["hist"].reshape(-1), cr_c, ci_c, it_c
             )
         new_state = dict(new_state)
         new_state["hist"] = hist_flat.reshape(cfg.canvas.shape)

@@ -151,9 +151,10 @@ def points_to_bin_ids_df_sharded(
     return jnp.where(ok, flat, row_count * canvas.width)
 
 
-def _pallas_scatter_kernel(ids_ref, hist_ref, *slot_sc,
+def _pallas_scatter_kernel(*refs,
                            chunk: int, slots: int, nsteps: int,
-                           unroll: int = 1, control: bool = False):
+                           unroll: int = 1, control: bool = False,
+                           use_skip: bool = False):
     """Sequential dynamic-row RMW deposit into a VMEM-resident histogram.
 
     The reference increments its histogram in-kernel on the accelerator
@@ -184,7 +185,20 @@ def _pallas_scatter_kernel(ids_ref, hist_ref, *slot_sc,
     input-output was measured CORRUPTED on silicon — with a constant
     block index the pipelined input refetch races the accumulating
     output block across grid steps (probe r4: slots1 "WRONG").
+
+    ``use_skip`` (r5): a scalar-prefetch i32 flag per grid step (1 =
+    every id in the chunk is a sentinel) gates the whole deposit loop.
+    The device replay's id stream is step-major over length-sorted
+    orbit blocks, so the chunk-tail slots past a block's longest orbit
+    arrive as *contiguous all-sentinel chunks*: at the default band
+    (~40-step orbits padded to 128-step chunks) ~69% of slots are
+    sentinel and the skip turns them from deposit-loop work (the
+    scatter wall) into a skipped grid step (DMA only).
     """
+    if use_skip:
+        skip_ref, _cidx_ref, ids_ref, hist_ref, *slot_sc = refs
+    else:
+        ids_ref, hist_ref, *slot_sc = refs
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -217,7 +231,13 @@ def _pallas_scatter_kernel(ids_ref, hist_ref, *slot_sc,
                 tgt[pl.ds(row, 1), :] = cur + oh
         return 0
 
-    jax.lax.fori_loop(0, per // unroll, body, 0)
+    def _deposit():
+        jax.lax.fori_loop(0, per // unroll, body, 0)
+
+    if use_skip:
+        pl.when(skip_ref[step] == 0)(_deposit)
+    else:
+        _deposit()
 
     if slot_sc:
         @pl.when(step == nsteps - 1)
@@ -232,15 +252,64 @@ def _pallas_scatter_kernel(ids_ref, hist_ref, *slot_sc,
                      "control"),
 )
 def _pallas_scatter_call(ids, rows_pad: int, slots: int, chunk: int,
-                         unroll: int, interpret: bool, control: bool):
+                         unroll: int, interpret: bool, control: bool,
+                         skip=None):
     """Count ids into a zeroed (rows_pad, 128) i32 layout (this batch
-    only — the caller adds the result to its running histogram)."""
+    only — the caller adds the result to its running histogram).
+
+    ``skip``: optional (nsteps,) i32 scalar-prefetch flags; chunks
+    flagged 1 skip the deposit loop entirely (see the kernel docstring).
+    """
     n = ids.shape[0]
     nsteps = n // chunk
+    use_skip = skip is not None
     kern = functools.partial(
         _pallas_scatter_kernel, chunk=chunk, slots=slots, nsteps=nsteps,
-        unroll=unroll, control=control,
+        unroll=unroll, control=control, use_skip=use_skip,
     )
+    # The default 16 MB scoped-vmem budget rejects multi-slot copies
+    # of production histograms; size the limit to the actual buffers
+    # (+25% Mosaic overhead margin), capped under the v5e's 128 MB.
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=min(
+            int((slots * rows_pad * 512 + 4 * chunk) * 1.25)
+            + (1 << 20),
+            112 * 1024 * 1024,
+        ),
+    )
+    out_shape = jax.ShapeDtypeStruct((rows_pad, 128), jnp.int32)
+    scratch = [pltpu.VMEM((rows_pad, 128), jnp.int32)] * (slots - 1)
+    if use_skip:
+        # Chunk index map: skipped (all-sentinel) chunks REPEAT the last
+        # real chunk's index, so the revisiting pipeline never re-fetches
+        # them — without this the grid is DMA-bound on the sentinel
+        # padding (measured: capacity 2^20 batched replay lost ~40% of
+        # its throughput to HBM->SMEM streaming of chunks whose deposit
+        # loop was already skipped). Leading skipped chunks clamp to 0
+        # (any index works; the deposit is gated off).
+        iota = jnp.arange(skip.shape[0], dtype=jnp.int32)
+        cidx = jax.lax.cummax(jnp.where(skip == 0, iota, -1))
+        cidx = jnp.maximum(cidx, 0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nsteps,),
+            in_specs=[
+                pl.BlockSpec((chunk,), lambda i, skip, cidx: (cidx[i],),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (rows_pad, 128), lambda i, skip, cidx: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=scratch,
+        )
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=params,
+            interpret=interpret,
+        )(skip, cidx, ids)
     return pl.pallas_call(
         kern,
         grid=(nsteps,),
@@ -251,19 +320,9 @@ def _pallas_scatter_call(ids, rows_pad: int, slots: int, chunk: int,
         out_specs=pl.BlockSpec(
             (rows_pad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((rows_pad, 128), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((rows_pad, 128), jnp.int32)]
-        * (slots - 1),
-        # The default 16 MB scoped-vmem budget rejects multi-slot copies
-        # of production histograms; size the limit to the actual buffers
-        # (+25% Mosaic overhead margin), capped under the v5e's 128 MB.
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(
-                int((slots * rows_pad * 512 + 4 * chunk) * 1.25)
-                + (1 << 20),
-                112 * 1024 * 1024,
-            ),
-        ),
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=params,
         interpret=interpret,
     )(ids)
 
@@ -296,13 +355,21 @@ def pallas_scatter_rows(nbins: int) -> int:
 
 
 def scatter_pallas(hist_flat, ids, *, slots: int = 0, chunk: int = 8192,
-                   unroll: int = 0, interpret=False, control=False):
+                   unroll: int = 0, interpret=False, control=False,
+                   skip_chunks: bool = False):
     """Scatter-add ones at ``ids`` via the Mosaic RMW kernel.
 
     Bitwise-identical results to scatter_xla (both are exact integer
     adds; the deposit order differs but addition commutes). ``ids`` may
     be any shape; sentinel == hist_flat.shape[0] is dropped. The caller
     is responsible for the VMEM-residency check (select_scatter_backend).
+
+    ``skip_chunks``: precompute a per-chunk all-sentinel flag (one
+    vector min-reduce over the id stream) and skip flagged chunks'
+    deposit loops inside the kernel. Pays when the stream carries
+    contiguous sentinel runs — the device replay's step-major layout
+    over length-sorted orbit blocks (chunk-tail padding); costs one
+    extra read of the ids when it doesn't.
     """
     nbins = hist_flat.shape[0]
     rows_pad = pallas_scatter_rows(nbins)
@@ -320,8 +387,14 @@ def scatter_pallas(hist_flat, ids, *, slots: int = 0, chunk: int = 8192,
         )
     if unroll <= 0:
         unroll = PALLAS_SCATTER_UNROLL
+    skip = None
+    if skip_chunks:
+        skip = (
+            jnp.min(flat_ids.reshape(-1, chunk), axis=1) >= nbins
+        ).astype(jnp.int32)
     out = _pallas_scatter_call(
-        flat_ids, rows_pad, slots, chunk, unroll, interpret, control
+        flat_ids, rows_pad, slots, chunk, unroll, interpret, control,
+        skip=skip,
     )
     return hist_flat + out.reshape(-1)[:nbins].view(hist_flat.dtype)
 
@@ -790,11 +863,13 @@ def select_scatter_backend(name: str, canvas: Canvas, batch_points: int) -> str:
     return "xla"
 
 
-def scatter_ids(hist_flat, ids, backend: str, *, interpret: bool = False):
+def scatter_ids(hist_flat, ids, backend: str, *, interpret: bool = False,
+                skip_chunks: bool = False):
     if backend == "xla":
         return scatter_xla(hist_flat, ids)
     if backend == "pallas":
-        return scatter_pallas(hist_flat, ids, interpret=interpret)
+        return scatter_pallas(hist_flat, ids, interpret=interpret,
+                              skip_chunks=skip_chunks)
     if backend == "sorted":
         return scatter_sorted(hist_flat, ids)
     if backend == "bigtiles":

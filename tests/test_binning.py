@@ -101,6 +101,41 @@ def test_scatter_pallas_matches_xla_bitwise():
         np.testing.assert_array_equal(got, want)
 
 
+def test_scatter_pallas_skip_chunks_matches_xla_bitwise():
+    """The r5 skip-flag path (all-sentinel chunks skip the deposit loop)
+    must not change results: flags only gate chunks with nothing to
+    deposit. Streams are built with contiguous sentinel runs (the
+    batched replay's chunk-tail layout) plus interleaved real ids."""
+    for nbins, n, seed in (
+        (16 * 12, 4096, 0),
+        (1024, 8192, 1),
+        (777, 5000, 2),       # padding path: pad chunk is all-sentinel
+    ):
+        rng = np.random.default_rng(seed)
+        ids = rng.integers(0, nbins + 1, size=n)
+        # Carve contiguous all-sentinel runs covering whole 1024-chunks
+        # (scatter_pallas floors chunk at 128*slots = 1024 for slots=8).
+        ids[1024:2048] = nbins
+        ids[-1024:] = nbins
+        hist0 = jnp.arange(nbins, dtype=jnp.uint32)
+        want = np.asarray(binning.scatter_xla(hist0, jnp.asarray(ids)))
+        got = np.asarray(
+            binning.scatter_pallas(
+                hist0, jnp.asarray(ids, jnp.int32), chunk=1024,
+                interpret=True, skip_chunks=True,
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+    # Fully-sentinel stream: every chunk skips; output unchanged.
+    hist0 = jnp.arange(256, dtype=jnp.uint32)
+    allsent = jnp.full((2048,), 256, jnp.int32)
+    out = np.asarray(
+        binning.scatter_pallas(hist0, allsent, chunk=1024,
+                               interpret=True, skip_chunks=True)
+    )
+    np.testing.assert_array_equal(out, np.arange(256))
+
+
 def test_scatter_sorted_matches_xla_bitwise():
     """The sorted (sort + run-length collapse + unique scatter) backend
     must be bitwise-identical to XLA scatter-add: exact integer adds in

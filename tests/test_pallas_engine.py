@@ -95,6 +95,54 @@ def test_pallas_scatter_backend_bitwise_equal():
     assert sx["orbit_points"] == sp["orbit_points"]
 
 
+def test_batched_replay_matches_blocked_bitwise():
+    """_batched_replay (one skip-flagged scatter per pass) must deposit
+    bitwise-identically to _blocked_replay on the same sorted batch —
+    same orbits (z starts at c), same thin-window recording, different
+    deposit schedule only."""
+    from cudabrot_tpu.engines.pallas_engine import (
+        _batched_replay, _blocked_replay,
+    )
+    from cudabrot_tpu.models import fractals
+
+    canvas = Canvas(width=64, height=48)
+    fr = fractals.get_fractal("buddhabrot")
+    rng = np.random.default_rng(11)
+    k, block = 1024, 256
+    cr = jnp.asarray(rng.uniform(-2.0, 1.0, k), jnp.float32)
+    ci = jnp.asarray(rng.uniform(-1.5, 1.5, k), jnp.float32)
+    it = rng.integers(0, 60, size=k).astype(np.int32)
+    it[rng.uniform(size=k) < 0.3] = -1  # inactive lanes
+    it = jnp.asarray(np.sort(it)[::-1].copy())  # descending, like compact
+    hist0 = jnp.zeros(canvas.num_pixels, jnp.uint32)
+    hb, hitsb = _blocked_replay(
+        hist0, cr, ci, it, fractal=fr, canvas=canvas, chunk=32,
+        block=block, backend="pallas", interpret=True,
+    )
+    ha, hitsa = _batched_replay(
+        hist0, cr, ci, it, fractal=fr, canvas=canvas, steps_cap=64,
+        block=block, backend="pallas", interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(hb), np.asarray(ha))
+    assert np.asarray(hitsb).tolist() == np.asarray(hitsa).tolist()
+
+
+def test_tuning_replay_steps_cap_alignment():
+    """steps_cap must cover the band cap and keep each block's id stream
+    a whole number of 8192-id scatter chunks."""
+    from cudabrot_tpu.engines.pallas_engine import Tuning
+
+    cfg = RenderConfig(
+        canvas=Canvas(width=64, height=64),
+        band=IterationBand(max_escape_iterations=100,
+                           min_escape_iterations=20),
+        options=EngineOptions(engine="pallas"),
+    )
+    t = Tuning(cfg)
+    assert t.replay_steps_cap >= 100
+    assert (t.replay_steps_cap * t.replay_block) % 8192 == 0
+
+
 def test_lane_state_persists_across_passes():
     """A sample mid-flight at a pass boundary must finish in a later pass:
     with max_it far above steps_per_pass, in-band samples can only come
