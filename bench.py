@@ -85,6 +85,9 @@ def measure(cfg, seconds: float, n_segments: int = 5,
     progress(f"warm in {time.monotonic() - t_setup:.1f}s; measuring "
              f"{n_segments} x {max(seconds / n_segments, 1.0):.1f}s")
 
+    from cudabrot_tpu.driver import resolve_pipeline_depth
+
+    depth = resolve_pipeline_depth(cfg, engine)
     seg_len = max(seconds / n_segments, 1.0)
     seg_rates = []
     seg_deposit_rates = []  # MH only: per-segment deposited mass/s
@@ -98,13 +101,14 @@ def measure(cfg, seconds: float, n_segments: int = 5,
         while time.monotonic() - t0 < seg_len:
             state = engine.run_pass(state, passes)
             passes += 1
-            # Pipeline throttle (driver.run_render depth 2): host-replay
-            # engines have worker backpressure, but the MH device engine
-            # is pure async dispatch — unthrottled, a 5 s window enqueued
-            # 5512 passes (~36 min of device work) in the r4 batch. The
-            # reported rates were still work/wall-correct; the time box
-            # was not.
-            if passes % 2 == 0:
+            # Pipeline throttle (driver.resolve_pipeline_depth: 8 for
+            # worker-less device engines — every block is a ~20 ms
+            # tunnel round-trip — else 2): unthrottled, a 5 s window
+            # once enqueued 5512 passes (~36 min of device work) in the
+            # r4 MH batch. Rates stay work/wall-correct either way (dt
+            # includes the drain); only the segment boundary overshoots
+            # by up to depth passes.
+            if passes % depth == 0:
                 jax.block_until_ready(state)
         jax.block_until_ready(state)
         if getattr(engine, "_worker", None) is not None:

@@ -221,7 +221,9 @@ def render_bands_interleaved(
                     continue
                 s["state"] = s["engine"].run_pass(s["state"], s["passes"])
                 s["passes"] += 1
-                depth = max(1, cfg.options.pipeline_depth)
+                from cudabrot_tpu.driver import resolve_pipeline_depth
+
+                depth = resolve_pipeline_depth(cfg, s["engine"])
                 if s["passes"] % depth == 0:
                     jax.block_until_ready(s["state"])
 

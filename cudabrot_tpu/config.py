@@ -278,7 +278,12 @@ class EngineOptions:
     #: native host-replay engine; the device scatter path is uint32-only.
     hist_dtype: str = "uint32"
     #: Allowed in-flight (dispatched, not yet blocked-on) passes.
-    pipeline_depth: int = 2
+    #: 0 = auto: 8 for worker-less (pure device-replay) engines — each
+    #: block is a tunnel round-trip, ~20 ms/pass of the default band's
+    #: ~85 ms passes (r5 sweep: depth 2 -> 8 measured 2.72 -> 3.26e9
+    #: it/s) — and 2 where a host worker drains payloads (its fetch
+    #: cadence follows the block cadence).
+    pipeline_depth: int = 0
 
     def validate(self) -> None:
         if self.engine not in ("auto", "oracle", "pallas"):

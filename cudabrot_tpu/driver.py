@@ -142,6 +142,19 @@ def _warn_calibration_drift(cfg: RenderConfig, engine, log) -> None:
     )
 
 
+def resolve_pipeline_depth(cfg: RenderConfig, engine) -> int:
+    """In-flight pass budget: every block_until_ready is a tunnel
+    round-trip (~20 ms of an ~85 ms default-band pass), so worker-less
+    (pure device-replay) engines run deep (8; r5 sweep measured depth
+    2 -> 8 as 2.72 -> 3.26e9 it/s at the default band). Engines with a
+    host worker keep the shallow cadence: the worker's payload fetch
+    piggybacks on the block cadence, and 8 in-flight passes would let
+    the emission queue run ahead of the accumulator."""
+    if cfg.options.pipeline_depth > 0:
+        return cfg.options.pipeline_depth
+    return 8 if getattr(engine, "replay_mode", None) == "device" else 2
+
+
 def run_render(
     cfg: RenderConfig,
     engine: engines.Engine | None = None,
@@ -203,7 +216,7 @@ def run_render(
     if multiproc:
         from cudabrot_tpu.parallel import distributed
 
-    depth = max(1, cfg.options.pipeline_depth)
+    depth = resolve_pipeline_depth(cfg, engine)
     passes = 0
     interrupted = False
     start = time.monotonic()

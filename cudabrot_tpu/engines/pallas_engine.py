@@ -406,7 +406,8 @@ class Tuning:
         if o.replay_block > 0:
             self.replay_block = min(o.replay_block, self.replay_capacity)
         elif (
-            cfg.band.max_escape_iterations * self.replay_capacity
+            self.replay_capacity >= 8192
+            and cfg.band.max_escape_iterations * self.replay_capacity
             <= BATCHED_REPLAY_SLOT_BUDGET
         ):
             # r5: batched-eligible short bands measure fastest at wide
@@ -762,9 +763,19 @@ def _batched_replay(
         return carry, ids
 
     _, ids_all = jax.lax.scan(blk, 0, offs)
-    hist = binning.scatter_ids(
-        hist_flat, ids_all, backend, interpret=interpret, skip_chunks=True
-    )
+    if backend == "pallas":
+        # 16384-id chunks halve the grid-step count (skipped chunks
+        # cost ~3.4 us each, benchmarks/pallas_scatter_probe r5) at a
+        # 2-replay-step skip granularity for 8192-lane blocks.
+        hist = binning.scatter_pallas(
+            hist_flat, ids_all, interpret=interpret, skip_chunks=True,
+            chunk=16384,
+        )
+    else:
+        hist = binning.scatter_ids(
+            hist_flat, ids_all, backend, interpret=interpret,
+            skip_chunks=True,
+        )
     # steps_cap * k <= 2^27 slots per pass: an i32 sum cannot wrap.
     hits = counters.u64_add(
         counters.u64_zero(), jnp.sum(ids_all < nbins)
@@ -1331,15 +1342,55 @@ class PallasEngine:
             rbits = jax.random.bits(
                 jax.random.fold_in(key, 0x7711), em_it.shape, jnp.uint32
             )
-            sel_key = jnp.where(
-                valid,
-                jax.lax.shift_right_logical(rbits, jnp.uint32(1)),
-                jnp.uint32(0x80000000),
-            )
-            cand = jnp.argsort(sel_key)[:k]
-            it_cand = em_it[cand]
-            order2 = jnp.argsort(jnp.where(it_cand >= 0, -it_cand, 1))
-            take = cand[order2]
+            nslots = em_it.shape[0]
+            max_it = cfg.band.max_escape_iterations
+            if nslots <= (1 << 21) and max_it + 1 < 1024:
+                # Packed single-u32 sorts (r5): TPU argsort is a 64-bit
+                # (key, index) pair sort; at the default band the two
+                # argsorts cost ~23 ms of a ~100 ms pass (phase
+                # breakdown B-A). Both orderings pack key+index into
+                # one u32 — an 11-bit random key (ties broken by slot
+                # position, statistically benign: emission properties
+                # are stationary across the buffer) | 21-bit slot, and
+                # (max_it - len) | 21-bit rank — so each sort is a
+                # plain u32 sort. Same selection law, same length
+                # ordering; block composition among equal lengths can
+                # differ from the argsort path, which scatter-add
+                # commutativity makes histogram-invariant.
+                r11 = jnp.minimum(
+                    jax.lax.shift_right_logical(rbits, jnp.uint32(21)),
+                    jnp.uint32(2046),
+                )
+                idx = jnp.arange(nslots, dtype=jnp.uint32)
+                key1 = jnp.where(
+                    valid,
+                    (r11 << jnp.uint32(21)) | idx,
+                    (jnp.uint32(2047) << jnp.uint32(21)) | idx,
+                )
+                cand = (jax.lax.sort(key1)[:k] & jnp.uint32(0x1FFFFF)).astype(
+                    jnp.int32
+                )
+                it_cand = em_it[cand]
+                pos = jnp.arange(cand.shape[0], dtype=jnp.uint32)
+                len_key = jnp.where(
+                    it_cand >= 0, max_it - it_cand, max_it + 1
+                ).astype(jnp.uint32)
+                key2 = (len_key << jnp.uint32(21)) | pos
+                take = cand[
+                    (jax.lax.sort(key2) & jnp.uint32(0x1FFFFF)).astype(
+                        jnp.int32
+                    )
+                ]
+            else:
+                sel_key = jnp.where(
+                    valid,
+                    jax.lax.shift_right_logical(rbits, jnp.uint32(1)),
+                    jnp.uint32(0x80000000),
+                )
+                cand = jnp.argsort(sel_key)[:k]
+                it_cand = em_it[cand]
+                order2 = jnp.argsort(jnp.where(it_cand >= 0, -it_cand, 1))
+                take = cand[order2]
         if self.mh:
             cr_c = em_b[:, take]
             ci_c = None
@@ -1349,7 +1400,11 @@ class PallasEngine:
         it_c = em_it[take]
         rep_c = em_rep[take] if self.mh else None
         v_c = em_v[take] if self.mh else None
-        valid_c = valid[take]
+        # Derived, not gathered: valid == (em_it >= 0) elementwise, so
+        # re-testing the gathered lengths saves one 524k-element gather
+        # (TPU gathers run at ~1.2e8/s — the compact stage's dominant
+        # cost, r5 attribution probe).
+        valid_c = it_c >= 0
         n_valid = jnp.sum(valid).astype(jnp.uint32)
         emitted = jnp.minimum(n_valid, jnp.uint32(k))
         dropped = n_valid - emitted
