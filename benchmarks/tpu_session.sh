@@ -10,17 +10,24 @@
 # 30+ min): known-good shapes FIRST, the big-canvas legs LAST, so a
 # re-wedge costs only the tail. Steps:
 #   0. health probe (tiny op) — abort the batch if the pool is wedged.
-#   1. bench.py — the per-round driver metric (clean run: the r4 batch's
-#      headline overlapped a CPU-bound test suite on this 1-core host).
+#   1. bench.py — the per-round driver metric (run on a QUIET host).
 #   2. mh_ab.py — MH-vs-uniform A/B at a 6e-3 crop (60 s/variant).
 #   3. Flagship MH deep render for examples/ (4 min, 1e-5 window).
-#   4. parity_null.py — null-calibrate the 4 parity pairs below 0.95
-#      (VERDICT r3 #5).
-#   5. North-star leg A (r4): 600 s 20000^2 c=2000, host-only replay
+#   4. parity_null.py — null-calibrate the 4 parity pairs below 0.95.
+#   5. North-star leg A: 600 s 20000^2 c=2000, host-only replay
 #      (--replay-device-share 0) — isolates the radix64 accumulator.
-#   6. North-star leg B: same, auto hybrid share (the leg that stalled;
-#      r3 recorded 2.37e9; VERDICT r3 #3 target >= 5e9).
-#   7. default-band device-share sweep (VERDICT r3 #4).
+#   6. North-star leg B: same, auto hybrid share.
+#   7. default-band device-share sweep.
+#
+# r5 STATUS (2026-08-21, all on a quiet host — records committed):
+#   1 done -> BENCH headline 2.23e10 (spread 9.4%), default_band
+#     3.26e9 (0.83x reference hw), bench_last_full.json.
+#   2 done (r5 earlier batch) -> version_timing_tpu.md MH comparator.
+#   4 done (r5 earlier batch) -> parity null ceilings logged.
+#   5/6 done -> NORTHSTAR.json r5: legA 4.61e9, legB 5.51e9 (>=5e9
+#     target met). A share-0.3 leg C timed out in compile; auto wins.
+#   7 superseded: auto replay now degrades to pure device at batched
+#     bands (r5 sweep: every hybrid share lost there).
 set -u
 LOG=/tmp/tpu_session.log
 cd "$(dirname "$0")/.."

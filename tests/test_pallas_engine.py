@@ -127,6 +127,54 @@ def test_batched_replay_matches_blocked_bitwise():
     assert np.asarray(hitsb).tolist() == np.asarray(hitsa).tolist()
 
 
+def test_auto_replay_degrades_to_device_at_batched_bands():
+    """Emission-heavy short bands (batched-replay regime) are fetch-bound
+    in host/hybrid mode; auto must pick pure device replay there when the
+    Mosaic scatter backend is active, and keep the host worker for long
+    bands (r5 sweep: device 2.74e9 vs best hybrid 2.41e9 at the default
+    band; hybrid still wins the headline band)."""
+    short = RenderConfig(
+        canvas=Canvas(width=256, height=256),
+        band=IterationBand(max_escape_iterations=100,
+                           min_escape_iterations=20),
+        options=EngineOptions(engine="pallas", scatter="pallas"),
+    )
+    eng = PallasEngine(short)
+    assert eng.replay_mode == "device"
+
+    long_band = short.replace(
+        band=IterationBand(max_escape_iterations=20000,
+                           min_escape_iterations=2000),
+    )
+    eng2 = PallasEngine(long_band)
+    assert eng2.replay_mode == "host"
+
+    # Explicit --replay host must never be overridden.
+    forced = short.replace(options=EngineOptions(
+        engine="pallas", scatter="pallas", replay="host"))
+    assert PallasEngine(forced).replay_mode == "host"
+
+
+def test_resolve_pipeline_depth_auto():
+    """Auto depth: deep (8) for worker-less device replay — each block
+    is a tunnel round-trip — shallow (2) when a host worker drains
+    payloads; explicit values pass through."""
+    from cudabrot_tpu import driver
+
+    cfg = _cfg()
+
+    class Dev:
+        replay_mode = "device"
+
+    class Host:
+        replay_mode = "host"
+
+    assert driver.resolve_pipeline_depth(cfg, Dev()) == 8
+    assert driver.resolve_pipeline_depth(cfg, Host()) == 2
+    cfg3 = cfg.replace(options=EngineOptions(pipeline_depth=3))
+    assert driver.resolve_pipeline_depth(cfg3, Dev()) == 3
+
+
 def test_tuning_replay_steps_cap_alignment():
     """steps_cap must cover the band cap and keep each block's id stream
     a whole number of 8192-id scatter chunks."""
