@@ -1394,10 +1394,23 @@ class PallasEngine:
         if self.mh:
             cr_c = em_b[:, take]
             ci_c = None
+            it_c = em_it[take]
         else:
-            cr_c = em_cr[take]
-            ci_c = em_ci[take]
-        it_c = em_it[take]
+            # One (k, 3)-row gather instead of three 524k element
+            # gathers: TPU gathers dominate the compact stage (r5
+            # attribution), and a row gather fetches the 12-byte
+            # payload contiguously. it rides as a VALUE-converted f32
+            # lane (exact: config bounds max_escape_iterations < 2^24)
+            # — a bitcast would make small lengths denormal floats,
+            # which the TPU flushes to zero in transit (measured:
+            # deposits collapsed 242M -> 14M pts/s).
+            stacked = jnp.stack(
+                [em_cr, em_ci, em_it.astype(jnp.float32)], axis=1
+            )
+            g = stacked[take]
+            cr_c = g[:, 0]
+            ci_c = g[:, 1]
+            it_c = g[:, 2].astype(jnp.int32)
         rep_c = em_rep[take] if self.mh else None
         v_c = em_v[take] if self.mh else None
         # Derived, not gathered: valid == (em_it >= 0) elementwise, so
